@@ -1,0 +1,342 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator surface (SURVEY.md §2.1–§2.7).
+  *
+  * Each query re-expresses a reference dataflow shape
+  * (Zelong-Chen/Data-Mining-Map-Reduce) on the driver testdata, declared
+  * through the DataFrame API so Catalyst handles projection pruning,
+  * predicate pushdown, join-strategy selection, and partial aggregation —
+  * the optimizations the reference hand-rolled (SURVEY.md §4).
+  *
+  * Scale stance (100 TB): every query below is a scan → (broadcastable
+  * dim join) → shuffle-on-group-key → partial+final agg shape. No
+  * collect() in any data path; top-k goes through
+  * TakeOrderedAndProjectExec (no global sort materialization).
+  *
+  * Determinism: every query carries a total ORDER BY (value desc, key asc
+  * unless the reference specifies otherwise) and every float aggregate is
+  * rounded, so the DuckDB oracle hash-compares bit-identically.
+  */
+object Relational {
+
+  /** Flagship: TPC-H Q1-shaped pricing summary — the reference's
+    * grouped-aggregate workhorse (A1/A2/A5: reviews-per-year,
+    * avg-stars-per-category shapes, Assignment1/task1.py:25,
+    * Assignment1/task2.py:37-43). Partial aggregation (map-side combine)
+    * is what the reference's reduceByKey hand-rolled; Catalyst emits it
+    * automatically as HashAggregate(partial) → shuffle → HashAggregate(final).
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** O1: composite-key top-k — top users by event count, count desc with
+    * key-desc tie-break (Assignment1/task1.py:32 sorts (count, user)
+    * descending). Physical plan: TakeOrderedAndProject, not a full sort.
+    */
+  def topUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id").desc)
+      .limit(10)
+
+  /** J1+A5+O2: dim join + grouped average + value-desc/key-asc sort —
+    * the avg-stars-per-category query (Assignment1/task2.py:34-43).
+    * `part` is a dim table → Catalyst broadcasts it (BroadcastHashJoin);
+    * the reference's two-pass stable sort collapses to one multi-key
+    * orderBy (SURVEY.md §4 "two-pass stable sort").
+    */
+  def categoryAvg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(round(avg("l_extendedprice"), 4).as("avg_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("avg_price").desc, col("p_type").asc)
+
+  /** P4: threshold filter on aggregate (HAVING) — "businesses with more
+    * than n reviews" (Assignment1/task3.py:30,73). */
+  def ordersHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 12)
+      .orderBy(col("cnt").desc, col("o_custkey").asc)
+
+  /** A1+A3: global count + exact distinct count
+    * (Assignment1/task1.py:22,29 — total reviews, distinct users). */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .agg(count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("distinct_users"))
+
+  /** P2+U7: time-slice filter + grouped count — "reviews in year y"
+    * (Assignment1/task1.py:25). Idiomatic year()/dayofmonth() over a
+    * typed timestamp instead of the reference's string slicing. */
+  def timeSliceCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(year(col("ts")) === 2024 && dayofmonth(col("ts")) <= 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+
+  val StopWords: Seq[String] =
+    Seq("a", "the", "and", "of", "to", "in", "is", "it")
+
+  /** U4+U5+P8+A2+O1: word frequency — lowercase, strip punctuation,
+    * tokenize on single space, drop stopwords, top-20
+    * (Assignment1/task1.py:40-53). The whole pipeline is codegen'd
+    * Catalyst expressions (translate/split/explode) — no UDF. */
+  def topWords(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(translate(lower(col("text")), "([,.!?:;])", ""),
+        " ", -1)).as("word"))
+      .filter(col("word") =!= "" && !col("word").isin(StopWords: _*))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+
+  /** Left-semi join (EXISTS): customers having at least one big order.
+    * Semi-join is the set-membership filter the reference did against
+    * collected driver sets (P7, Assignment5/bfr.py:259) — distributed
+    * here, broadcastable when the filter side is small. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 200000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join (NOT EXISTS): the stopword-exclusion shape (P8,
+    * Assignment1/task1.py:52) lifted to relational form — customers with
+    * no large order. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** A14/O6: top-3 distinct frequencies with ties — the reference's
+    * streaming top-3 hashtags semantics (Assignment6/task3.py:86-97):
+    * all keys at each of the 3 highest counts are emitted, lexicographic
+    * within a count. dense_rank over a count-ordered window replaces the
+    * driver-side dict scan. */
+  def rankTies(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc)
+    counts
+      .withColumn("rnk", dense_rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("rnk").asc, col("p_brand").asc)
+  }
+
+  /** TPC-H Q3-shaped 3-way join + agg + top-k: scan → broadcast(customer)
+    * ⋈ orders ⋈ lineitem → revenue per order → top-10. The multi-join
+    * lifecycle trace of SURVEY.md §3.1 in one query. */
+  def topRevenueOrders(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** J2 (co-occurrence self-join) — the graph-edge build that the
+    * reference did as an O(V²) driver loop (Assignment4/task1.py:32-47).
+    * Spark-native: self-equi-join on the shared key, `<` dedupes the
+    * pair, shuffle handles scale; at 100 TB this is a standard
+    * skew-aware shuffle join, never a driver loop. */
+  def cooccurPairs(s: SparkSession, d: String): DataFrame = {
+    val ob = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val a = ob.select(col("ok"), col("brand").as("brand_a"))
+    val b = ob.select(col("ok"), col("brand").as("brand_b"))
+    a.join(b, Seq("ok"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(20)
+  }
+
+  /** U1: union of two branches + distinct — the RS ∪ leftovers shape
+    * (Assignment5/bfr.py:371,446). */
+  def unionBranches(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d).filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey").as("custkey"))
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    big.unionByName(urgent).distinct()
+      .groupBy()
+      .agg(count(lit(1)).as("n_custkeys"))
+  }
+
+  /** Window functions (§2.5 extension): first-2-orders-per-customer via
+    * row_number over (orderdate, orderkey). The reference has no SQL
+    * windows; this is the rank-like capability done Spark-native. */
+  def firstOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** A12/U15 + multi-dim stats: per-nation customer account stats
+    * (min/max/avg/stddev) — grouped algebraic aggregates, one shuffle. */
+  def nationStats(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"),
+        round(avg("c_acctbal"), 3).as("avg_bal"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("n_name").asc)
+
+  /** A1t3 partition introspection (Assignment1/task3.py:34,77):
+    * records-per-partition via spark_partition_id() — replaces
+    * glom().map(len). Rows-only oracle (partitioning is engine-side). */
+  def partitionHistogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("partition_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_top_users" -> (topUsers _),
+    "q03_category_avg" -> (categoryAvg _),
+    "q04_orders_having" -> (ordersHaving _),
+    "q05_distinct_users" -> (distinctUsers _),
+    "q06_time_slice" -> (timeSliceCounts _),
+    "q07_top_words" -> (topWords _),
+    "q08_semi_join" -> (semiJoin _),
+    "q09_anti_join" -> (antiJoin _),
+    "q10_rank_ties" -> (rankTies _),
+    "q11_top_revenue" -> (topRevenueOrders _),
+    "q12_cooccur_pairs" -> (cooccurPairs _),
+    "q13_union_distinct" -> (unionBranches _),
+    "q14_first_orders" -> (firstOrdersPerCustomer _),
+    "q15_nation_stats" -> (nationStats _),
+    "q16_partition_hist" -> (partitionHistogram _))
+
+  private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_users" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id ORDER BY cnt DESC, user_id DESC LIMIT 10""".stripMargin,
+    "q03_category_avg" ->
+      """SELECT p_type, round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY avg_price DESC, p_type ASC""".stripMargin,
+    "q04_orders_having" ->
+      """SELECT o_custkey, count(*) AS cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 12
+        |ORDER BY cnt DESC, o_custkey ASC""".stripMargin,
+    "q05_distinct_users" ->
+      """SELECT count(*) AS total_events,
+        |  count(DISTINCT user_id) AS distinct_users FROM events""".stripMargin,
+    "q06_time_slice" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE year(ts) = 2024 AND date_part('day', ts) <= 10
+        |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
+    "q07_top_words" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(string_split(translate(lower(text),
+         |    '([,.!?:;])', ''), ' ')) AS word FROM documents) t
+         |WHERE word <> '' AND word NOT IN ($stopList)
+         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_rank_ties" ->
+      """SELECT p_brand, cnt, rnk FROM (
+        |  SELECT p_brand, cnt, dense_rank() OVER (ORDER BY cnt DESC) AS rnk
+        |  FROM (SELECT p_brand, count(*) AS cnt
+        |        FROM lineitem JOIN part ON l_partkey = p_partkey
+        |        GROUP BY p_brand) c) r
+        |WHERE rnk <= 3 ORDER BY rnk ASC, p_brand ASC""".stripMargin,
+    "q11_top_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, order_date
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q12_cooccur_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS cnt
+        |FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |GROUP BY brand_a, brand_b
+        |ORDER BY cnt DESC, brand_a ASC, brand_b ASC LIMIT 20""".stripMargin,
+    "q13_union_distinct" ->
+      """SELECT count(*) AS n_custkeys FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') u""".stripMargin,
+    "q14_first_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "q15_nation_stats" ->
+      """SELECT n_name, round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(avg(c_acctbal), 3) AS avg_bal, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name ASC""".stripMargin)
+}
