@@ -25,12 +25,20 @@ object Tables {
     * conf, runtime-settable) and convert to a microsecond TimestampType
     * column — same value DuckDB sees at µs precision. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Prefer setting this at session build (Verify/Bench/tests do); kept
+    // here as a defensive fallback for externally-created sessions. Same
+    // value everywhere, so re-setting is idempotent.
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.functions.{col, timestamp_micros, floor}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
+    // Integer `div`, not floor(x / 1000): Long `/` promotes to Double and
+    // epoch-nanos (~1.7e18) exceed a double's 2^53 mantissa, so floor()
+    // could round up by 1µs at day/year boundaries — diverging from
+    // DuckDB's integer truncation (ADVICE r01).
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -100,7 +100,9 @@ object Relational {
   /** U4+U5+P8+A2+O1: word frequency — lowercase, strip punctuation,
     * tokenize on single space, drop stopwords, top-20
     * (Assignment1/task1.py:40-53). The whole pipeline is codegen'd
-    * Catalyst expressions (translate/split/explode) — no UDF. */
+    * Catalyst expressions (translate/split/explode) — no UDF.
+    * Tie-break is word DESC, matching the reference's sortBy((count,
+    * word), descending) at Assignment1/task1.py:32 (ADVICE r01). */
   def topWords(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(explode(split(translate(lower(col("text")), "([,.!?:;])", ""),
@@ -108,7 +110,7 @@ object Relational {
       .filter(col("word") =!= "" && !col("word").isin(StopWords: _*))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word").asc)
+      .orderBy(col("cnt").desc, col("word").desc)
       .limit(20)
 
   /** Left-semi join (EXISTS): customers having at least one big order.
@@ -286,7 +288,7 @@ object Relational {
          |  SELECT unnest(string_split(translate(lower(text),
          |    '([,.!?:;])', ''), ' ')) AS word FROM documents) t
          |WHERE word <> '' AND word NOT IN ($stopList)
-         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+         |GROUP BY word ORDER BY cnt DESC, word DESC LIMIT 20""".stripMargin,
     "q08_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Hashing
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (token counting, quality scoring,
+  * language-ID, fingerprinting, exact dedup) plus the reference's
+  * word-frequency shapes (Assignment1/task1.py:40-53).
+  *
+  * Everything here is pure Catalyst expressions (split/filter/transform/
+  * aggregate higher-order functions) — whole-stage-codegen'd, no UDFs, so
+  * each query is one scan → narrow per-row work → (group) shuffle. At
+  * 100 TB these all scale linearly: per-document work is embarrassingly
+  * parallel and the only shuffles are on small grouped keys.
+  */
+object Text {
+
+  /** Tokenizer shared by all text ops: split on single space, drop
+    * empties (reference splits on ' ' — Assignment1/task1.py:52). */
+  val toksExpr = "filter(split(text, ' ', -1), x -> x != '')"
+  val toksSqlExpr = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** BPE-ish subtoken regex: letter runs, digit runs, single other
+    * non-space chars — the "whitespace + BPE-ish regex" token counter. */
+  val subtokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** q17: per-document token statistics — whitespace tokens, distinct
+    * tokens, BPE-ish subtokens, average token length. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), expr(toksExpr).as("toks"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        size(expr(s"regexp_extract_all(text, '$subtokRe', 0)"))
+          .as("n_subtokens"),
+        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+          .cast("double") / size(col("toks")), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, $toksSqlExpr AS toks, text
+       |           FROM documents)
+       |SELECT doc_id, n_chars,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_uniq,
+       |  len(regexp_extract_all(text, '$subtokRe')) AS n_subtokens,
+       |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |        / len(toks), 4) AS avg_tok_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Stopword list for quality scoring / lang-ID (english function
+    * words present in the synthetic corpus). */
+  val QualityStops: Seq[String] = Seq("a", "the")
+
+  /** q18: document quality scoring — length score, stopword ratio,
+    * punctuation count; composite quality in [0,1]-ish and a keep flag.
+    * The shape every LLM-data pipeline runs before training. */
+  def docQuality(s: SparkSession, d: String): DataFrame = {
+    val stops = QualityStops.map(w => s"'$w'").mkString(", ")
+    documents(s, d)
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(expr(s"filter(toks, t -> array_contains(array($stops), t))"))
+          .as("stop_cnt"),
+        (length(col("text")) -
+          length(translate(col("text"), ".,!?;:", ""))).as("punct_cnt"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        col("punct_cnt"),
+        round(col("stop_cnt").cast("double") / col("n_tokens"), 4)
+          .as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 40.0) * 0.5 +
+          least(lit(1.0),
+            col("stop_cnt").cast("double") / col("n_tokens") * 8.0) * 0.5 -
+          col("punct_cnt").cast("double") / col("n_chars"), 4)
+          .as("quality"))
+      .withColumn("keep", (col("quality") >= 0.5).cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docQualitySql: String = {
+    val stops = QualityStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSqlExpr AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  len(list_filter(toks, t -> list_contains([$stops], t))) AS stop_cnt,
+       |  len(text) - len(translate(text, '.,!?;:', '')) AS punct_cnt,
+       |  len(text) AS n_chars
+       |FROM t)
+       |SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
+       |  round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
+       |        least(1.0, CAST(stop_cnt AS DOUBLE) / n_tokens * 8.0) * 0.5 -
+       |        CAST(punct_cnt AS DOUBLE) / n_chars, 4) AS quality,
+       |  (round(least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
+       |        least(1.0, CAST(stop_cnt AS DOUBLE) / n_tokens * 8.0) * 0.5 -
+       |        CAST(punct_cnt AS DOUBLE) / n_chars, 4) >= 0.5) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-language marker vocabularies for the lang-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "to", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "une"))
+
+  /** q19: language identification — marker-word scoring with a CJK
+    * codepoint check, deterministic argmax (priority order en > de > es >
+    * fr on ties). On the synthetic corpus every doc scores as English
+    * regardless of its `lang` label (the generator reuses one vocabulary)
+    * — the `correct` flag records that honestly; the operator semantics,
+    * not the corpus, is what's verified. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val cnts = LangMarkers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(toks, t -> array_contains(array($arr), t)))")
+        .as(s"${lang}_cnt")
+    }
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr(toksExpr).as("toks"))
+      .select(Seq(col("doc_id"), col("lang"),
+        col("text").rlike("[一-鿿]").as("has_cjk")) ++ cnts: _*)
+      .withColumn("pred_lang",
+        when(col("has_cjk"), "zh")
+          .when(col("fr_cnt") > col("en_cnt") &&
+            col("fr_cnt") > col("de_cnt") &&
+            col("fr_cnt") > col("es_cnt"), "fr")
+          .when(col("es_cnt") > col("en_cnt") &&
+            col("es_cnt") > col("de_cnt"), "es")
+          .when(col("de_cnt") > col("en_cnt"), "de")
+          .otherwise("en"))
+      .withColumn("correct", (col("pred_lang") === col("lang")).cast("boolean"))
+      .drop("has_cjk")
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val cnts = LangMarkers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> list_contains([$arr], t))) AS ${lang}_cnt"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSqlExpr AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |  regexp_matches(text, '[一-鿿]') AS has_cjk,
+       |  $cnts
+       |FROM t)
+       |SELECT doc_id, lang, en_cnt, de_cnt, es_cnt, fr_cnt,
+       |  CASE WHEN has_cjk THEN 'zh'
+       |       WHEN fr_cnt > en_cnt AND fr_cnt > de_cnt AND fr_cnt > es_cnt
+       |         THEN 'fr'
+       |       WHEN es_cnt > en_cnt AND es_cnt > de_cnt THEN 'es'
+       |       WHEN de_cnt > en_cnt THEN 'de'
+       |       ELSE 'en' END AS pred_lang,
+       |  (CASE WHEN has_cjk THEN 'zh'
+       |       WHEN fr_cnt > en_cnt AND fr_cnt > de_cnt AND fr_cnt > es_cnt
+       |         THEN 'fr'
+       |       WHEN es_cnt > en_cnt AND es_cnt > de_cnt THEN 'es'
+       |       WHEN de_cnt > en_cnt THEN 'de'
+       |       ELSE 'en' END = lang) AS correct
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** q20: document fingerprinting — full-content md5 plus a
+    * winnowing-style rolling fingerprint: the minimum 60-bit hash over
+    * all word 3-shingles. Two documents sharing any low shingle hash
+    * collide on `min_shingle_hash`, the classic near-dup blocking key. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        expr("transform(sequence(1, size(toks) - 2), i -> " +
+          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2)))").as("shingles"))
+      .select(col("doc_id"), col("content_hash"),
+        size(col("shingles")).as("n_shingles"),
+        array_min(expr(
+          "transform(shingles, sh -> " +
+            "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT))"))
+          .as("min_shingle_hash"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSqlExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id, md5(text) AS content_hash,
+       |  list_transform(generate_series(1, len(toks) - 2), i ->
+       |    concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS shingles
+       |FROM t)
+       |SELECT doc_id, content_hash, len(shingles) AS n_shingles,
+       |  list_min(list_transform(shingles, s ->
+       |    ${Hashing.h60Sql("s")})) AS min_shingle_hash
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** q21: exact deduplication — content-hash groupBy, the first dedup
+    * pass of any corpus pipeline. Per source: total docs, distinct
+    * contents, duplicate count. At 100 TB this is one shuffle on a
+    * 128-bit hash key; the md5 is computed map-side so only (hash,
+    * source) pairs move. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+      .orderBy(col("source"))
+
+  val exactDedupSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dupes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_token_stats" -> (tokenStats _),
+    "q18_doc_quality" -> (docQuality _),
+    "q19_lang_id" -> (langId _),
+    "q20_fingerprint" -> (fingerprint _),
+    "q21_exact_dedup" -> (exactDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q17_token_stats" -> tokenStatsSql,
+    "q18_doc_quality" -> docQualitySql,
+    "q19_lang_id" -> langIdSql,
+    "q20_fingerprint" -> fingerprintSql,
+    "q21_exact_dedup" -> exactDedupSql)
+}

@@ -50,8 +50,8 @@ def main(out_dir, sf_dir):
             fail += 1
             continue
         got_cols = [desc[0] for desc in con.execute(
-            f"SELECT * FROM '{files[0]}' LIMIT 0").description]
-        got = con.execute(f"SELECT * FROM '{files[0]}'").fetchall()
+            f"SELECT * FROM '{d}/*.parquet' LIMIT 0").description]
+        got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchall()
         if name not in oracle:
             print(f"SKIP {name}: rows-only ({len(got)} rows)")
             skip += 1
