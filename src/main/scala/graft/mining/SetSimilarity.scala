@@ -1,0 +1,279 @@
+package graft.mining
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.Hashing
+import graft.ops.Text.{toksExpr, toksSqlExpr}
+
+/** Set-similarity and near-duplicate detection over `documents` — the
+  * dedup core of a training-data pipeline, and the Spark-native
+  * re-expression of the reference's MinHash+LSH self-join
+  * (Assignment3/task1.py:25-99).
+  *
+  * Three scale regimes, all shuffle-based (no driver collect):
+  *  - [[neardupJaccard]]: EXACT all-pairs set-similarity join with
+  *    prefix filtering (AllPairs/PPJoin-style) — the candidate set is
+  *    provably complete, so results equal the brute-force oracle.
+  *  - [[minhashSig]] + [[neardupLsh]]: the reference's banded-minhash
+  *    pipeline with deterministic seeds; every step (hash, signature,
+  *    band, verify) is reproduced bit-for-bit by the DuckDB oracle.
+  *  - [[simhash]]: 32-bit rotation-invariant fingerprints over word
+  *    3-shingles; hamming-≤k pairs via the pigeonhole band join
+  *    ([[simhashPairs]]), exact for k < bands.
+  */
+object SetSimilarity {
+
+  /** Distinct-token sets per document (the similarity universe). */
+  private def tokenSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), array_distinct(expr(toksExpr)).as("ts"))
+
+  private val tokenSetsSql =
+    s"SELECT doc_id, list_distinct($toksSqlExpr) AS ts FROM documents"
+
+  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs. */
+  private def verifyExact(cand: DataFrame, toks: DataFrame, tau: Double)
+  : DataFrame =
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")),
+        "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")),
+        "doc_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------- q22
+  val JaccardTau = 0.95
+
+  /** q22: exact near-duplicate pairs at Jaccard ≥ 0.95 via prefix
+    * filtering. Each set's tokens are ordered by ascending global
+    * document frequency; a pair with J ≥ τ must share a token within the
+    * first n − ⌈τ·n⌉ + 1 of each ordering (since J ≥ τ ⟹ overlap ≥
+    * ⌈τ·max(n_a,n_b)⌉), so joining on prefix tokens loses nothing —
+    * exact results without the O(n²) cross join the reference's LSH was
+    * built to avoid. The token-frequency table is vocabulary-sized
+    * (broadcastable at any corpus scale); the single-partition window
+    * over it is a few hundred rows, not data-sized. */
+  def neardupJaccard(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenSets(s, d)
+    val ranked = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").count()
+      .select(col("tok"), row_number()
+        .over(Window.orderBy(col("count").asc, col("tok").asc)).as("rk"))
+    val prefix = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(broadcast(ranked), "tok")
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(rk, tok))), " +
+        "x -> x.tok)").as("st"))
+      .select(col("doc_id"), expr(
+        s"slice(st, 1, size(st) - CAST(ceil($JaccardTau * size(st)) AS INT) + 1)")
+        .as("prefix"))
+    val pa = prefix.select(col("doc_id").as("doc_a"),
+      explode(col("prefix")).as("tok"))
+    val pb = prefix.select(col("doc_id").as("doc_b"),
+      explode(col("prefix")).as("tok"))
+    val cand = pa.join(pb, "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyExact(cand, toks, JaccardTau)
+  }
+
+  val neardupJaccardSql: String =
+    s"""WITH t AS ($tokenSetsSql),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        len(list_intersect(a.ts, b.ts)) AS inter,
+       |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
+       |      FROM t a JOIN t b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       |FROM p WHERE CAST(inter AS DOUBLE) / uni >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** MinHash parameters — reference parity: 32 hash functions, modulus
+    * 26189 (Assignment3/task1.py:40-42), deterministic seeds instead of
+    * random.randint so the oracle can replay them. */
+  val NumHashes = 32
+  val MinHashMod = 26189L
+  val MinHashSeeds: Seq[(Long, Long)] = Hashing.seeds(NumHashes, salt = 3L)
+
+  /** q23: per-document MinHash signature — sig_i = min over tokens of
+    * (a_i·h(tok) + b_i) mod m. One scan, all 32 mins computed in a single
+    * codegen'd projection (the higher-order-function form of SURVEY.md
+    * A8); no shuffle at all. */
+  private def sigs0(s: SparkSession, d: String): DataFrame = {
+    val sigExprs = MinHashSeeds.map { case (a, b) =>
+      s"array_min(transform(xs, x -> ($a * x + $b) % $MinHashMod))"
+    }.mkString(", ")
+    tokenSets(s, d)
+      .withColumn("xs",
+        expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
+      .select(col("doc_id"), expr(s"array($sigExprs)").as("sig"))
+  }
+
+  def minhashSig(s: SparkSession, d: String): DataFrame =
+    sigs0(s, d).orderBy(col("doc_id"))
+
+  private val minhashSigSqlInner: String = {
+    val sigExprs = MinHashSeeds.map { case (a, b) =>
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % $MinHashMod))"
+    }.mkString(", ")
+    s"""WITH t AS ($tokenSetsSql),
+       |x AS (SELECT doc_id,
+       |        list_transform(ts, t -> ${Hashing.h31Sql("t")}) AS xs
+       |      FROM t)
+       |SELECT doc_id, [$sigExprs] AS sig FROM x""".stripMargin
+  }
+
+  val minhashSigSql: String =
+    s"SELECT * FROM ($minhashSigSqlInner) ORDER BY doc_id"
+
+  // ---------------------------------------------------------------- q24
+  /** LSH banding: 8 bands × 4 rows. Deterministic, so the oracle
+    * replicates the band join exactly — recall loss vs the exact join is
+    * a property both sides share, not a test tolerance. */
+  val LshBands = 8
+  val LshRows = 4
+  val LshVerifyTau = 0.9
+
+  /** q24: banded-LSH near-dup pairs — signature → band buckets →
+    * bucket self-join → exact Jaccard verify ≥ 0.9. The Spark-native
+    * reshape of the reference's split_by_bands + candidate_pair flatMap
+    * (Assignment3/task1.py:64-99): explode to (band#, band-sig) keys,
+    * shuffle groups the buckets, and the verify join replaces the
+    * driver-side dict lookup (Assignment3/task1.py:84-88). */
+  def neardupLsh(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenSets(s, d)
+    val bandStructs = (1 to LshBands).map { i =>
+      val elems = (1 to LshRows)
+        .map(r => s"element_at(sig, ${(i - 1) * LshRows + r}) AS s$r")
+        .mkString(", ")
+      s"named_struct('band', $i, 'key', struct($elems))"
+    }.mkString(", ")
+    val bands = sigs0(s, d)
+      .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyExact(cand, toks, LshVerifyTau)
+  }
+
+  val neardupLshSql: String = {
+    val bandCols = (1 to LshRows)
+      .map(r => s"sig[(i - 1) * $LshRows + $r]").mkString(", ")
+    s"""WITH sigs AS ($minhashSigSqlInner),
+       |t AS ($tokenSetsSql),
+       |bands AS (SELECT doc_id, i, [$bandCols] AS key
+       |          FROM sigs CROSS JOIN
+       |            (SELECT unnest(generate_series(1, $LshBands)) AS i) g),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.i = y.i AND x.key = y.key AND x.doc_id < y.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |        len(list_intersect(a.ts, b.ts)) AS inter,
+       |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
+       |      FROM cand JOIN t a ON a.doc_id = doc_a
+       |                JOIN t b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       |FROM v WHERE CAST(inter AS DOUBLE) / uni >= $LshVerifyTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q25
+  val SimHashBits = 32
+
+  /** Word-3-shingle sets (distinct), the simhash feature universe. */
+  private val shinglesExpr =
+    s"array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
+      "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+      "element_at(toks, i + 2))))"
+  private val shinglesSqlExpr =
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> " +
+      "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
+
+  /** q25: 32-bit SimHash per document over word 3-shingles: bit j is set
+    * when Σ_shingles (±1 by bit j of the shingle hash) ≥ 0. Pure
+    * map-side expression work — no shuffle; at 100 TB this is a linear
+    * scan emitting 4 bytes per doc. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val bitTerms = (0 until SimHashBits).map { j =>
+      s"(CASE WHEN aggregate(xs, 0L, (acc, x) -> acc + " +
+        s"(CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 " +
+        s"THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + ")
+    documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+      .withColumn("xs",
+        expr(s"transform(sh, t -> ${Hashing.h31SparkSql("t")})"))
+      .select(col("doc_id"), expr(bitTerms).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashSqlInner: String = {
+    val bitTerms = (0 until SimHashBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(xs, x -> " +
+        s"CASE WHEN ((x >> $j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSqlExpr AS sh FROM t),
+       |x AS (SELECT doc_id,
+       |        list_transform(sh, s -> ${Hashing.h31Sql("s")}) AS xs
+       |      FROM sh)
+       |SELECT doc_id, $bitTerms AS simhash FROM x""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"SELECT * FROM ($simhashSqlInner) ORDER BY doc_id"
+
+  /** Hamming-≤k pairs over [[simhash]] fingerprints, via the pigeonhole
+    * band join: split 32 bits into k+1 bands — any pair within hamming k
+    * agrees exactly on ≥1 band, so the band equi-join is a complete
+    * candidate generator (exact, not probabilistic). Verify with
+    * bit_count(xor). Not registered as a driver query (the synthetic
+    * corpus has no hamming-close pairs); exercised by SimilaritySpec. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = SimHashBits / nBands
+    val bandExprs = (0 until nBands).map { i =>
+      s"named_struct('band', $i, 'key', " +
+        s"(shiftright(simhash, ${i * width}) & ${(1L << width) - 1}L))"
+    }.mkString(", ")
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(s"array($bandExprs)")).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_neardup_jaccard" -> (neardupJaccard _),
+    "q23_minhash_sig" -> (minhashSig _),
+    "q24_neardup_lsh" -> (neardupLsh _),
+    "q25_simhash" -> (simhash _))
+
+  val oracle: Map[String, String] = Map(
+    "q22_neardup_jaccard" -> neardupJaccardSql,
+    "q23_minhash_sig" -> minhashSigSql,
+    "q24_neardup_lsh" -> neardupLshSql,
+    "q25_simhash" -> simhashSql)
+}
