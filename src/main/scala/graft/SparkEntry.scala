@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Text.queries ++
-      mining.SetSimilarity.queries
+      mining.SetSimilarity.queries ++ mining.VectorSimilarity.queries ++
+      mining.Son.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Text.oracle ++
-      mining.SetSimilarity.oracle
+      mining.SetSimilarity.oracle ++ mining.VectorSimilarity.oracle ++
+      mining.Son.oracle
 }

@@ -1,0 +1,182 @@
+package graft.mining
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
+  *
+  * Two regimes:
+  *  - [[cosineTopK]]: exact brute-force cosine top-k — the correctness
+  *    baseline. All math is codegen'd higher-order functions
+  *    (`zip_with` + `aggregate` dot products), no UDFs. The cross join
+  *    is query-side × corpus-side; at 100 TB you bound the query side
+  *    (it's a top-k *per query*, not all-pairs) and broadcast it, so the
+  *    corpus streams through map-side only — no shuffle of the corpus.
+  *  - [[annHyperplaneLsh]]: the scale path — 16 deterministic ±1
+  *    hyperplanes hash each vector to a 16-bit bucket (sign-random
+  *    projection); candidates = same-bucket vectors, ranked by exact
+  *    cosine. Bucketing is one map-side expression; the join is a hash
+  *    join on bucket id. Deterministic hyperplanes (seeded from the
+  *    portable md5 family) make the whole pipeline oracle-replayable.
+  */
+object VectorSimilarity {
+
+  val Dim = 64
+  val TopK = 3
+  /** Query-side selection: small, explicit, broadcastable. */
+  val QueryPred = "vec_id < 10"
+
+  private val vdExpr = "transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val vdSql =
+    "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), expr(vdExpr).as("vd"))
+      .withColumn("nrm", expr("sqrt(aggregate(vd, 0D, (a, x) -> a + x * x))"))
+
+  // ---------------------------------------------------------------- q26
+  /** q26: exact cosine top-3 neighbors for each query vector. */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val q = base.filter(expr(QueryPred))
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("nid"), col("vd").as("nv"),
+      col("nrm").as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("cos", round(col("dot") / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, $vdSql AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd,
+       |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+       |      FROM e),
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |        round(list_sum(list_transform(generate_series(1, $Dim),
+       |            i -> q.vd[i] * c.vd[i])) / (q.nrm * c.nrm), 6) AS cos
+       |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |      WHERE q.$QueryPred),
+       |r AS (SELECT qid, nid, cos, row_number() OVER
+       |        (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+       |      FROM p)
+       |SELECT qid, rank, nid, cos FROM r WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Multi-table sign-random-projection LSH: 4 tables × 8 hyperplanes.
+    * One 16-bit table left every bucket a singleton on this corpus; L
+    * smaller tables is the standard recall/candidate-count dial (recall
+    * ≈ 1 − (1 − p^8)^4 for bit-agreement probability p). */
+  val NumTables = 4
+  val PlanesPerTable = 8
+
+  /** Deterministic ±1 hyperplane coefficients: bit 0 of
+    * md5("p<table>_<plane>_<dim>") — reproducible in any engine. */
+  lazy val planes: Seq[Seq[Seq[Int]]] =
+    (0 until NumTables).map { t =>
+      (0 until PlanesPerTable).map { j =>
+        (0 until Dim).map { k =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"p${t}_${j}_$k".getBytes("UTF-8"))
+          if ((md(0) & 1) == 1) 1 else -1
+        }
+      }
+    }
+
+  private def bucketExpr(t: Int, arr: String): String =
+    (0 until PlanesPerTable).map { j =>
+      val lits = planes(t)(j).map(v => s"${v}D").mkString(", ")
+      s"(CASE WHEN aggregate(zip_with($arr, array($lits), " +
+        s"(x, s) -> x * s), 0D, (a, x) -> a + x) >= 0 " +
+        s"THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + ")
+
+  private def bucketSql(t: Int, arr: String): String =
+    (0 until PlanesPerTable).map { j =>
+      val lits = planes(t)(j).map(_.toString).mkString(", ")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> $arr[i] * ([$lits])[i])) >= 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** q27: ANN search — hash into all 4 tables map-side, explode to
+    * (table, bucket) keys, equi-join query vs corpus buckets, dedup
+    * candidates, rank by exact cosine, top-3 per query. */
+  def annHyperplaneLsh(s: SparkSession, d: String): DataFrame = {
+    val tableStructs = (0 until NumTables).map { t =>
+      s"named_struct('t', $t, 'bkt', (${bucketExpr(t, "vd")}))"
+    }.mkString(", ")
+    val base = withNorm(s, d)
+      .select(col("vec_id"), col("vd"), col("nrm"),
+        explode(expr(s"array($tableStructs)")).as("tb"))
+      .select(col("vec_id"), col("vd"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val q = base.filter(expr(QueryPred))
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("nrm").as("qn"), col("t"), col("bkt"))
+    val c = base.select(col("vec_id").as("nid"), col("vd").as("nv"),
+      col("nrm").as("nn"), col("t"), col("bkt"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    broadcast(q).join(c, Seq("t", "bkt"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("nid"), col("nv"), col("nn"))
+      .distinct()
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("cos", round(col("dot") / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val annHyperplaneLshSql: String = {
+    val bucketCols = (0 until NumTables)
+      .map(t => s"${bucketSql(t, "vd")} AS b$t").mkString(",\n        ")
+    val tbRows = (0 until NumTables)
+      .map(t => s"SELECT vec_id, vd, nrm, $t AS t, b$t AS bkt FROM n")
+      .mkString("\n        UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, $vdSql AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd,
+       |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm,
+       |        $bucketCols
+       |      FROM e),
+       |tb AS ($tbRows),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |         FROM tb q JOIN tb c
+       |           ON q.t = c.t AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
+       |         WHERE q.$QueryPred),
+       |p AS (SELECT qid, nid,
+       |        round(list_sum(list_transform(generate_series(1, $Dim),
+       |            i -> a.vd[i] * b.vd[i])) / (a.nrm * b.nrm), 6) AS cos
+       |      FROM cand JOIN n a ON a.vec_id = qid
+       |                JOIN n b ON b.vec_id = nid),
+       |r AS (SELECT qid, nid, cos, row_number() OVER
+       |        (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+       |      FROM p)
+       |SELECT qid, rank, nid, cos FROM r WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_cosine_topk" -> (cosineTopK _),
+    "q27_ann_lsh" -> (annHyperplaneLsh _))
+
+  val oracle: Map[String, String] = Map(
+    "q26_cosine_topk" -> cosineTopKSql,
+    "q27_ann_lsh" -> annHyperplaneLshSql)
+}
