@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Event-time window aggregations over `events` — the batch forms of the
+  * reference's DStream windowing (Assignment6/task2.py:87-88). The same
+  * aggregation bodies are reused by graft.streaming on a readStream
+  * source (window() + watermark); batch runs here give them a DuckDB
+  * oracle, streaming runs give them the micro-batch semantics.
+  *
+  * Scale: window() is a map-side bucket assignment (sliding windows emit
+  * windowDuration/slideDuration rows per event) followed by a standard
+  * partial+final aggregation — one shuffle on (window, keys).
+  */
+object Windows {
+
+  /** q31: tumbling 1-hour windows — events, distinct users, avg value
+    * per window per event type. */
+  def hourlyWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        // Sum in DECIMAL so the aggregate is order-independent — float
+        // summation order differs across engines and can flip the
+        // rounding boundary (it did, at 4 decimals, on this data).
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("avg_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val hourlyWindowSql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(*), 4) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q32: sliding windows, 30 s length / 10 s slide (reference window
+    * parameters, Assignment6/task2.py:88): per-window distinct users —
+    * the exact ground-truth side of the FM comparison (ST3). Each event
+    * lands in exactly windowDuration/slideDuration = 3 windows. To keep
+    * the result driver-checkable it is restricted to the first day. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      .groupBy(window(col("ts"), "30 seconds", "10 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("window_start"))
+
+  val slidingWindowSql: String =
+    """WITH e AS (
+      |  SELECT ts, user_id,
+      |    CAST(to_timestamp((CAST(floor(epoch(ts) / 10) AS BIGINT) - k) * 10)
+      |      AS TIMESTAMP) AS window_start
+      |  FROM events
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) g
+      |  WHERE ts < TIMESTAMP '2024-01-02')
+      |SELECT window_start, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_hourly_window" -> (hourlyWindow _),
+    "q32_sliding_window" -> (slidingWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "q31_hourly_window" -> hourlyWindowSql,
+    "q32_sliding_window" -> slidingWindowSql)
+}

@@ -1,0 +1,161 @@
+package graft.sketch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Hashing
+
+/** Probabilistic sketches as relational dataflows — Bloom membership
+  * (Assignment6/task1.py) and Flajolet–Martin distinct counting
+  * (Assignment6/task2.py:33-68), re-expressed so the whole sketch
+  * build/probe/estimate is distributed (shuffle + partial aggregation,
+  * no driver collect — the reference ran FM on a collect()ed window).
+  *
+  * Determinism: the reference drew random hash coefficients; here the
+  * family is the seeded portable md5 family ([[graft.functions.Hashing]])
+  * so the DuckDB oracle replays every bit/trailing-zero/median step.
+  *
+  * Scale: the Bloom build side reduces to ≤ m distinct positions
+  * (broadcastable regardless of corpus size); FM state is 40 maxima per
+  * group key — both sketches are algebraic aggregations, which is
+  * exactly why they stream (see graft.streaming).
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- q29
+  /** Reference parity: 6 hash functions, m = 7000
+    * (Assignment6/task1.py:45-47). */
+  val BloomM = 7000L
+  val BloomK = 6
+  val BloomSeeds: Seq[(Long, Long)] = Hashing.seeds(BloomK, salt = 29L)
+
+  private def bloomPosArr(e: String): String =
+    "array(" + BloomSeeds.map { case (a, b) =>
+      s"($a * ${Hashing.h31SparkSql(e)} + $b) % $BloomM"
+    }.mkString(", ") + ")"
+
+  private def bloomPosList(e: String): String =
+    "[" + BloomSeeds.map { case (a, b) =>
+      s"($a * ${Hashing.h31Sql(e)} + $b) % $BloomM"
+    }.mkString(", ") + "]"
+
+  /** q29: Bloom filter build + probe, fully relational. Train = part
+    * types with p_size ≤ 15; probe = every distinct part type. The
+    * "filter" is the distinct set of bit positions (≤ m rows —
+    * broadcastable at any scale); a probe value is predicted present iff
+    * all k of its positions exist. `actual` comes from a real semi-join,
+    * so the output exhibits the sketch's one-sided error: false
+    * positives possible, false negatives impossible (asserted in
+    * SketchSpec). */
+  def bloomMembership(s: SparkSession, d: String): DataFrame = {
+    val train = part(s, d).filter(col("p_size") <= 15)
+      .select(col("p_type")).distinct()
+    val probe = part(s, d).select(col("p_type")).distinct()
+    val positions = train
+      .select(explode(expr(bloomPosArr("p_type"))).as("pos"))
+      .distinct()
+    val probed = probe
+      .select(col("p_type"), explode(expr(bloomPosArr("p_type"))).as("pos"))
+      .join(broadcast(positions.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("p_type"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0))))
+        .as("predicted"))
+    val actual = train.withColumn("actual", lit(true))
+    probed.join(actual, Seq("p_type"), "left")
+      .withColumn("actual", coalesce(col("actual"), lit(false)))
+      .select(col("p_type"), col("predicted"), col("actual"))
+      .orderBy(col("p_type"))
+  }
+
+  val bloomMembershipSql: String =
+    s"""WITH train AS MATERIALIZED (
+       |  SELECT DISTINCT p_type FROM part WHERE p_size <= 15),
+       |probe AS MATERIALIZED (SELECT DISTINCT p_type FROM part),
+       |positions AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(${bloomPosList("p_type")}) AS pos FROM train),
+       |ph AS (SELECT p_type, unnest(${bloomPosList("p_type")}) AS pos
+       |       FROM probe),
+       |probed AS (
+       |  SELECT ph.p_type, count(po.pos) = $BloomK AS predicted
+       |  FROM ph LEFT JOIN positions po ON ph.pos = po.pos
+       |  GROUP BY ph.p_type)
+       |SELECT pr.p_type, pr.predicted,
+       |  (t.p_type IS NOT NULL) AS actual
+       |FROM probed pr LEFT JOIN train t ON pr.p_type = t.p_type
+       |ORDER BY pr.p_type""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Reference parity: 40 hash functions, modulus 500, 10 groups,
+    * mean-per-group then median-of-means (Assignment6/task2.py:22-25,
+    * 59-68); r(0) = 1 replicates the bin-string quirk at :29-30. */
+  val FmHashes = 40
+  val FmMod = 500L
+  val FmGroups = 10
+  val FmSeeds: Seq[(Long, Long)] = Hashing.seeds(FmHashes, salt = 62L)
+
+  /** q30: per-event-type FM distinct-user estimate vs exact count.
+    * Dataflow: distinct (type, user) → explode 40 hashed trailing-zero
+    * ranks map-side → max per (type, hash) [partial agg] → mean per
+    * group of 4 → median of the 10 group means. Every step is an
+    * algebraic aggregate — the distributed form of the reference's
+    * driver-side numpy loop. */
+  def fmDistinct(s: SparkSession, d: String): DataFrame = {
+    val rankStructs = FmSeeds.zipWithIndex.map { case ((a, b), i) =>
+      val v = s"(($a * x31 + $b) % $FmMod)"
+      s"named_struct('i', $i, 'r', CASE WHEN $v = 0 THEN 1 ELSE " +
+        s"CAST(floor(log2($v & -$v)) AS INT) END)"
+    }.mkString(", ")
+    val exact = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val ranks = events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("x31", expr(Hashing.h31SparkSql("user_id")))
+      .select(col("event_type"),
+        explode(expr(s"array($rankStructs)")).as("h"))
+      .groupBy(col("event_type"), col("h.i").as("i"))
+      .agg(max(col("h.r")).as("rmax"))
+      .groupBy(col("event_type"),
+        floor(col("i") / lit(FmHashes / FmGroups)).cast("int").as("grp"))
+      .agg(avg(pow(lit(2.0), col("rmax"))).as("grp_mean"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(grp_mean, 0.5)"), 2).as("fm_estimate"))
+    exact.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"), col("fm_estimate"))
+      .orderBy(col("event_type"))
+  }
+
+  val fmDistinctSql: String = {
+    val rankRows = FmSeeds.zipWithIndex.map { case ((a, b), i) =>
+      val v = s"(($a * x31 + $b) % $FmMod)"
+      s"SELECT event_type, $i AS i, CASE WHEN $v = 0 THEN 1 ELSE " +
+        s"CAST(floor(log2($v & -$v)) AS INT) END AS r FROM du"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH du AS MATERIALIZED (
+       |  SELECT event_type, ${Hashing.h31Sql("user_id")} AS x31
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+       |ranks AS ($rankRows),
+       |rmaxes AS (SELECT event_type, i, max(r) AS rmax
+       |           FROM ranks GROUP BY 1, 2),
+       |grp_means AS (SELECT event_type,
+       |    CAST(floor(i / ${FmHashes / FmGroups}.0) AS INT) AS grp,
+       |    avg(power(2.0, rmax)) AS grp_mean
+       |  FROM rmaxes GROUP BY 1, 2),
+       |est AS (SELECT event_type, round(median(grp_mean), 2) AS fm_estimate
+       |        FROM grp_means GROUP BY 1),
+       |exact AS (SELECT event_type,
+       |    count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, e.exact_distinct, s.fm_estimate
+       |FROM exact e JOIN est s ON e.event_type = s.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_bloom" -> (bloomMembership _),
+    "q30_fm_distinct" -> (fmDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q29_bloom" -> bloomMembershipSql,
+    "q30_fm_distinct" -> fmDistinctSql)
+}
