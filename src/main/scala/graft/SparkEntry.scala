@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Text.queries ++
       mining.SetSimilarity.queries ++ mining.VectorSimilarity.queries ++
-      mining.Son.queries ++ sketch.Sketches.queries ++ ops.Windows.queries
+      mining.Son.queries ++ sketch.Sketches.queries ++ ops.Windows.queries ++
+      graph.Graphs.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Text.oracle ++
       mining.SetSimilarity.oracle ++ mining.VectorSimilarity.oracle ++
-      mining.Son.oracle ++ sketch.Sketches.oracle ++ ops.Windows.oracle
+      mining.Son.oracle ++ sketch.Sketches.oracle ++ ops.Windows.oracle ++
+      graph.Graphs.oracle
 }

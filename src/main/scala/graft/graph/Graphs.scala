@@ -1,0 +1,227 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Graph analytics over the co-purchase graph — the Spark-native form of
+  * the reference's co-review graph (Assignment4/task1.py:28-60):
+  * customers are vertices; an undirected edge joins two customers whose
+  * distinct purchased-part sets overlap by ≥ threshold.
+  *
+  * The edge build is the J2 shape done right: explode to (custkey,
+  * partkey), self-equi-join on partkey, count per pair — a shuffle join,
+  * never the reference's O(V²) driver loop (task1.py:32-47). At 100 TB
+  * the join keys are parts (bounded fan-out per part via AQE skew
+  * handling); everything downstream operates on the edge list, which is
+  * orders of magnitude smaller than the input.
+  *
+  * LPA and connected components are synchronous join-iterations with
+  * explicit deterministic tie-breaks (count desc, label asc) — unlike
+  * library LPA implementations whose hash-order ties defeat replay. The
+  * DuckDB oracle replays LPA exactly (unrolled iterations) and CC via a
+  * recursive CTE, so even the iterative graph operators are
+  * hash-verified, not rows-only.
+  */
+object Graphs {
+
+  /** Full-graph edge threshold (shared distinct parts). */
+  val EdgeThreshold = 5
+  /** Subgraph: nations < 5, threshold 4 — the bounded graph for
+    * triangle/LPA/CC queries (306 nodes / ~650 edges at sf0.01). */
+  val SubNations = 5
+  val SubThreshold = 4
+  val LpaIters = 5
+
+  /** Distinct (custkey, partkey) purchases, optionally nation-bounded. */
+  private def custParts(s: SparkSession, d: String, sub: Boolean)
+  : DataFrame = {
+    val base = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+    val bounded = if (sub)
+      base.join(
+        broadcast(customer(s, d).filter(col("c_nationkey") < SubNations)
+          .select(col("c_custkey").as("ck"))), Seq("ck"))
+    else base
+    bounded.distinct()
+  }
+
+  /** Canonical undirected edges (src < dst). */
+  def edges(s: SparkSession, d: String, sub: Boolean, thr: Int): DataFrame = {
+    val cp = custParts(s, d, sub)
+    cp.select(col("ck").as("src"), col("pk"))
+      .join(cp.select(col("ck").as("dst"), col("pk")), Seq("pk"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= thr)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Both-direction edges (neighbor expansion). */
+  private def undirected(ed: DataFrame): DataFrame =
+    ed.select(col("src"), col("dst"))
+      .unionByName(ed.select(col("dst").as("src"), col("src").as("dst")))
+
+  private def cpSql(sub: Boolean): String = {
+    val where = if (sub)
+      s"""WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |    WHERE c_nationkey < $SubNations)""".stripMargin
+    else ""
+    s"""cp AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  $where),""".stripMargin
+  }
+
+  private def edgesSql(sub: Boolean, thr: Int): String =
+    s"""${cpSql(sub)}
+       |ed AS MATERIALIZED (
+       |  SELECT a.ck AS src, b.ck AS dst
+       |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
+       |  GROUP BY 1, 2 HAVING count(*) >= $thr),
+       |ue AS MATERIALIZED (
+       |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** q33: degree histogram of the full co-purchase graph — (degree,
+    * n_customers). The heavy edge build runs over all customers; the
+    * result is histogram-sized regardless of scale. */
+  def degreeHist(s: SparkSession, d: String): DataFrame =
+    undirected(edges(s, d, sub = false, EdgeThreshold))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("degree"))
+
+  val degreeHistSql: String =
+    s"""WITH ${edgesSql(sub = false, EdgeThreshold)},
+       |deg AS (SELECT src, count(*) AS degree FROM ue GROUP BY 1)
+       |SELECT degree, count(*) AS n_customers
+       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** q34: triangle count on the bounded subgraph — canonical-edge 3-way
+    * self-join (a<b<c counts each triangle once). */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val ed = edges(s, d, sub = true, SubThreshold)
+    val e1 = ed.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = ed.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = ed.select(col("src").as("a"), col("dst").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH ${edgesSql(sub = true, SubThreshold)}
+       |SELECT count(*) AS n_triangles
+       |FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
+       |           JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** q35: Label Propagation communities, 5 synchronous iterations
+    * (reference maxIter = 5, Assignment4/task1.py:64-65), deterministic
+    * tie-break (highest neighbor-label count, then smallest label).
+    * Each iteration: edge join → (node, label) counts → per-node argmax
+    * — two shuffles per iteration on edge-sized data. */
+  def lpa(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint truncates the lineage each round — without it the
+    // logical plan compounds per iteration and analysis time explodes.
+    // (On a cluster you'd use reliable checkpoint() to survive executor
+    // loss; local mode has no such failure domain.)
+    val ue = undirected(edges(s, d, sub = true, SubThreshold))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    var labels = ue.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to LpaIters) {
+      labels = ue
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.orderBy(col("node"))
+  }
+
+  val lpaSql: String = {
+    val iters = (1 to LpaIters).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.src AS node, l.lbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |    FROM ue e JOIN $prev l ON l.node = e.dst
+         |    GROUP BY e.src, l.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(sub = true, SubThreshold)},
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ue),
+       |$iters
+       |SELECT node, lbl FROM l$LpaIters ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** q36: connected components by synchronous min-label propagation to
+    * convergence (driver checks the change count — a scalar, not data).
+    * Output: component label (min member id) and size. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    // labels is referenced twice per round (min-propagation + change
+    // count) — localCheckpoint keeps the plan constant-size; without it
+    // the logical tree doubles per iteration (exponential analysis).
+    val ue = undirected(edges(s, d, sub = true, SubThreshold))
+      .localCheckpoint()
+    var labels = ue.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val next = ue
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nlbl")).as("minNbr"))
+        .join(labels, Seq("node"))
+        .select(col("node"), least(col("lbl"), col("minNbr")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("csize"))
+      .orderBy(col("component"))
+  }
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE ${edgesSql(sub = true, SubThreshold)},
+       |r AS (
+       |  SELECT src AS node, src AS lbl FROM ue
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM r JOIN ue e ON e.dst = r.node),
+       |comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node)
+       |SELECT component, count(*) AS csize
+       |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_degree_hist" -> (degreeHist _),
+    "q34_triangles" -> (triangles _),
+    "q35_lpa" -> (lpa _),
+    "q36_components" -> (components _))
+
+  val oracle: Map[String, String] = Map(
+    "q33_degree_hist" -> degreeHistSql,
+    "q34_triangles" -> trianglesSql,
+    "q35_lpa" -> lpaSql,
+    "q36_components" -> componentsSql)
+}
