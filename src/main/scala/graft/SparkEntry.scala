@@ -10,7 +10,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Text.queries ++
       mining.SetSimilarity.queries ++ mining.VectorSimilarity.queries ++
       mining.Son.queries ++ sketch.Sketches.queries ++ ops.Windows.queries ++
-      graph.Graphs.queries
+      graph.Graphs.queries ++ graph.GirvanNewman.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

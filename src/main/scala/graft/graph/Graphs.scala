@@ -35,22 +35,22 @@ object Graphs {
   val LpaIters = 5
 
   /** Distinct (custkey, partkey) purchases, optionally nation-bounded. */
-  private def custParts(s: SparkSession, d: String, sub: Boolean)
+  private def custParts(s: SparkSession, d: String, maxNation: Option[Int])
   : DataFrame = {
     val base = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
-    val bounded = if (sub)
+    val bounded = maxNation.fold(base)(n =>
       base.join(
-        broadcast(customer(s, d).filter(col("c_nationkey") < SubNations)
-          .select(col("c_custkey").as("ck"))), Seq("ck"))
-    else base
+        broadcast(customer(s, d).filter(col("c_nationkey") < n)
+          .select(col("c_custkey").as("ck"))), Seq("ck")))
     bounded.distinct()
   }
 
   /** Canonical undirected edges (src < dst). */
-  def edges(s: SparkSession, d: String, sub: Boolean, thr: Int): DataFrame = {
-    val cp = custParts(s, d, sub)
+  def edges(s: SparkSession, d: String, maxNation: Option[Int], thr: Int)
+  : DataFrame = {
+    val cp = custParts(s, d, maxNation)
     cp.select(col("ck").as("src"), col("pk"))
       .join(cp.select(col("ck").as("dst"), col("pk")), Seq("pk"))
       .filter(col("src") < col("dst"))
@@ -90,7 +90,7 @@ object Graphs {
     * n_customers). The heavy edge build runs over all customers; the
     * result is histogram-sized regardless of scale. */
   def degreeHist(s: SparkSession, d: String): DataFrame =
-    undirected(edges(s, d, sub = false, EdgeThreshold))
+    undirected(edges(s, d, None, EdgeThreshold))
       .groupBy(col("src"))
       .agg(count(lit(1)).as("degree"))
       .groupBy(col("degree"))
@@ -107,7 +107,7 @@ object Graphs {
   /** q34: triangle count on the bounded subgraph — canonical-edge 3-way
     * self-join (a<b<c counts each triangle once). */
   def triangles(s: SparkSession, d: String): DataFrame = {
-    val ed = edges(s, d, sub = true, SubThreshold)
+    val ed = edges(s, d, Some(SubNations), SubThreshold)
     val e1 = ed.select(col("src").as("a"), col("dst").as("b"))
     val e2 = ed.select(col("src").as("b"), col("dst").as("c"))
     val e3 = ed.select(col("src").as("a"), col("dst").as("c"))
@@ -132,7 +132,7 @@ object Graphs {
     // logical plan compounds per iteration and analysis time explodes.
     // (On a cluster you'd use reliable checkpoint() to survive executor
     // loss; local mode has no such failure domain.)
-    val ue = undirected(edges(s, d, sub = true, SubThreshold))
+    val ue = undirected(edges(s, d, Some(SubNations), SubThreshold))
       .localCheckpoint()
     val w = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("lbl").asc)
@@ -177,7 +177,7 @@ object Graphs {
     // labels is referenced twice per round (min-propagation + change
     // count) — localCheckpoint keeps the plan constant-size; without it
     // the logical tree doubles per iteration (exponential analysis).
-    val ue = undirected(edges(s, d, sub = true, SubThreshold))
+    val ue = undirected(edges(s, d, Some(SubNations), SubThreshold))
       .localCheckpoint()
     var labels = ue.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
