@@ -10,12 +10,15 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Text.queries ++
       mining.SetSimilarity.queries ++ mining.VectorSimilarity.queries ++
       mining.Son.queries ++ sketch.Sketches.queries ++ ops.Windows.queries ++
-      graph.Graphs.queries ++ graph.GirvanNewman.queries
+      graph.Graphs.queries ++ graph.GirvanNewman.queries ++
+      cluster.KMeans.queries ++ cluster.Bfr.queries ++
+      multimodal.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Text.oracle ++
       mining.SetSimilarity.oracle ++ mining.VectorSimilarity.oracle ++
       mining.Son.oracle ++ sketch.Sketches.oracle ++ ops.Windows.oracle ++
-      graph.Graphs.oracle
+      graph.Graphs.oracle ++ cluster.KMeans.oracle ++
+      multimodal.Multimodal.oracle
 }

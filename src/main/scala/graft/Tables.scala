@@ -27,8 +27,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // Prefer setting this at session build (Verify/Bench/tests do); kept
     // here as a defensive fallback for externally-created sessions. Same
-    // value everywhere, so re-setting is idempotent.
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    // value everywhere, so re-setting is idempotent. NB: getOption
+    // returns the conf's DEFAULT ("false") when unset, so test against
+    // the value, not presence.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}

@@ -1,0 +1,245 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** BFR (Bradley–Fayyad–Reina) chunked clustering — the reference's
+  * Assignment5/bfr.py DS/CS/RS loop on Spark.
+  *
+  * Semantics kept from the reference:
+  *  - cluster summaries are N/SUM/SUMSQ sufficient statistics
+  *    (bfr.py:103-113), merged commutatively;
+  *  - Mahalanobis threshold α·√d with α = 2 (bfr.py:136-137);
+  *  - σ = 0 → divide by 1 (bfr.py:144-147);
+  *  - CS cluster ids offset by +100 (bfr.py:222-223);
+  *  - final outliers are the surviving RS points, labeled −1
+  *    (bfr.py:443-444).
+  *
+  * Spark shape: the data never lands on the driver — each chunk is
+  * assigned map-side against broadcast summaries ([[StatsAgg]], a typed
+  * `Aggregator`, reduces per-cluster deltas in one shuffle); only
+  * summaries (k×d stats) and the RS set (bounded by construction: RS
+  * holds only points no summary absorbs, re-clustered every chunk) reach
+  * the driver. Chunking emulates the reference's one-file-per-round scan
+  * (S4) via vec_id ranges.
+  */
+object Bfr {
+
+  val Dim = 64
+  val K = 10
+  val Alpha = 2.0
+  val NumChunks = 5
+  val CsIdOffset = 100
+
+  case class CStats(n: Long, sum: Array[Double], sumsq: Array[Double]) {
+    def add(p: Array[Double]): CStats = {
+      val s2 = sum.clone(); val q2 = sumsq.clone()
+      var i = 0
+      while (i < p.length) { s2(i) += p(i); q2(i) += p(i) * p(i); i += 1 }
+      CStats(n + 1, s2, q2)
+    }
+    def merge(o: CStats): CStats =
+      CStats(n + o.n,
+        sum.zip(o.sum).map { case (a, b) => a + b },
+        sumsq.zip(o.sumsq).map { case (a, b) => a + b })
+    def centroid: Array[Double] = sum.map(_ / n)
+    /** Per-dim stddev; σ = 0 (or negative variance from fp noise) → 1,
+      * the reference's divide-by-1 quirk. */
+    def sigma: Array[Double] = {
+      val c = centroid
+      sumsq.indices.map { i =>
+        val v = sumsq(i) / n - c(i) * c(i)
+        if (v <= 0) 1.0 else math.sqrt(v)
+      }.toArray
+    }
+    def mahalanobis(p: Array[Double]): Double = {
+      val c = centroid; val sg = sigma
+      var acc = 0.0; var i = 0
+      while (i < p.length) {
+        val z = (p(i) - c(i)) / sg(i); acc += z * z; i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  /** Typed Aggregator producing N/SUM/SUMSQ per group (SURVEY A10) —
+    * partial aggregation + commutative merge, so stats never require
+    * materializing member lists (the reference's reduceByKey list-concat
+    * anti-pattern, bfr.py:70-73). */
+  object StatsAgg extends Aggregator[Array[Double], CStats, CStats] {
+    def zero: CStats =
+      CStats(0L, Array.fill(Dim)(0.0), Array.fill(Dim)(0.0))
+    def reduce(b: CStats, a: Array[Double]): CStats = b.add(a)
+    def merge(b1: CStats, b2: CStats): CStats = b1.merge(b2)
+    def finish(r: CStats): CStats = r
+    def bufferEncoder: Encoder[CStats] = Encoders.product[CStats]
+    def outputEncoder: Encoder[CStats] = Encoders.product[CStats]
+  }
+
+  private val thresh = Alpha * math.sqrt(Dim)
+
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+    acc
+  }
+
+  /** Deterministic farthest-first seeding (k-means++ without the RNG:
+    * smallest vec_id first, then repeatedly the point farthest from its
+    * nearest seed, ties to smaller id). First-k-ids seeding let one seed
+    * own a whole region and its inflated σ then swallowed every later
+    * chunk — farthest-first spreads the seeds. */
+  private[cluster] def farthestFirstSeeds(
+      pts: Seq[(Long, Array[Double])], k: Int): Seq[Array[Double]] = {
+    val sorted = pts.sortBy(_._1)
+    var seeds = Vector(sorted.head._2)
+    while (seeds.size < math.min(k, sorted.size)) {
+      val next = sorted.maxBy { case (id, p) =>
+        (seeds.map(c => d2(p, c)).min, -id)
+      }
+      seeds :+= next._2
+    }
+    seeds
+  }
+
+  /** Driver-local Lloyd for RS re-clustering (RS is bounded small). */
+  private def localKMeans(pts: Seq[(Long, Array[Double])], k: Int,
+      iters: Int = 5): Map[Long, Int] = {
+    if (pts.isEmpty) return Map.empty
+    var cents: Seq[Array[Double]] = farthestFirstSeeds(pts, k)
+    def nearest(p: Array[Double]): Int =
+      cents.indices.minBy { i =>
+        var acc = 0.0; var j = 0
+        while (j < p.length) {
+          val dd = p(j) - cents(i)(j); acc += dd * dd; j += 1
+        }
+        (acc, i)
+      }
+    for (_ <- 1 to iters) {
+      val asg = pts.map { case (id, p) => (nearest(p), p) }
+      cents = cents.indices.map { i =>
+        val mine = asg.filter(_._1 == i).map(_._2)
+        if (mine.isEmpty) cents(i)
+        else {
+          val m = new Array[Double](Dim)
+          mine.foreach(p => (0 until Dim).foreach(j => m(j) += p(j)))
+          m.map(_ / mine.size)
+        }
+      }.toSeq
+    }
+    pts.map { case (id, p) => id -> nearest(p) }.toMap
+  }
+
+  /** Run BFR; returns (assignments DataFrame (vec_id, cluster),
+    * DS/CS stats). Clusters: 0..K-1 = DS, ≥ 100 = CS, −1 = outlier. */
+  def run(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = KMeans.points(s, d)
+      .select(col("vec_id"), col("vd")).as[(Long, Array[Double])]
+      .localCheckpoint()
+    val total = pts.count()
+    val chunkSz = math.max(1L, (total + NumChunks - 1) / NumChunks)
+
+    // Round 1: K-Means on chunk 0 initializes DS. (chunk 0 is collected
+    // once — it is the init sample, the one intentional driver load.)
+    val chunk0 = pts.filter(col("vec_id") < chunkSz).collect().toSeq
+    val init = localKMeans(chunk0, K)
+    var ds: Map[Int, CStats] = chunk0
+      .groupBy { case (id, _) => init(id) }
+      .map { case (cid, ps) =>
+        cid -> ps.foldLeft(StatsAgg.zero)((b, p) => b.add(p._2))
+      }
+    var cs: Map[Int, CStats] = Map.empty
+    var rs: Seq[(Long, Array[Double])] = Seq.empty
+    var assignments: DataFrame = chunk0
+      .map { case (id, _) => (id, init(id)) }.toDF("vec_id", "cluster")
+
+    for (chunk <- 1 until NumChunks) {
+      val lo = chunk * chunkSz; val hi = math.min(total, lo + chunkSz)
+      val part = pts.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val bcDs = s.sparkContext.broadcast(ds)
+      val bcCs = s.sparkContext.broadcast(cs)
+      // Map-side primary/secondary assignment (DS first, then CS).
+      val tagged = part.map { case (id, p) =>
+        val dsBest = bcDs.value.map { case (c, st) =>
+          (st.mahalanobis(p), c) }.minOption.getOrElse((Double.MaxValue, -1))
+        if (dsBest._1 < thresh) (id, p, dsBest._2)
+        else {
+          val csBest = bcCs.value.map { case (c, st) =>
+            (st.mahalanobis(p), c) }.minOption.getOrElse((Double.MaxValue, -1))
+          if (csBest._1 < thresh) (id, p, csBest._2) else (id, p, -1)
+        }
+      }.localCheckpoint()
+      // Stats deltas via the typed Aggregator — one shuffle.
+      val deltas = tagged.filter(_._3 >= 0)
+        .map { case (_, p, c) => (c, p) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(StatsAgg.toColumn.name("st"))
+        .collect()
+      deltas.foreach { case (c, st) =>
+        if (c >= CsIdOffset) cs = cs.updated(c, cs(c).merge(st))
+        else ds = ds.updated(c, ds(c).merge(st))
+      }
+      assignments = assignments.unionByName(
+        tagged.filter(_._3 >= 0).map { case (id, _, c) => (id, c) }
+          .toDF("vec_id", "cluster"))
+      // RS grows by the unassigned; re-cluster RS into CS candidates.
+      rs = rs ++ tagged.filter(_._3 == -1)
+        .map { case (id, p, _) => (id, p) }.collect().toSeq
+      if (rs.size > 2 * K) {
+        val asg = localKMeans(rs, math.max(K, rs.size / 2))
+        val groups = rs.groupBy { case (id, _) => asg(id) }
+        val (multi, single) = groups.partition(_._2.size > 1)
+        val nextCsId = (cs.keys ++ Seq(CsIdOffset - 1)).max + 1
+        multi.values.zipWithIndex.foreach { case (ps, i) =>
+          cs = cs.updated(nextCsId + i,
+            ps.foldLeft(StatsAgg.zero)((b, p) => b.add(p._2)))
+          assignments = assignments.unionByName(
+            ps.map { case (id, _) => (id, nextCsId + i) }
+              .toDF("vec_id", "cluster"))
+        }
+        rs = single.values.flatten.toSeq
+      }
+      // Merge CS clusters whose centroids fall within each other's
+      // Mahalanobis threshold.
+      var merged = true
+      while (merged && cs.size > 1) {
+        merged = false
+        val ids = cs.keys.toSeq.sorted
+        val pairs = for (i <- ids; j <- ids if i < j) yield (i, j)
+        pairs.find { case (i, j) =>
+          cs(i).mahalanobis(cs(j).centroid) < thresh ||
+            cs(j).mahalanobis(cs(i).centroid) < thresh
+        } match {
+          case Some((i, j)) =>
+            cs = cs.updated(i, cs(i).merge(cs(j))) - j
+            assignments = assignments.withColumn("cluster",
+              when(col("cluster") === j, i).otherwise(col("cluster")))
+            merged = true
+          case None => ()
+        }
+      }
+      assignments = assignments.localCheckpoint()
+    }
+    // Final: surviving RS points are outliers (−1).
+    val outliers = rs.map { case (id, _) => (id, -1) }
+      .toDF("vec_id", "cluster")
+    assignments.unionByName(outliers)
+  }
+
+  /** q41: BFR cluster sizes — DS 0..9, CS ≥ 100, outliers −1.
+    * Rows-only; ClusterSpec asserts DS NMI vs the planted labels. */
+  def bfrClusters(s: SparkSession, d: String): DataFrame =
+    run(s, d)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+      .orderBy(col("cluster"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_bfr" -> (bfrClusters _))
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,135 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** K-Means over `embeddings` (64-d float vectors, 10 planted labels).
+  *
+  * Deterministic throughout: init centroids are the k smallest vec_ids
+  * (RNG parity with the reference's random.sample is impossible across
+  * runtimes — correctness is judged by NMI, the reference's own grading
+  * metric, in ClusterSpec; SURVEY §5).
+  *
+  * Dataflow per Lloyd iteration: centroids (k×d doubles — a summary)
+  * broadcast to a map-side nearest-centroid assignment; new centroids =
+  * per-(cluster, dim) means via posexplode + one shuffle. The only
+  * driver data is the k×d centroid matrix — the classic scalable
+  * K-Means shape.
+  */
+object KMeans {
+
+  val K = 10
+  val Dim = 64
+  val LloydIters = 5
+
+  private val vdExpr = "transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val vdSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  def points(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), expr(vdExpr).as("vd"))
+
+  /** Nearest-centroid assignment against a literal centroid matrix —
+    * pure map-side codegen'd expressions, no shuffle. */
+  private def assignExpr(centroids: Seq[(Int, Array[Double])]): String = {
+    // struct array (cid, dist2); argmin by (dist2, cid) via array_sort
+    val structs = centroids.map { case (cid, c) =>
+      val lits = c.map(v => s"${v}D").mkString(", ")
+      s"named_struct('dist2', aggregate(zip_with(vd, array($lits), " +
+        s"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 'cid', $cid)"
+    }.mkString(", ")
+    s"array_sort(array($structs))[0]"
+  }
+
+  /** q39: one Lloyd assignment step from the deterministic init
+    * (centroids = vectors with the K smallest vec_ids): every point to
+    * its nearest centroid; per-centroid count and mean distance². The
+    * SQL-checkable kernel of the iterative algorithm. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val cents = points(s, d).filter(col("vec_id") < K)
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    points(s, d)
+      .withColumn("a", expr(assignExpr(cents)))
+      .select(col("vec_id"), col("a.cid").as("centroid_id"),
+        col("a.dist2").as("dist2"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(round(col("dist2"), 6).cast("decimal(24,6)"))
+          .cast("double") / count(lit(1)), 4).as("avg_dist2"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val kmeansAssignSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, $vdSql AS vd FROM embeddings),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id AS cid, vd AS cv FROM e WHERE vec_id < $K),
+       |dist AS (SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, $Dim),
+       |      i -> (e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i]))) AS dist2
+       |  FROM e CROSS JOIN c),
+       |a AS (SELECT vec_id, cid, dist2, row_number() OVER
+       |        (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+       |      FROM dist)
+       |SELECT cid AS centroid_id, count(*) AS n_assigned,
+       |  round(CAST(sum(CAST(round(dist2, 6) AS DECIMAL(24,6))) AS DOUBLE)
+       |        / count(*), 4) AS avg_dist2
+       |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Lloyd's algorithm over an arbitrary (vec_id, vd) points frame —
+    * init = the k rows with smallest vec_id. Dimension is read from the
+    * data. Returns (vec_id, cluster). */
+  def lloydOn(ptsIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    val pts = ptsIn.localCheckpoint()
+    var cents = pts.orderBy(col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val dim = cents.head._2.length
+    for (_ <- 1 to iters) {
+      val assigned = pts.withColumn("a", expr(assignExpr(cents)))
+        .select(col("vec_id"), col("a.cid").as("cid"), col("vd"))
+      // new centroids: per-(cluster, dim) means — one shuffle of
+      // (cid, dim, component) triples, k×d result to the driver.
+      val next = assigned
+        .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cid"))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+          (cid, arr)
+        }.toSeq.sortBy(_._1)
+      // empty clusters keep their previous centroid
+      val byId = next.toMap
+      cents = cents.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
+    }
+    pts.withColumn("a", expr(assignExpr(cents)))
+      .select(col("vec_id"), col("a.cid").as("cluster"))
+  }
+
+  /** Run Lloyd's algorithm on `embeddings`. */
+  def lloyd(s: SparkSession, d: String, k: Int = K,
+      iters: Int = LloydIters): DataFrame = lloydOn(points(s, d), k, iters)
+
+  /** q40: full K-Means (5 Lloyd iterations) cluster sizes. Rows-only
+    * for the driver; ClusterSpec asserts NMI ≥ 0.8 against the planted
+    * `label` column — the reference's own grading criterion. */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    lloyd(s, d)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+      .orderBy(col("cluster"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_kmeans_assign" -> (kmeansAssign _),
+    "q40_kmeans" -> (kmeansClusters _))
+
+  val oracle: Map[String, String] = Map(
+    "q39_kmeans_assign" -> kmeansAssignSql)
+}

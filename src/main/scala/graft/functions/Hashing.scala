@@ -42,10 +42,14 @@ object Hashing {
   /** DuckDB SQL for h31 over expression `e`. */
   def h31Sql(e: String): String = s"(${h60Sql(e)} % $M31)"
 
+  /** Spark SQL (expr string) for h60 over expression `e`. */
+  def h60SparkSql(e: String): String =
+    s"CAST(conv(substring(md5(CAST($e AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
   /** Spark SQL (expr string) for h31 over expression `e` — identical
     * value to [[h31Sql]], Spark syntax. */
   def h31SparkSql(e: String): String =
-    s"(CAST(conv(substring(md5(CAST($e AS STRING)), 1, 15), 16, 10) AS BIGINT) % $M31)"
+    s"(${h60SparkSql(e)} % $M31)"
 
   /** Deterministic (a, b) seed pairs for the hash family, from a fixed
     * LCG (numerical-recipes constants). Same literals are embedded in the

@@ -35,7 +35,7 @@ object Son {
   val MaxSize = 3
 
   /** Local levelwise A-Priori over one partition's baskets. */
-  private[mining] def aprioriLocal(
+  private[graft] def aprioriLocal(
       baskets: Seq[Array[String]], supportFrac: Double, maxSize: Int)
   : Iterator[Seq[String]] = {
     val n = baskets.length

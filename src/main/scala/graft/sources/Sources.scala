@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source connectors — the reference's scan surface (SURVEY.md §2.1)
+  * as thin, typed wrappers over Spark's readers.
+  *
+  * Schemas are declared, not inferred, on production paths: inference
+  * reads the data twice and can drift between runs — at 100 TB the
+  * second pass alone is disqualifying.
+  */
+object Sources {
+
+  /** S1: JSON-lines scan with declared schema (the reference's
+    * textFile + json.loads + field-pluck, Assignment1/task1.py:17-18).
+    * Projection/filter pushdown reach the reader via Catalyst. */
+  def jsonLines(s: SparkSession, path: String, schema: StructType)
+  : DataFrame = s.read.schema(schema).json(path)
+
+  /** S1 variant for exploration only — schema inferred. */
+  def jsonLinesInferred(s: SparkSession, path: String): DataFrame =
+    s.read.json(path)
+
+  /** S2: CSV with header (replaces the reference's first()-capture
+    * header rejection, Assignment2/task1.py:21-26). */
+  def csvWithHeader(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", true).csv(path)
+
+  /** S3: numeric point CSV — (index, d doubles), the BFR input shape
+    * (Assignment5/bfr.py:40-42); all value columns cast to double and
+    * packed into one vector column. */
+  def numericCsv(s: SparkSession, path: String): DataFrame = {
+    val raw = s.read.option("header", false).csv(path)
+    val idCol = col(raw.columns.head).cast("long").as("vec_id")
+    val vec = array(raw.columns.tail.map(c => col(c).cast("double")): _*)
+    raw.select(idCol, vec.as("vd"))
+  }
+
+  /** S4: chunked directory scan, batch form — one DataFrame with the
+    * originating file tagged, so a driver loop can iterate files in
+    * order (the reference's os.listdir + per-round textFile,
+    * Assignment5/bfr.py:19-36). */
+  def chunkedDir(s: SparkSession, dir: String, format: String = "parquet")
+  : DataFrame =
+    s.read.format(format).load(dir)
+      .withColumn("_source_file", input_file_name())
+
+  /** S4, streaming form: one file per micro-batch. */
+  def chunkedDirStream(s: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .format(format).load(dir)
+
+  /** S5: socket text stream (the reference's socketTextStream,
+    * Assignment6/task2.py:88) — test rig only, not fault tolerant. */
+  def socketLines(s: SparkSession, host: String, port: Int): DataFrame =
+    s.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** S5 benchmark alternative: the rate source (rows/sec with event
+    * time), for driving windowed operators without a network. */
+  def rateStream(s: SparkSession, rowsPerSecond: Int): DataFrame =
+    s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+}
+
+/** Sink connectors — the reference's output surface (SURVEY.md §2.1). */
+object Sinks {
+
+  /** K1: single JSON object file (the reference's driver json.dumps of
+    * a result dict, Assignment1/task1.py:67-68) — for result frames
+    * that are already summary-sized. */
+  def jsonObject(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** K2: JSON-lines sink (Assignment3/task1.py:110-113). */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** K3: text-lines sink with a custom per-row format — pass a
+    * formatted single column (concat_ws/format_string upstream). */
+  def textLines(df: DataFrame, path: String): Unit = {
+    require(df.columns.length == 1,
+      "textLines expects one pre-formatted string column")
+    df.write.mode("overwrite").text(path)
+  }
+
+  /** K4: CSV with header (BFR intermediate stats shape,
+    * Assignment5/bfr.py:427-432). */
+  def csvWithHeader(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", true).csv(path)
+
+  /** K4, streaming: per-micro-batch CSV append via foreachBatch (the
+    * FM Time/Truth/Estimate log, Assignment6/task2.py:74-76). Caller
+    * starts/stops the returned query. */
+  def streamingCsvAppend(df: DataFrame, path: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.coalesce(1).write.mode("append")
+          .option("header", true).csv(path)
+      }
+      .start()
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sketch.Sketches
+
+/** Structured Streaming operators — the reference's DStream surface
+  * (Assignment6) on readStream/writeStream.
+  *
+  * The aggregation bodies are the same ones the batch queries verify
+  * against DuckDB (q30/q31/q32): batch runs prove the math, streaming
+  * runs prove the micro-batch/watermark semantics (StreamingSpec drives
+  * them through MemoryStream). This is the Spark-native split of the
+  * reference's foreachRDD+collect pattern (Assignment6/task2.py:33-76),
+  * where the sketch math ran single-node on the driver.
+  */
+object Streams {
+
+  /** ST2: sliding 30s/10s window counts + exact distinct users, with a
+    * watermark for state cleanup (the reference had no late-data story —
+    * ST7; the watermark is the explicit Spark-native choice). Works on a
+    * batch or streaming DataFrame with (ts, user_id) columns. */
+  def slidingUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "30 seconds", "10 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("approx_users"))
+
+  /** ST4: Flajolet–Martin sketch as a typed Aggregator — buffer is the
+    * 40 per-hash maxima; merge is element-wise max, which is what makes
+    * FM an algebraic aggregate (partial aggregation + shuffle merge,
+    * also usable inside streaming state). Input is the portable 31-bit
+    * hash of the key (compute with graft.functions.Hashing.h31). The
+    * estimate math (mod 500, r(0)=1, group means, median) is exactly
+    * the oracle-verified q30 pipeline. */
+  object FmSketchAgg extends Aggregator[Long, Array[Int], Double] {
+    def zero: Array[Int] = Array.fill(Sketches.FmHashes)(0)
+    def reduce(b: Array[Int], x31: Long): Array[Int] = {
+      var i = 0
+      while (i < Sketches.FmHashes) {
+        val (a, c) = Sketches.FmSeeds(i)
+        val v = (a * x31 + c) % Sketches.FmMod
+        val r = if (v == 0L) 1
+          else java.lang.Long.numberOfTrailingZeros(v)
+        if (r > b(i)) b(i) = r
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] =
+      a.zip(b).map { case (x, y) => math.max(x, y) }
+    def finish(b: Array[Int]): Double = {
+      val perGroup = Sketches.FmHashes / Sketches.FmGroups
+      val means = b.map(r => math.pow(2.0, r))
+        .grouped(perGroup).map(g => g.sum / g.length).toArray.sorted
+      val n = means.length
+      val median =
+        if (n % 2 == 1) means(n / 2)
+        else (means(n / 2 - 1) + means(n / 2)) / 2.0
+      math.rint(median * 100.0) / 100.0
+    }
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoderHelper.intArray
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private object ExpressionEncoderHelper {
+    val intArray: Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+  }
+
+  /** FM distinct-user estimate per sliding window — the full streaming
+    * form of the reference's windowed FM (ST1–ST5): the sketch merges
+    * inside the window aggregation, so nothing is collected. */
+  def slidingFmDistinct(events: DataFrame): DataFrame = {
+    val fm = udaf(FmSketchAgg)
+    events
+      .withWatermark("ts", "1 minute")
+      .withColumn("x31", expr(graft.functions.Hashing.h31SparkSql("user_id")))
+      .groupBy(window(col("ts"), "30 seconds", "10 seconds"))
+      // exact distinct is not allowed in streaming aggs — HLL++ is the
+      // built-in cousin shipped alongside the FM sketch (SURVEY ST4)
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        fm(col("x31")).as("fm_estimate"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("fm_estimate"))
+  }
+
+  case class ResEvent(seq: Long, tag: String)
+  case class ResState(n: Long, sample: List[String])
+  case class ResOut(seq: Long, n: Long, sampleSize: Long, topTags: String)
+
+  val ReservoirSize = 100
+
+  /** Deterministic stand-in for the reference's random.randint draws
+    * (Assignment6/task3.py:53-58) — an LCG keyed on the arrival index,
+    * so replays and tests are exact. Probability structure matches:
+    * element n kept with P = size/n, evictee uniform. */
+  private def lcg(x: Long): Long = {
+    val a = 6364136223846793005L
+    val c = 1442695040888963407L
+    math.abs(a * x + c) % 1000000007L
+  }
+
+  /** ST6+ST8: reservoir sampling with top-tags emission per record,
+    * as flatMapGroupsWithState over a single logical group. State is
+    * O(ReservoirSize) — the same bound the reference kept on the
+    * driver, here managed by the state store. */
+  def reservoirTopTags(events: Dataset[ResEvent])
+  : Dataset[ResOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(processReservoir)
+  }
+
+  private[graft] def processReservoir(
+      key: Int, rows: Iterator[ResEvent], state: GroupState[ResState])
+  : Iterator[ResOut] = {
+    var st = state.getOption.getOrElse(ResState(0L, Nil))
+    val out = scala.collection.mutable.ArrayBuffer[ResOut]()
+    rows.toSeq.sortBy(_.seq).foreach { ev =>
+      val n = st.n + 1
+      val sample =
+        if (st.sample.size < ReservoirSize) ev.tag :: st.sample
+        else if (lcg(n) % n < ReservoirSize) {
+          val idx = (lcg(n * 31 + 7) % ReservoirSize).toInt
+          st.sample.updated(idx, ev.tag)
+        } else st.sample
+      st = ResState(n, sample)
+      // top-3 distinct frequencies, all tags at each, lexicographic —
+      // the A14/O6 tie semantics (Assignment6/task3.py:86-97).
+      val freq = sample.groupBy(identity).map { case (t, l) => (t, l.size) }
+      val top3 = freq.values.toSeq.distinct.sorted.reverse.take(3)
+      val tags = freq.toSeq
+        .filter { case (_, c) => top3.contains(c) }
+        .sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => s"$t:$c" }.mkString(",")
+      out += ResOut(ev.seq, n, sample.size.toLong, tags)
+    }
+    state.update(st)
+    out.iterator
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GirvanNewman
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("brandes edge betweenness: path graph 1-2-3-4") {
+    val b = GirvanNewman.edgeBetweenness(spark, Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    // pairs crossing each edge: (1,2)=3, (2,3)=4, (3,4)=3
+    assert(math.abs(b((1L, 2L)) - 3.0) < 1e-9)
+    assert(math.abs(b((2L, 3L)) - 4.0) < 1e-9)
+    assert(math.abs(b((3L, 4L)) - 3.0) < 1e-9)
+  }
+
+  test("brandes edge betweenness: star K1,3 — every edge 3.0") {
+    val b = GirvanNewman.edgeBetweenness(spark,
+      Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(b.values.forall(v => math.abs(v - 3.0) < 1e-9))
+  }
+
+  test("brandes splits equally across two shortest paths (4-cycle)") {
+    // cycle 1-2-4-3-1: two equal paths between opposite corners; each
+    // edge carries 1 (adjacent pair) + 2×0.5 (split diagonals) = 2
+    val b = GirvanNewman.edgeBetweenness(spark,
+      Seq((1L, 2L), (2L, 4L), (3L, 4L), (1L, 3L)))
+    assert(b.values.forall(v => math.abs(v - 2.0) < 1e-9))
+  }
+
+  test("girvan-newman separates two triangles joined by a bridge") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), // triangle A
+      (4L, 5L), (4L, 6L), (5L, 6L), // triangle B
+      (3L, 4L)) // bridge — highest betweenness (9.0: 3×3 pairs)
+    val bt = GirvanNewman.edgeBetweenness(spark, edges)
+    assert(bt.maxBy(_._2)._1 == ((3L, 4L)))
+    assert(math.abs(bt((3L, 4L)) - 9.0) < 1e-9)
+    val (q, comms) = GirvanNewman.gnCommunities(edges)
+    assert(comms.map(_.toSeq.sorted).toSet ==
+      Set(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
+    assert(q > 0.3, s"modularity of the 2-community split: $q")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.mining.{SetSimilarity, VectorSimilarity}
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("simhashPairs finds hamming-close pairs exactly (pigeonhole bands)") {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, 0x0F0F0F0FL), // base
+      (2L, 0x0F0F0F0EL), // hamming 1 from base
+      (3L, 0x0F0F0F0CL), // hamming 2 from base
+      (4L, 0xF0F0F0F0L)  // hamming 32 from base
+    ).toDF("doc_id", "simhash")
+    val pairs = SetSimilarity.simhashPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
+  }
+
+  test("minhash signature agreement approximates token-set jaccard") {
+    val sigs = SetSimilarity.minhashSig(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(expr(graft.ops.Text.toksExpr)).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = toks.keys.toSeq.sorted.take(30)
+    val errs = for (a <- ids; b <- ids if a < b) yield {
+      val j = toks(a).intersect(toks(b)).size.toDouble /
+        toks(a).union(toks(b)).size
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } /
+        SetSimilarity.NumHashes.toDouble
+      math.abs(j - est)
+    }
+    val mean = errs.sum / errs.size
+    assert(mean < 0.15, s"mean |estimate − jaccard| = $mean")
+  }
+
+  test("lsh near-dup pairs are a subset of exact pairs at its tau") {
+    val lsh = SetSimilarity.neardupLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact pairs at the LSH verify threshold, brute force on sf0.001
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(expr(graft.ops.Text.toksExpr)).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = toks.keys.toSeq.sorted
+    val exact = (for {
+      a <- ids; b <- ids if a < b
+      j = toks(a).intersect(toks(b)).size.toDouble /
+        toks(a).union(toks(b)).size
+      if j >= SetSimilarity.LshVerifyTau
+    } yield (a, b)).toSet
+    assert(lsh.subsetOf(exact), "LSH-verified pairs all truly above tau")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall (reference bar: 0.8)")
+    }
+  }
+
+  test("ann lsh results carry exact cosines present in brute force") {
+    val ann = VectorSimilarity.annHyperplaneLsh(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val bf = VectorSimilarity.cosineTopK(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    // any (qid, nid) pair both report must agree on the cosine exactly
+    ann.keySet.intersect(bf.keySet).foreach { k =>
+      assert(math.abs(ann(k) - bf(k)) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sketch.Sketches
+import graft.streaming.Streams
+
+class SketchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bloom filter has zero false negatives; FPR below 0.5") {
+    val rows = Sketches.bloomMembership(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, predicted, actual) =>
+      if (actual) assert(predicted, s"false negative on $v — impossible for Bloom")
+    }
+    val negatives = rows.filter(!_._3)
+    if (negatives.nonEmpty) {
+      val fpr = negatives.count(_._2).toDouble / negatives.size
+      assert(fpr < 0.5, s"FPR $fpr")
+    }
+  }
+
+  test("fm estimate within a loose envelope of exact distinct") {
+    val rows = Sketches.fmDistinct(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, est) =>
+      assert(est >= exact / 8.0 && est <= exact * 8.0,
+        s"$t: estimate $est vs exact $exact (FM should be within ~8x)")
+    }
+  }
+
+  test("FmSketchAgg (streaming aggregator) matches the relational q30 math") {
+    val fm = udaf(Streams.FmSketchAgg)
+    val viaAgg = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("x31", expr(graft.functions.Hashing.h31SparkSql("user_id")))
+      .groupBy(col("event_type"))
+      .agg(fm(col("x31")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaQuery = Sketches.fmDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    viaQuery.foreach { case (t, v) =>
+      assert(math.abs(viaAgg(t) - v) < 0.02,
+        s"$t: aggregator ${viaAgg(t)} vs query $v")
+    }
+  }
+
+  test("fm merge(a,b) == sketch of union (algebraic aggregate law)") {
+    val a = (1L to 50L).foldLeft(Streams.FmSketchAgg.zero)(
+      Streams.FmSketchAgg.reduce)
+    val b = (30L to 90L).foldLeft(Streams.FmSketchAgg.zero)(
+      Streams.FmSketchAgg.reduce)
+    val union = (1L to 90L).foldLeft(Streams.FmSketchAgg.zero)(
+      Streams.FmSketchAgg.reduce)
+    assert(Streams.FmSketchAgg.merge(a, b).toSeq == union.toSeq)
+  }
+}

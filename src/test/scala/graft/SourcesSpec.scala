@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import graft.sources.{Sinks, Sources}
+
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sources").toString
+
+  test("json-lines sink/scan roundtrip with declared schema") {
+    import spark.implicits._
+    val dir = tmp() + "/j"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    Sinks.jsonLines(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val back = Sources.jsonLines(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "x"), (2L, "y")))
+  }
+
+  test("csv header sink/scan roundtrip") {
+    import spark.implicits._
+    val dir = tmp() + "/c"
+    Sinks.csvWithHeader(Seq((1, "a"), (2, "b")).toDF("k", "s"), dir)
+    val back = Sources.csvWithHeader(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("1", "a"), ("2", "b")))
+  }
+
+  test("numeric csv becomes (vec_id, vd) point frame") {
+    val dir = tmp() + "/n"
+    import spark.implicits._
+    Seq("0,1.5,2.5", "1,3.0,4.0").toDF("value").coalesce(1)
+      .write.text(dir)
+    val pts = Sources.numericCsv(spark, dir).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(pts.toSeq == Seq((0L, Seq(1.5, 2.5)), (1L, Seq(3.0, 4.0))))
+  }
+
+  test("chunked dir scan tags the source file") {
+    val dir = tmp() + "/ch"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/f1.parquet")
+    Seq((2L, "b")).toDF("id", "v").write.mode("append")
+      .parquet(dir + "/f2.parquet")
+    val df = Sources.chunkedDir(spark, dir + "/*")
+    assert(df.select(col("_source_file")).distinct().count() >= 2)
+  }
+
+  test("text-lines sink writes pre-formatted rows") {
+    val dir = tmp() + "/t"
+    import spark.implicits._
+    val formatted = Seq(("a", 1), ("b", 2)).toDF("x", "y")
+      .select(format_string("('%s'), %d", col("x"), col("y")).as("line"))
+    Sinks.textLines(formatted, dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(back == Set("('a'), 1", "('b'), 2"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.Streams
+
+case class TestEv(ts: Timestamp, user_id: Long, event_type: String)
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def mkEvents(n: Int): Seq[TestEv] =
+    (0 until n).map { i =>
+      TestEv(new Timestamp(1700000000000L + i * 1000L), // 1 event/sec
+        user_id = i % 37, event_type = s"t${i % 3}")
+    }
+
+  test("sliding FM window agg over MemoryStream matches batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEv]
+    val q = Streams.slidingFmDistinct(mem.toDF())
+      .writeStream.format("memory").queryName("fm_win")
+      .outputMode("complete").start()
+    try {
+      val evs = mkEvents(120)
+      mem.addData(evs.take(60): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(60): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("fm_win")
+        .select(col("window_start"), col("approx_users"), col("fm_estimate"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Streams.slidingFmDistinct(evs.toDF())
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        "streaming (2 micro-batches) and batch produce identical windows")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("reservoir keeps everything below capacity, caps at capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ResEvent]
+    val q = Streams.reservoirTopTags(mem.toDS())
+      .writeStream.format("memory").queryName("res_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1 to 80).map(i => Streams.ResEvent(i.toLong, s"tag${i % 5}")): _*)
+      q.processAllAvailable()
+      mem.addData((81 to 300).map(i => Streams.ResEvent(i.toLong, s"tag${i % 5}")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("res_out")
+        .orderBy(col("seq")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length == 300, "one emission per event")
+      rows.foreach { case (seq, n, size) =>
+        assert(n == seq)
+        if (n <= Streams.ReservoirSize) assert(size == n,
+          s"below capacity all retained (n=$n size=$size)")
+        else assert(size == Streams.ReservoirSize)
+      }
+    } finally q.stop()
+  }
+
+  test("reservoir top-tags ties: all tags at the top-3 counts emitted") {
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[Streams.ResState](
+      org.apache.spark.api.java.Optional.empty[Streams.ResState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val evs = Seq("a", "a", "b", "b", "c", "d").zipWithIndex
+      .map { case (t, i) => Streams.ResEvent(i + 1L, t) }
+    val out = Streams.processReservoir(0, evs.iterator, st).toSeq
+    // final emission: counts a=2 b=2 c=1 d=1 → ranks: 2 and 1 → all four
+    assert(out.last.topTags == "a:2,b:2,c:1,d:1")
+  }
+}
