@@ -19,14 +19,30 @@ object Bench {
     // are reported alongside for transparency.
     val warmDir = "/root/testdata/sf0.001"
     val t0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // Warmup runs concurrently: per-plan first-run cost is dominated by
+    // driver-side compile/JIT, so overlapping them collapses wall time
+    // (Spark's scheduler interleaves the tiny sf0.001 jobs fine).
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          val t = System.nanoTime()
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          System.err.println(
+            f"[bench] warmup $name: ${(System.nanoTime() - t) / 1e9}%.1f s")
+        }
+      }
+      Await.result(Future.sequence(fs), 10.minutes)
     }
     val warmupSec = (System.nanoTime() - t0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      val sec = (System.nanoTime() - t) / 1e9
+      System.err.println(f"[bench] $name: $sec%.1f s")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

