@@ -145,6 +145,18 @@ object SetSimilarity {
   def minhashSig(s: SparkSession, d: String): DataFrame =
     sigs0(s, d).orderBy(col("doc_id"))
 
+  /** q43: same signatures through the native codegen kernel
+    * ([[graft.plans.MinHashSigExpr]], registered as `graft_minhash` by
+    * GraftExtensions) — one array traversal instead of k; shares q23's
+    * oracle because the values are bit-identical. Requires a session
+    * built with spark.sql.extensions=graft.plans.GraftExtensions. */
+  def minhashSigNative(s: SparkSession, d: String): DataFrame =
+    tokenSets(s, d)
+      .withColumn("xs",
+        expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
+      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+      .orderBy(col("doc_id"))
+
   private val minhashSigSqlInner: String = {
     val sigExprs = MinHashSeeds.map { case (a, b) =>
       s"list_min(list_transform(xs, x -> ($a * x + $b) % $MinHashMod))"
@@ -298,11 +310,13 @@ object SetSimilarity {
     "q22_neardup_jaccard" -> (neardupJaccard _),
     "q23_minhash_sig" -> (minhashSig _),
     "q24_neardup_lsh" -> (neardupLsh _),
-    "q25_simhash" -> (simhash _))
+    "q25_simhash" -> (simhash _),
+    "q43_minhash_native" -> (minhashSigNative _))
 
   val oracle: Map[String, String] = Map(
     "q22_neardup_jaccard" -> neardupJaccardSql,
     "q23_minhash_sig" -> minhashSigSql,
     "q24_neardup_lsh" -> neardupLshSql,
-    "q25_simhash" -> simhashSql)
+    "q25_simhash" -> simhashSql,
+    "q43_minhash_native" -> minhashSigSql)
 }

@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.mining.SetSimilarity
+
+/** Session extension registering the engine's native expressions —
+  * activate with `.config("spark.sql.extensions",
+  * "graft.plans.GraftExtensions")` (or `.withExtensions`). The public,
+  * supported mechanism for adding catalog functions without touching
+  * Spark internals.
+  *
+  * `graft_minhash(array<long>)` → the [[MinHashSigExpr]] kernel with the
+  * engine's standard 32-seed family (mod 26189), bit-identical to q23's
+  * HOF form.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val seedsA = SetSimilarity.MinHashSeeds.map(_._1).toArray
+    val seedsB = SetSimilarity.MinHashSeeds.map(_._2).toArray
+    val builder: Seq[Expression] => Expression = { args =>
+      require(args.length == 1, "graft_minhash takes one array<long> arg")
+      MinHashSigExpr(args.head, seedsA, seedsB, SetSimilarity.MinHashMod)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      builder))
+  }
+}
