@@ -233,7 +233,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("partition_id").asc)
 
+  /** U13: JSON parse on a real column — events.props is a JSON object;
+    * parse with a declared schema (from_json, codegen'd — the
+    * Spark-native form of the reference's per-line json.loads) and
+    * aggregate the extracted field. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("from_json(props, 'k INT').k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+      |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_json_props" -> (jsonProps _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_users" -> (topUsers _),
     "q03_category_avg" -> (categoryAvg _),
@@ -254,6 +277,7 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q44_json_props" -> jsonPropsSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

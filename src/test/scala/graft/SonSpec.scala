@@ -32,6 +32,20 @@ class SonSpec extends AnyFunSuite {
       s"SON ${got.size} itemsets vs brute force ${frequent.size}")
   }
 
+  test("SON agrees with ml.fpm.FPGrowth (different algorithm, same answer)") {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val b = Son.baskets(spark, sfDir).select(col("basket").as("items"))
+    val model = new FPGrowth()
+      .setItemsCol("items").setMinSupport(Son.SupportFrac).fit(b)
+    val fp = model.freqItemsets.collect()
+      .filter(_.getSeq[String](0).size <= Son.MaxSize)
+      .map(r => (r.getSeq[String](0).sorted.mkString(","), r.getLong(1)))
+      .toMap
+    val son = Son.sonItemsets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(son == fp, s"SON ${son.size} vs FPGrowth ${fp.size} itemsets")
+  }
+
   test("local a-priori has no false negatives at partition scope") {
     val baskets = Seq(
       Array("a", "b", "c"), Array("a", "b"), Array("a", "c"),
