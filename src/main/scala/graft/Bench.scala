@@ -24,9 +24,14 @@ object Bench {
     // driver-side compile/JIT, so overlapping them collapses wall time
     // (Spark's scheduler interleaves the tiny sf0.001 jobs fine).
     locally {
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // Bounded pool: 8-way overlap hides per-plan compile latency
+      // without thrashing the scheduler (42-way made every job queue
+      // behind every other and warmup wall time ballooned).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
       val fs = SparkEntry.queries.toSeq.map { case (name, fn) =>
         Future {
           val t = System.nanoTime()
@@ -36,6 +41,7 @@ object Bench {
         }
       }
       Await.result(Future.sequence(fs), 10.minutes)
+      pool.shutdown()
     }
     val warmupSec = (System.nanoTime() - t0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>

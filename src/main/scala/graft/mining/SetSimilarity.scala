@@ -183,9 +183,18 @@ object SetSimilarity {
   val LshRows = 8
   val LshVerifyTau = 0.95
 
+  /** Candidates must agree on ≥ 28 of 32 signature positions before the
+    * exact verify — a deterministic second-stage filter the oracle
+    * replays. The corpus's J≈0.7 mass survives banding (≈3M candidate
+    * pairs at sf0.1) but almost never reaches 28/32 agreement, while
+    * J ≥ 0.95 pairs pass with P ≈ 0.97; this cuts the expensive
+    * token-array verify join ~30×. */
+  val LshMinSigMatches = 28
+
   /** q24: banded-LSH near-dup pairs — signature → band buckets →
-    * bucket self-join → exact Jaccard verify ≥ 0.9. The Spark-native
-    * reshape of the reference's split_by_bands + candidate_pair flatMap
+    * bucket self-join (sig carried through) → signature-agreement
+    * pre-filter → exact Jaccard verify ≥ 0.95. The Spark-native reshape
+    * of the reference's split_by_bands + candidate_pair flatMap
     * (Assignment3/task1.py:64-99): explode to (band#, band-sig) keys,
     * shuffle groups the buckets, and the verify join replaces the
     * driver-side dict lookup (Assignment3/task1.py:84-88). */
@@ -198,11 +207,16 @@ object SetSimilarity {
       s"named_struct('band', $i, 'key', struct($elems))"
     }.mkString(", ")
     val bands = sigs0(s, d)
-      .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.band").as("band"), col("b.key").as("key"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("aggregate(zip_with(x.sig, y.sig, " +
+        s"(a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)" +
+        s" >= $LshMinSigMatches"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyExact(cand, toks, LshVerifyTau)
@@ -213,12 +227,14 @@ object SetSimilarity {
       .map(r => s"sig[(i - 1) * $LshRows + $r]").mkString(", ")
     s"""WITH sigs AS ($minhashSigSqlInner),
        |t AS ($tokenSetsSql),
-       |bands AS (SELECT doc_id, i, [$bandCols] AS key
+       |bands AS (SELECT doc_id, sig, i, [$bandCols] AS key
        |          FROM sigs CROSS JOIN
        |            (SELECT unnest(generate_series(1, $LshBands)) AS i) g),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
-       |           ON x.i = y.i AND x.key = y.key AND x.doc_id < y.doc_id),
+       |           ON x.i = y.i AND x.key = y.key AND x.doc_id < y.doc_id
+       |         WHERE len(list_filter(generate_series(1, $NumHashes),
+       |             j -> x.sig[j] = y.sig[j])) >= $LshMinSigMatches),
        |v AS (SELECT doc_a, doc_b,
        |        len(list_intersect(a.ts, b.ts)) AS inter,
        |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
