@@ -172,6 +172,60 @@ object VectorSimilarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- IVF
+  /** IVF (inverted-file) ANN — the other standard scale path: a coarse
+    * quantizer (K-Means centroids) partitions the corpus into nlist
+    * inverted lists; a query probes only its nprobe nearest lists and
+    * ranks those candidates exactly. At 100 TB the lists are the
+    * partitioning key: a query touches nprobe/nlist of the data instead
+    * of all of it. Not a registered driver query (the coarse quantizer
+    * is iterative — no SQL oracle); SimilaritySpec checks recall against
+    * the exact top-k. */
+  def ivfSearch(s: SparkSession, d: String, nlist: Int = 16,
+      nprobe: Int = 4, topK: Int = TopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = graft.cluster.KMeans.points(s, d)
+    // coarse quantizer: k-means over the corpus (deterministic init)
+    val assign = graft.cluster.KMeans.lloydOn(pts, nlist, 3)
+    val lists = pts.join(assign, "vec_id")
+      .select(col("vec_id"), col("vd"), col("cluster").as("list_id"))
+      .localCheckpoint()
+    // centroids table for probe selection
+    val cents = lists.groupBy(col("list_id"))
+      .agg(expr("aggregate(collect_list(vd), " +
+        "array_repeat(0D, 64), (acc, v) -> zip_with(acc, v, (a, b) -> a + b), " +
+        "acc -> acc)").as("csum"), count(lit(1)).as("n"))
+      .select(col("list_id"),
+        expr("transform(csum, x -> x / n)").as("centroid"))
+    val base = lists.withColumn("nrm",
+      expr("sqrt(aggregate(vd, 0D, (a, x) -> a + x * x))"))
+    val q = base.filter(expr(QueryPred))
+      .select(col("vec_id").as("qid"), col("vd").as("qv"),
+        col("nrm").as("qn"))
+    // probe lists: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist").asc, col("list_id").asc)
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        expr("aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (a, x) -> a + x)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("list_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    probes.join(base.select(col("vec_id").as("nid"), col("vd").as("nv"),
+        col("nrm").as("nn"), col("list_id")), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("cos", round(col("dot") / (col("qn") * col("nn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> (cosineTopK _),
     "q27_ann_lsh" -> (annHyperplaneLsh _))

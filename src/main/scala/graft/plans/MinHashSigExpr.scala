@@ -63,21 +63,31 @@ case class MinHashSigExpr(
   : ExprCode = {
     val aRef = ctx.addReferenceObj("seedsA", seedsA, "long[]")
     val bRef = ctx.addReferenceObj("seedsB", seedsB, "long[]")
+    // every local gets a fresh name — fixed identifiers collide with
+    // enclosing whole-stage-codegen locals (Janino "Redefinition of
+    // local variable", which silently demotes the plan to interpreted)
+    val k = ctx.freshName("k")
+    val mins = ctx.freshName("mins")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val x = ctx.freshName("x")
+    val v = ctx.freshName("v")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |int graftK = $aRef.length;
-         |long[] graftMins = new long[graftK];
-         |java.util.Arrays.fill(graftMins, ${mod}L);
-         |int graftN = $c.numElements();
-         |for (int i = 0; i < graftN; i++) {
-         |  long x = $c.getLong(i);
-         |  for (int j = 0; j < graftK; j++) {
-         |    long v = ($aRef[j] * x + $bRef[j]) % ${mod}L;
-         |    if (v < graftMins[j]) graftMins[j] = v;
+         |int $k = $aRef.length;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, ${mod}L);
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($aRef[$j] * $x + $bRef[$j]) % ${mod}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
          |${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
   }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import graft.mining.Son
+import graft.streaming.Streams
+
+/** Property-based checks (SURVEY §5.3) for the algorithm kernels that
+  * have no SQL oracle — scalacheck properties run under fixed seeds via
+  * Test.check, asserted through ScalaTest. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(60)
+        .withInitialSeed(Seed(42L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val basketsGen: Gen[List[List[String]]] =
+    Gen.listOfN(30, Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.distinct.sorted))
+
+  test("local a-priori == brute-force frequent itemsets on random baskets") {
+    check(Prop.forAll(basketsGen) { baskets =>
+      val arr = baskets.map(_.toArray)
+      val got = Son.aprioriLocal(arr, supportFrac = 0.3, maxSize = 4)
+        .map(_.mkString(",")).toSet
+      val thr = math.max(1L, math.ceil(0.3 * baskets.size).toLong)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      baskets.foreach { b =>
+        (1 to math.min(4, b.size)).foreach { k =>
+          b.combinations(k).foreach { c =>
+            val key = c.mkString(",")
+            counts.update(key, counts.getOrElse(key, 0L) + 1)
+          }
+        }
+      }
+      got == counts.filter(_._2 >= thr).keySet
+    })
+  }
+
+  test("FM sketch merge law: merge(sketch(A), sketch(B)) == sketch(A ++ B)") {
+    val xsGen = Gen.listOf(Gen.chooseNum(0L, 1000000L))
+    check(Prop.forAll(xsGen, xsGen) { (a, b) =>
+      val sa = a.foldLeft(Streams.FmSketchAgg.zero)(Streams.FmSketchAgg.reduce)
+      val sb = b.foldLeft(Streams.FmSketchAgg.zero)(Streams.FmSketchAgg.reduce)
+      val su = (a ++ b).foldLeft(Streams.FmSketchAgg.zero)(
+        Streams.FmSketchAgg.reduce)
+      Streams.FmSketchAgg.merge(sa, sb).toSeq == su.toSeq
+    })
+  }
+
+  test("FM estimate is duplicate-insensitive") {
+    val xsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L))
+    check(Prop.forAll(xsGen) { xs =>
+      val once = xs.distinct.foldLeft(Streams.FmSketchAgg.zero)(
+        Streams.FmSketchAgg.reduce)
+      val thrice = (xs ++ xs ++ xs).foldLeft(Streams.FmSketchAgg.zero)(
+        Streams.FmSketchAgg.reduce)
+      Streams.FmSketchAgg.finish(once) == Streams.FmSketchAgg.finish(thrice)
+    })
+  }
+
+  test("bloom positions: membership of trained value always predicted") {
+    // relational-Bloom invariant at kernel level: for any value set, all
+    // k positions of a trained value are in the position set
+    val vals = (1 to 200).map(i => s"v$i")
+    val seeds = graft.functions.Hashing.seeds(6, salt = 29L)
+    def positions(v: String): Seq[Long] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) %
+        graft.functions.Hashing.M31
+      seeds.map { case (a, b) => (a * h + b) % 7000L }
+    }
+    val trained = vals.take(100).flatMap(positions).toSet
+    vals.take(100).foreach { v =>
+      assert(positions(v).forall(trained.contains), s"false negative on $v")
+    }
+  }
+}

@@ -96,6 +96,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact, s"deletion join ${got.size} vs brute ${exact.size}")
   }
 
+  test("ivf search recall@3 >= 0.5 vs exact top-k at nprobe=4/16") {
+    val bf = VectorSimilarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = VectorSimilarity.ivfSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@3 = $recall (probing 4/16 lists)")
+  }
+
   test("ann lsh results carry exact cosines present in brute force") {
     val ann = VectorSimilarity.annHyperplaneLsh(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
