@@ -172,6 +172,43 @@ object VectorSimilarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q45
+  val NearDupCos = 0.4
+
+  /** q45: embedding-cosine near-duplicate pairs — every pair with
+    * cosine ≥ 0.4 (this corpus's pairwise max is ≈0.5: no true dups
+    * exist, so the threshold demonstrates the operator on the corpus's
+    * own similarity scale). Exact by construction: at thresholds this
+    * low no LSH family prunes without recall loss, so the honest form
+    * is the broadcast-one-side pair scan; at dedup-grade thresholds
+    * (≥0.9) you'd run [[annHyperplaneLsh]]'s bucketing first. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = withNorm(s, d)
+    val a = base.select(col("vec_id").as("vec_a"), col("vd").as("va"),
+      col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
+      col("nrm").as("nb"))
+    broadcast(a).join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+          / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, $vdSql AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd,
+       |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+       |      FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        list_sum(list_transform(generate_series(1, $Dim),
+       |            i -> a.vd[i] * b.vd[i])) / (a.nrm * b.nrm) AS cos
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos
+       |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin
+
   // ---------------------------------------------------------------- IVF
   /** IVF (inverted-file) ANN — the other standard scale path: a coarse
     * quantizer (K-Means centroids) partitions the corpus into nlist
@@ -228,9 +265,11 @@ object VectorSimilarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> (cosineTopK _),
-    "q27_ann_lsh" -> (annHyperplaneLsh _))
+    "q27_ann_lsh" -> (annHyperplaneLsh _),
+    "q45_embed_neardup" -> (embedNearDup _))
 
   val oracle: Map[String, String] = Map(
     "q26_cosine_topk" -> cosineTopKSql,
-    "q27_ann_lsh" -> annHyperplaneLshSql)
+    "q27_ann_lsh" -> annHyperplaneLshSql,
+    "q45_embed_neardup" -> embedNearDupSql)
 }

@@ -53,6 +53,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.select(col("_source_file")).distinct().count() >= 2)
   }
 
+  test("streaming foreachBatch csv append sink (K4, ST5)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp() + "/scsv"
+    val cp = tmp() + "/cp"
+    val mem = MemoryStream[TestEv]
+    val q = Sinks.streamingCsvAppend(
+      Streams.slidingUserCounts(mem.toDF()), dir, cp)
+    try {
+      mem.addData((0 until 50).map(i => TestEv(
+        new java.sql.Timestamp(1700000000000L + i * 1000L), i % 7, "t")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.option("header", true).csv(dir)
+    assert(rows.count() > 0)
+    assert(rows.columns.toSet ==
+      Set("window_start", "n_events", "approx_users"))
+  }
+
   test("text-lines sink writes pre-formatted rows") {
     val dir = tmp() + "/t"
     import spark.implicits._
