@@ -255,8 +255,69 @@ object Relational {
       |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of / range-join semantics, composed from built-ins (the
+    * preference order of the build brief: compose before custom
+    * operators): for every `error` event, the same user's latest
+    * purchase at-or-before it, plus how many came before. The
+    * user-equality + time-inequality join Catalyst executes as an
+    * equi-join on user with a residual range predicate; the aggregate
+    * form (max/count) keeps results deterministic under timestamp ties,
+    * where a row-picking ASOF JOIN would be engine-arbitrary. */
+  def asofPurchase(s: SparkSession, d: String): DataFrame = {
+    val err = events(s, d).filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val pur = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    err.join(pur,
+        err("user_id") === pur("user_id") && col("pts") <= col("ts"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(max(col("pts")).as("last_purchase_ts"),
+        count(col("pts")).as("n_prior_purchases"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofPurchaseSql: String =
+    """SELECT e.event_id, max(p.ts) AS last_purchase_ts,
+      |  count(p.ts) AS n_prior_purchases
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT user_id, ts FROM events
+      |           WHERE event_type = 'purchase') p
+      |  ON p.user_id = e.user_id AND p.ts <= e.ts
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  /** Grouping sets: order totals by (nation, segment) with ROLLUP
+    * subtotals and a grand total — beyond the reference's surface
+    * (SURVEY §2.4 notes it has none), standard engine capability.
+    * Decimal-cast sums for cross-engine determinism; null ordering
+    * pinned (Spark defaults nulls-first, DuckDB nulls-last). */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double"), 2).as("total"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first)
+
+  val rollupRevenueSql: String =
+    """SELECT n_name, c_mktsegment,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total,
+      |  count(*) AS cnt
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_json_props" -> (jsonProps _),
+    "q46_asof_purchase" -> (asofPurchase _),
+    "q47_rollup_revenue" -> (rollupRevenue _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_users" -> (topUsers _),
     "q03_category_avg" -> (categoryAvg _),
@@ -278,6 +339,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q44_json_props" -> jsonPropsSql,
+    "q46_asof_purchase" -> asofPurchaseSql,
+    "q47_rollup_revenue" -> rollupRevenueSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
