@@ -314,10 +314,32 @@ object Relational {
       |GROUP BY ROLLUP (n_name, c_mktsegment)
       |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
 
+  /** U15/A13: exact interpolated percentiles (median, p25/p75) of
+    * customer balances per market segment — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition. */
+  def segmentPercentiles(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("median"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+
+  val segmentPercentilesSql: String =
+    """SELECT c_mktsegment,
+      |  round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+      |  round(quantile_cont(c_acctbal, 0.5), 4) AS median,
+      |  round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+      |  count(*) AS cnt
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_json_props" -> (jsonProps _),
     "q46_asof_purchase" -> (asofPurchase _),
     "q47_rollup_revenue" -> (rollupRevenue _),
+    "q48_segment_percentiles" -> (segmentPercentiles _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_users" -> (topUsers _),
     "q03_category_avg" -> (categoryAvg _),
@@ -341,6 +363,7 @@ object Relational {
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,
+    "q48_segment_percentiles" -> segmentPercentilesSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
