@@ -35,9 +35,17 @@ object GirvanNewman {
 
   private def canon(a: Long, b: Long): Edge = if (a < b) (a, b) else (b, a)
 
-  /** Brandes single-source edge credits over an unweighted graph. */
+  /** Brandes single-source edge credits over an unweighted graph.
+    *
+    * `referenceSigma = true` reproduces the reference's path-count
+    * approximation (Assignment4/task2.py:81-82): σ(child) = its number
+    * of discovering parents, rather than Σ σ(parents). The two agree
+    * whenever every parent has σ = 1 (e.g. trees and the reference's
+    * sparse co-review graphs) and diverge on denser multi-path graphs —
+    * GraphSpec pins both behaviors. Default is correct Brandes. */
   private[graph] def brandesRoot(
-      adj: Map[Long, Array[Long]], root: Long): Iterator[(Edge, Double)] = {
+      adj: Map[Long, Array[Long]], root: Long,
+      referenceSigma: Boolean = false): Iterator[(Edge, Double)] = {
     val dist = mutable.Map(root -> 0)
     val sigma = mutable.Map(root -> 1.0)
     val order = mutable.ArrayBuffer(root)
@@ -52,7 +60,8 @@ object GirvanNewman {
           order += w
         }
         if (dist(w) == dist(v) + 1) {
-          sigma(w) = sigma.getOrElse(w, 0.0) + sigma(v)
+          sigma(w) = sigma.getOrElse(w, 0.0) +
+            (if (referenceSigma) 1.0 else sigma(v))
           preds.getOrElseUpdate(w, mutable.ArrayBuffer.empty) += v
         }
       }
@@ -73,13 +82,14 @@ object GirvanNewman {
     (edges ++ edges.map(e => (e._2, e._1)))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toArray }
 
-  /** Full edge betweenness of an edge list, one Spark task per root. */
-  def edgeBetweenness(s: SparkSession, edgeList: Seq[Edge])
-  : Map[Edge, Double] = {
+  /** Full edge betweenness of an edge list, one Spark task per root.
+    * `referenceSigma` selects the reference's σ approximation. */
+  def edgeBetweenness(s: SparkSession, edgeList: Seq[Edge],
+      referenceSigma: Boolean = false): Map[Edge, Double] = {
     val adj = toAdj(edgeList)
     val bc = s.sparkContext.broadcast(adj)
     s.sparkContext.parallelize(adj.keys.toSeq.sorted, math.min(32, math.max(1, adj.size)))
-      .flatMap(root => brandesRoot(bc.value, root))
+      .flatMap(root => brandesRoot(bc.value, root, referenceSigma))
       .reduceByKey(_ + _)
       .mapValues(_ / 2.0)
       .collect().toMap

@@ -28,6 +28,25 @@ class GraphSpec extends AnyFunSuite {
     assert(b.values.forall(v => math.abs(v - 2.0) < 1e-9))
   }
 
+  test("reference-sigma mode: agrees on trees, diverges on multi-path") {
+    // tree (path graph): every parent has sigma=1 → identical results
+    val tree = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val exact = GirvanNewman.edgeBetweenness(spark, tree)
+    val ref = GirvanNewman.edgeBetweenness(spark, tree,
+      referenceSigma = true)
+    assert(exact == ref)
+    // diamond 1-{2,3}-4 plus tail 4-5: two shortest paths 1→4, so
+    // sigma(4)=2 matters for the tail edge's dependency share
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val exactD = GirvanNewman.edgeBetweenness(spark, diamond)
+    val refD = GirvanNewman.edgeBetweenness(spark, diamond,
+      referenceSigma = true)
+    assert(exactD != refD,
+      "parent-count sigma must diverge from Brandes on multi-path graphs")
+    // correct Brandes golden for the tail edge: pairs crossing = 4
+    assert(math.abs(exactD((4L, 5L)) - 4.0) < 1e-9)
+  }
+
   test("girvan-newman separates two triangles joined by a bridge") {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (2L, 3L), // triangle A
