@@ -335,11 +335,37 @@ object Relational {
       |  count(*) AS cnt
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Skew-tolerant two-stage aggregation: event_type has only 5 values
+    * (massively skewed as a shuffle key at scale), so aggregate first on
+    * (key, salt) — spreading each hot key over 16 reducers — then
+    * combine the partials. Results are identical to the direct groupBy
+    * (the oracle is the plain form); the plan differs: no single reducer
+    * ever sees a whole hot key. AQE's skew handling covers joins; this
+    * is the aggregation-side idiom. Decimal sums keep the re-aggregation
+    * order-insensitive. */
+  def saltedTypeStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("value").cast("decimal(18,6)")).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("cnt"),
+        round(sum(col("ps")).cast("double"), 4).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val saltedTypeStatsSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+      |    AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_json_props" -> (jsonProps _),
     "q46_asof_purchase" -> (asofPurchase _),
     "q47_rollup_revenue" -> (rollupRevenue _),
     "q48_segment_percentiles" -> (segmentPercentiles _),
+    "q49_salted_agg" -> (saltedTypeStats _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_users" -> (topUsers _),
     "q03_category_avg" -> (categoryAvg _),
@@ -364,6 +390,7 @@ object Relational {
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,
     "q48_segment_percentiles" -> segmentPercentilesSql,
+    "q49_salted_agg" -> saltedTypeStatsSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
