@@ -85,22 +85,40 @@ object SetSimilarity {
     verifyExact(cand, toks, tau)
   }
 
+  /** Set size from which double-deletion signatures are also emitted:
+    * ⌈2τ/(1−τ)⌉ = 38 at τ = 0.95 — below it, J ≥ τ with |AΔB| = 2 and
+    * B ⊂ A is impossible ((n−2)/n < τ for n < 40), so single deletions
+    * suffice. */
+  val DoubleDelMin: Int =
+    math.ceil(2 * JaccardTau / (1 - JaccardTau)).toInt
+
   /** q22: exact near-duplicate pairs at Jaccard ≥ 0.95 via the
-    * deletion-neighborhood (SymSpell-style) join. At τ ≥ 0.95 with set
-    * sizes ≤ m, J ≥ τ forces |AΔB| ≤ ⌊(1−τ)·m/τ⌋ ≤ 2 (m ≤ 42 here), so
-    * two qualifying sets either share their full-set signature or a
-    * single-deletion signature: emit md5 of the sorted set and of each
-    * single-element deletion (n+1 map-side signatures per doc), bucket
-    * by signature, verify candidates exactly. Candidates ≈ true pairs —
-    * no degenerate buckets — and the index is linear in corpus size. */
+    * deletion-neighborhood (SymSpell-style) join. J ≥ τ = 0.95 forces
+    * |AΔB| ≤ 2 for sets up to ~58 tokens, and each |AΔB| ≤ 2 case is
+    * covered by a shared signature: identical sets → full-set md5;
+    * |AΔB| = 1 and the equal-size two-diff case → a single-deletion
+    * md5; the B ⊂ A, |A| = |B|+2 case → A's double-deletion md5 = B's
+    * full-set md5 (double deletions are emitted only for sets ≥
+    * [[DoubleDelMin]], the size below which that case cannot reach τ —
+    * zero cost on corpora of short documents). Bucket by signature,
+    * verify candidates exactly; candidates ≈ true pairs and the index
+    * stays linear in corpus size. */
   def neardupJaccard(s: SparkSession, d: String): DataFrame = {
     val toks = tokenSets(s, d)
+    val del2 =
+      "CASE WHEN size(st) >= " + DoubleDelMin + " THEN " +
+        "flatten(transform(sequence(1, size(st) - 1), i -> " +
+        "transform(sequence(i + 1, size(st)), j -> md5(concat_ws(' ', " +
+        "concat(slice(st, 1, i - 1), slice(st, i + 1, j - i - 1), " +
+        "slice(st, j + 1, size(st) - j))))))) " +
+        "ELSE slice(st, 1, 0) END"
     val sigs = toks
       .select(col("doc_id"), sort_array(col("ts")).as("st"))
       .select(col("doc_id"), explode(expr(
         "concat(array(md5(concat_ws(' ', st))), " +
           "transform(sequence(1, size(st)), i -> md5(concat_ws(' ', " +
-          "concat(slice(st, 1, i - 1), slice(st, i + 1, size(st) - i))))))"))
+          s"concat(slice(st, 1, i - 1), slice(st, i + 1, size(st) - i))))), " +
+          del2 + ")"))
         .as("sig"))
     val cand = sigs.select(col("doc_id").as("doc_a"), col("sig"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig")), Seq("sig"))
@@ -142,8 +160,15 @@ object SetSimilarity {
       .select(col("doc_id"), expr(s"array($sigExprs)").as("sig"))
   }
 
+  /** Driver-facing form: the signature as a comma-joined string — the
+    * external correctness gate hashes result cells with pandas, which
+    * cannot hash array columns (ADVICE r02: q23/q43 recorded err).
+    * [[sigs0]] keeps the array form for the LSH pipeline. */
   def minhashSig(s: SparkSession, d: String): DataFrame =
-    sigs0(s, d).orderBy(col("doc_id"))
+    sigs0(s, d)
+      .select(col("doc_id"),
+        array_join(col("sig").cast("array<string>"), ",").as("sig"))
+      .orderBy(col("doc_id"))
 
   /** q43: same signatures through the native codegen kernel
     * ([[graft.plans.MinHashSigExpr]], registered as `graft_minhash` by
@@ -154,7 +179,9 @@ object SetSimilarity {
     tokenSets(s, d)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
-      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+      .select(col("doc_id"),
+        array_join(expr("graft_minhash(xs)").cast("array<string>"), ",")
+          .as("sig"))
       .orderBy(col("doc_id"))
 
   private val minhashSigSqlInner: String = {
@@ -169,7 +196,8 @@ object SetSimilarity {
   }
 
   val minhashSigSql: String =
-    s"SELECT * FROM ($minhashSigSqlInner) ORDER BY doc_id"
+    s"""SELECT doc_id, array_to_string(sig, ',') AS sig
+       |FROM ($minhashSigSqlInner) ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q24
   /** LSH banding: 4 bands × 8 rows, verify τ = 0.95. Deterministic, so
@@ -214,9 +242,10 @@ object SetSimilarity {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(expr("aggregate(zip_with(x.sig, y.sig, " +
-        s"(a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)" +
-        s" >= $LshMinSigMatches"))
+      // native codegen eq-count (graft.plans.ArrayKernels) — the HOF
+      // zip_with/aggregate form ran interpreted over ~3M candidate
+      // pairs (q24 was 125 s at sf0.1)
+      .filter(expr(s"graft_eqcount(x.sig, y.sig) >= $LshMinSigMatches"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyExact(cand, toks, LshVerifyTau)
@@ -248,11 +277,16 @@ object SetSimilarity {
   // ---------------------------------------------------------------- q25
   val SimHashBits = 32
 
-  /** Word-3-shingle sets (distinct), the simhash feature universe. */
+  /** Word-3-shingle sets (distinct), the simhash feature universe.
+    * Guarded for docs with <3 tokens: Spark's sequence(1, n) steps
+    * DOWNWARD when n < 1 (sequence(1, 0) = [1, 0]), so the unguarded
+    * form indexed toks[0] and threw at runtime (ADVICE r02); DuckDB's
+    * generate_series yields [] there, which the CASE now mirrors. */
   private val shinglesExpr =
-    s"array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
+    "array_distinct(CASE WHEN size(toks) < 3 THEN slice(toks, 1, 0) " +
+      "ELSE transform(sequence(1, size(toks) - 2), i -> " +
       "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-      "element_at(toks, i + 2))))"
+      "element_at(toks, i + 2))) END)"
   private val shinglesSqlExpr =
     "list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> " +
       "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
@@ -272,7 +306,12 @@ object SetSimilarity {
       .select(col("doc_id"), expr(shinglesExpr).as("sh"))
       .withColumn("xs",
         expr(s"transform(sh, t -> ${Hashing.h31SparkSql("t")})"))
-      .select(col("doc_id"), expr(bitTerms).as("simhash"))
+      // empty shingle set pinned to 0: the unguarded aggregate's base
+      // case would set every bit (Σ over ∅ = 0 ≥ 0), while DuckDB's
+      // list_sum(∅) is NULL → 0 — pin both engines to 0 (ADVICE r02)
+      .select(col("doc_id"),
+        expr(s"CASE WHEN size(xs) = 0 THEN 0L ELSE ($bitTerms) END")
+          .as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -287,7 +326,10 @@ object SetSimilarity {
        |x AS (SELECT doc_id,
        |        list_transform(sh, s -> ${Hashing.h31Sql("s")}) AS xs
        |      FROM sh)
-       |SELECT doc_id, $bitTerms AS simhash FROM x""".stripMargin
+       |SELECT doc_id,
+       |  CASE WHEN len(xs) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE ($bitTerms) END AS simhash
+       |FROM x""".stripMargin
   }
 
   val simhashSql: String =

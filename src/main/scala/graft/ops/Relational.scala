@@ -250,7 +250,8 @@ object Relational {
 
   val jsonPropsSql: String =
     """SELECT event_type, count(*) AS cnt,
-      |  sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+      |    AS sum_k,
       |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
       |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

@@ -181,9 +181,13 @@ object Text {
       .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
       .select(col("doc_id"),
         md5(col("text")).as("content_hash"),
-        expr("transform(sequence(1, size(toks) - 2), i -> " +
+        // guarded for <3 tokens: Spark sequence(1, n) steps DOWNWARD
+        // when n < 1 (sequence(1,0) = [1,0] → toks[0] throws); DuckDB
+        // generate_series yields [] — the CASE mirrors it (ADVICE r02)
+        expr("CASE WHEN size(toks) < 3 THEN slice(toks, 1, 0) " +
+          "ELSE transform(sequence(1, size(toks) - 2), i -> " +
           "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-          "element_at(toks, i + 2)))").as("shingles"))
+          "element_at(toks, i + 2))) END").as("shingles"))
       .select(col("doc_id"), col("content_hash"),
         size(col("shingles")).as("n_shingles"),
         array_min(expr(

@@ -27,5 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       builder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_dot takes two array<double> args")
+        DotProductExpr(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_eqcount"),
+      new ExpressionInfo(classOf[EqCountExpr].getName, "graft_eqcount"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_eqcount takes two array<bigint> args")
+        EqCountExpr(args(0), args(1))
+      }))
   }
 }

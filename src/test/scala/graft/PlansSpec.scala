@@ -8,12 +8,50 @@ class PlansSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("native graft_minhash equals the HOF signature bit-for-bit") {
+    // both emit the driver-facing comma-joined form; equality of the
+    // strings is equality of every signature position
     val hof = SetSimilarity.minhashSig(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val native = SetSimilarity.minhashSigNative(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(native.keySet == hof.keySet)
     native.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
+  }
+
+  test("graft_dot equals the zip_with/aggregate HOF form bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.5, -2.0, 3.25), Seq(4.0, 0.5, -1.0)),
+      (2L, Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)),
+      (3L, Seq.empty[Double], Seq.empty[Double]))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+        .as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id ${r.getLong(0)}"))
+  }
+
+  test("graft_eqcount counts agreeing positions (codegen + interpreted)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (2L, Seq(7L, 7L), Seq(7L, 7L)),
+      (3L, Seq.empty[Long], Seq.empty[Long]))
+      .toDF("id", "a", "b")
+    def run(): Map[Long, Int] =
+      df.select(col("id"), expr("graft_eqcount(a, b)").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = Map(1L -> 3, 2L -> 2, 3L -> 0)
+    assert(run() == expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("graft_minhash survives whole-stage codegen and interpreted eval") {

@@ -22,7 +22,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("minhash signature agreement approximates token-set jaccard") {
     val sigs = SetSimilarity.minhashSig(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toLong).toSeq)
+      .toMap
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         array_distinct(expr(graft.ops.Text.toksExpr)).as("ts"))
