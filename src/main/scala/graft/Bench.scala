@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Drop leaked localCheckpoint blocks: the iterative queries
+    * (LPA/CC/K-Means/BFR/IVF) localCheckpoint per round and nothing
+    * unpersists those RDDs, so over ~150 query executions the block
+    * manager fills and later queries degrade 3–8× (q33 measured 40 s
+    * polluted vs 6 s clean). Unpersisting between queries keeps each
+    * timing independent of session history. */
+  private def dropCheckpoints(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +52,7 @@ object Bench {
       }
       Await.result(Future.sequence(fs), 10.minutes)
       pool.shutdown()
+      dropCheckpoints(spark)
     }
     val warmupSec = (System.nanoTime() - t0) / 1e9
     // Two timed runs, min taken: the host shows heavy external
@@ -51,6 +62,7 @@ object Bench {
       val secs = (1 to 2).map { _ =>
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        dropCheckpoints(spark)
         (System.nanoTime() - t) / 1e9
       }
       System.err.println(f"[bench] $name: ${secs.min}%.1f s (runs: " +

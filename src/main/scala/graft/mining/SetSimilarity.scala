@@ -228,26 +228,37 @@ object SetSimilarity {
     * driver-side dict lookup (Assignment3/task1.py:84-88). */
   def neardupLsh(s: SparkSession, d: String): DataFrame = {
     val toks = tokenSets(s, d)
+    val sigTable = sigs0(s, d)
     val bandStructs = (1 to LshBands).map { i =>
       val elems = (1 to LshRows)
         .map(r => s"element_at(sig, ${(i - 1) * LshRows + r}) AS s$r")
         .mkString(", ")
       s"named_struct('band', $i, 'key', struct($elems))"
     }.mkString(", ")
-    val bands = sigs0(s, d)
-      .select(col("doc_id"), col("sig"),
-        explode(expr(s"array($bandStructs)")).as("b"))
-      .select(col("doc_id"), col("sig"),
-        col("b.band").as("band"), col("b.key").as("key"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // The bucket self-join carries ONLY ids: on a self-similar corpus
+    // it emits millions of matches, and carrying both 32-long
+    // signatures through that join shuffled ~0.5 KB/row (q24 was the
+    // bench's slowest query). Ids are deduped first, then the two
+    // signature lookups run on the much smaller distinct-pair set —
+    // broadcast joins here (the sig table is corpus-sized, not
+    // pair-sized; at larger scale Catalyst falls back to shuffle join).
+    val bands = sigTable
+      .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cand0 = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      // native codegen eq-count (graft.plans.ArrayKernels) — the HOF
-      // zip_with/aggregate form ran interpreted over ~3M candidate
-      // pairs (q24 was 125 s at sf0.1)
-      .filter(expr(s"graft_eqcount(x.sig, y.sig) >= $LshMinSigMatches"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val cand = cand0
+      .join(sigTable.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigTable.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      // native codegen eq-count (graft.plans.ArrayKernels) — the HOF
+      // zip_with/aggregate form ran interpreted (q24 was 125 s at sf0.1)
+      .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $LshMinSigMatches"))
+      .select(col("doc_a"), col("doc_b"))
     verifyExact(cand, toks, LshVerifyTau)
   }
 
