@@ -50,7 +50,11 @@ object Bench {
             f"[bench] warmup $name: ${(System.nanoTime() - t) / 1e9}%.1f s")
         }
       }
-      Await.result(Future.sequence(fs), 10.minutes)
+      // a warmup overrun must not kill the bench — timed runs still
+      // produce the JSON line (first runs just pay the residual JIT)
+      try Await.result(Future.sequence(fs), 10.minutes)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bench] warmup timed out; continuing") }
       pool.shutdown()
       dropCheckpoints(spark)
     }

@@ -67,11 +67,55 @@ object Windows {
       |  count(DISTINCT user_id) AS n_users
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q50: event-time sessionization — 30-minute-gap sessions per user
+    * via `session_window` (merge while the next event lands strictly
+    * inside [start, last + gap)). The per-user session boundary is the
+    * core shape of clickstream/trace pipelines; in streaming the same
+    * aggregate runs incrementally with a watermark. The DuckDB oracle
+    * replays it as the classic gaps-and-islands window query (lag →
+    * new-session flag → running sum → group), which shares Spark's
+    * boundary rule: a gap ≥ 30 min starts a new session. */
+  val SessionGapMinutes = 30
+
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionizeSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL $SessionGapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |g AS (
+       |  SELECT user_id, ts, event_type,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM x)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $SessionGapMinutes MINUTE AS session_end,
+       |  count(*) AS n_events,
+       |  count(DISTINCT event_type) AS n_types
+       |FROM g GROUP BY user_id, sess_id
+       |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_hourly_window" -> (hourlyWindow _),
-    "q32_sliding_window" -> (slidingWindow _))
+    "q32_sliding_window" -> (slidingWindow _),
+    "q50_sessionize" -> (sessionize _))
 
   val oracle: Map[String, String] = Map(
     "q31_hourly_window" -> hourlyWindowSql,
-    "q32_sliding_window" -> slidingWindowSql)
+    "q32_sliding_window" -> slidingWindowSql,
+    "q50_sessionize" -> sessionizeSql)
 }

@@ -64,6 +64,24 @@ object Sources {
   def rateStream(s: SparkSession, rowsPerSecond: Int): DataFrame =
     s.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Bucketed parquet table: pre-shuffle the data ONCE at write time
+    * into `nBuckets` hash buckets on the join/agg key. Every later
+    * equi-join or aggregation on that key is co-located — no Exchange
+    * in the plan — which is the difference between re-shuffling 100 TB
+    * per query and never shuffling it again. This is the engine's
+    * answer to the reference's partitionBy(lambda) re-partitioning
+    * (Assignment1/task3.py:60-66): declare the partitioning in the
+    * table layout instead of hand-placing records per query.
+    * (SourcesSpec asserts the exchange-free plan.) */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 /** Sink connectors — the reference's output surface (SURVEY.md §2.1). */

@@ -74,6 +74,35 @@ class SourcesSpec extends AnyFunSuite {
       Set("window_start", "n_events", "approx_users"))
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val base = tmp()
+    val ords = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val custs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Sources.writeBucketed(ords, "b_orders", s"$base/b_orders",
+      "o_custkey", 4)
+    Sources.writeBucketed(custs, "b_custs", s"$base/b_custs",
+      "o_custkey", 4)
+    // force a non-broadcast join so co-location is what's under test
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_custs"), "o_custkey")
+        .select(col("o_custkey"), col("c_mktsegment"), col("o_totalprice"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join should be exchange-free:\n$physical")
+      // same rows as the plain (shuffled) join
+      assert(joined.count() == ords.join(custs, "o_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_custs")
+    }
+  }
+
   test("text-lines sink writes pre-formatted rows") {
     val dir = tmp() + "/t"
     import spark.implicits._
