@@ -90,6 +90,26 @@ object Streams {
         col("approx_users"), col("fm_estimate"))
   }
 
+  /** Streaming exact deduplication — the incremental form of q21's
+    * content-hash dedup, for ingest pipelines that must drop duplicate
+    * documents as they arrive rather than in a nightly batch. The key
+    * is the md5 of the content (computed map-side; only the hash is
+    * kept in the state store). `dropDuplicatesWithinWatermark` bounds
+    * state to the watermark horizon — the honest 100 TB posture: exact
+    * dedup within the replay window, with the batch job (q21) as the
+    * periodic full-history pass. Works on batch frames too (Spark
+    * falls back to plain dropDuplicates semantics in batch).
+    *
+    * Input needs (doc_id, text, ts); emits the surviving rows. */
+  def streamingExactDedup(docs: DataFrame, watermark: String = "1 hour")
+  : DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col("text")))
+    if (docs.isStreaming)
+      hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   case class ResEvent(seq: Long, tag: String)
   case class ResState(n: Long, sample: List[String])
   case class ResOut(seq: Long, n: Long, sampleSize: Long, topTags: String)

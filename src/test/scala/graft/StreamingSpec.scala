@@ -7,6 +7,7 @@ import java.sql.Timestamp
 import graft.streaming.Streams
 
 case class TestEv(ts: Timestamp, user_id: Long, event_type: String)
+case class TestDoc(doc_id: Long, text: String, ts: Timestamp)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -80,5 +81,35 @@ class StreamingSpec extends AnyFunSuite {
     val out = Streams.processReservoir(0, evs.iterator, st).toSeq
     // final emission: counts a=2 b=2 c=1 d=1 → ranks: 2 and 1 → all four
     assert(out.last.topTags == "a:2,b:2,c:1,d:1")
+  }
+
+  test("streaming exact dedup keeps first occurrence across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestDoc]
+    val q = Streams.streamingExactDedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      mem.addData(
+        TestDoc(1, "alpha beta", new Timestamp(t0)),
+        TestDoc(2, "gamma delta", new Timestamp(t0 + 1000)),
+        TestDoc(3, "alpha beta", new Timestamp(t0 + 2000))) // dup of 1
+      q.processAllAvailable()
+      mem.addData(
+        TestDoc(4, "gamma delta", new Timestamp(t0 + 3000)), // dup of 2
+        TestDoc(5, "epsilon", new Timestamp(t0 + 4000)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L),
+        s"dups dropped across micro-batches, got $ids")
+    } finally q.stop()
+    // batch path: same operator, same keep-one semantics
+    val batch = Streams.streamingExactDedup(Seq(
+      TestDoc(1, "x y", new Timestamp(0)),
+      TestDoc(2, "x y", new Timestamp(1000)),
+      TestDoc(3, "z", new Timestamp(2000))).toDF())
+    assert(batch.count() == 2)
   }
 }
