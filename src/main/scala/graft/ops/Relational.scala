@@ -361,7 +361,43 @@ object Relational {
       |    AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q51: deterministic hash-based stratified sampling — the
+    * reproducible replacement for the reference's random.sample seeding
+    * (U14, Assignment5/bfr.py): a row is in the p% sample iff the
+    * portable 60-bit md5 hash of its key lands in the low p% of hash
+    * space. Properties that matter at 100 TB: no RNG state, no driver
+    * coordination, stable under retries/replays, and any engine
+    * (DuckDB here) selects the identical sample. Emitted as per-stratum
+    * sample stats vs full-population counts, so the oracle verifies
+    * sample membership exactly. */
+  val SamplePct = 10
+
+  def hashSample(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.Hashing.h60SparkSql("event_id")
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(expr(s"$h % 100 < $SamplePct"), 1L).otherwise(0L))
+          .as("n_sampled"),
+        round(sum(when(expr(s"$h % 100 < $SamplePct"),
+            col("value").cast("decimal(18,6)"))
+          .otherwise(lit(null))).cast("double"), 4).as("sampled_value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val hashSampleSql: String = {
+    val h = graft.functions.Hashing.h60Sql("event_id")
+    s"""SELECT event_type, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN $h % 100 < $SamplePct THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_sampled,
+       |  round(CAST(sum(CASE WHEN $h % 100 < $SamplePct
+       |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+       |    AS sampled_value_sum
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_hash_sample" -> (hashSample _),
     "q44_json_props" -> (jsonProps _),
     "q46_asof_purchase" -> (asofPurchase _),
     "q47_rollup_revenue" -> (rollupRevenue _),
@@ -387,6 +423,7 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q51_hash_sample" -> hashSampleSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,
