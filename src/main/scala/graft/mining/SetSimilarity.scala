@@ -25,23 +25,34 @@ import graft.ops.Text.{toksExpr, toksSqlExpr}
   */
 object SetSimilarity {
 
-  /** Distinct-token sets per document (the similarity universe). */
+  /** Distinct-token sets per document (the similarity universe),
+    * ascending-sorted so the merge-intersection kernel (`graft_isize`)
+    * applies. Set semantics are order-free, so the sort changes no
+    * result (the DuckDB oracle's list_distinct keeps encounter order —
+    * only order-insensitive ops consume it there). */
   private def tokenSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), array_distinct(expr(toksExpr)).as("ts"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(expr(toksExpr))).as("ts"))
 
   private val tokenSetsSql =
     s"SELECT doc_id, list_distinct($toksSqlExpr) AS ts FROM documents"
 
-  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs. */
+  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs.
+    * Intersection size via the codegen merge kernel over the sorted
+    * sets ([[graft.plans.SortedIntersectSizeExpr]]) — `array_intersect`
+    * hash-builds and materializes per row, which was 72 of q24's 76
+    * bench seconds over 1.7M candidates at sf0.1. */
   private def verifyExact(cand: DataFrame, toks: DataFrame, tau: Double)
   : DataFrame =
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a")),
-        "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b")),
-        "doc_b")
-      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      // sort on the corpus-sized side (cheap), not per candidate pair:
+      // the merge kernel needs ascending input whatever the caller fed
+      .join(toks.select(col("doc_id").as("doc_a"),
+        sort_array(col("ts")).as("ts_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"),
+        sort_array(col("ts")).as("ts_b")), "doc_b")
+      .withColumn("inter", expr("graft_isize(ts_a, ts_b)"))
       .withColumn("j", col("inter").cast("double") /
         (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
       .filter(col("j") >= tau)
@@ -147,18 +158,16 @@ object SetSimilarity {
   val MinHashSeeds: Seq[(Long, Long)] = Hashing.seeds(NumHashes, salt = 3L)
 
   /** q23: per-document MinHash signature — sig_i = min over tokens of
-    * (a_i·h(tok) + b_i) mod m. One scan, all 32 mins computed in a single
-    * codegen'd projection (the higher-order-function form of SURVEY.md
-    * A8); no shuffle at all. */
-  private def sigs0(s: SparkSession, d: String): DataFrame = {
-    val sigExprs = MinHashSeeds.map { case (a, b) =>
-      s"array_min(transform(xs, x -> ($a * x + $b) % $MinHashMod))"
-    }.mkString(", ")
+    * (a_i·h(tok) + b_i) mod m (SURVEY.md A8). One scan, all 32 mins in a
+    * single projection, no shuffle at all. */
+  private def sigs0(s: SparkSession, d: String): DataFrame =
+    // native one-pass kernel (graft.plans.MinHashSigExpr) — bit-identical
+    // to the k × array_min(transform(...)) HOF form (PlansSpec asserts
+    // it), one array traversal instead of k with no per-hash allocation
     tokenSets(s, d)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
-      .select(col("doc_id"), expr(s"array($sigExprs)").as("sig"))
-  }
+      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
 
   /** Driver-facing form: the signature as a comma-joined string — the
     * external correctness gate hashes result cells with pandas, which

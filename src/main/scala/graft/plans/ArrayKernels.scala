@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native codegen kernels for the hot array loops of the similarity
   * operators — the (b) extension path of the build brief: custom
@@ -75,6 +75,68 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_isize(array<string>, array<string>)` → int: size of the
+  * intersection of two ASCENDING-SORTED string arrays with distinct
+  * elements, by linear merge — the exact-Jaccard verify kernel of the
+  * near-dup joins (q22/q24). `array_intersect` builds a per-row hash
+  * set and materializes the intersection array; on 1.7M candidate
+  * pairs that was 72 of q24's 76 seconds at sf0.1. The merge does two
+  * pointer walks and no allocation. Caller must pass sorted distinct
+  * arrays (`sort_array(array_distinct(...))`); unsorted input
+  * undercounts — this is a kernel, not a general function. */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_isize requires (array<string>, array<string>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_isize"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $cnt = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
     copy(left = newLeft, right = newRight)
 }
 

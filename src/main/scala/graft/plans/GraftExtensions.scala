@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductExpr(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_isize"),
+      new ExpressionInfo(classOf[SortedIntersectSizeExpr].getName,
+        "graft_isize"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "graft_isize takes two sorted array<string> args")
+        SortedIntersectSizeExpr(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_eqcount"),
       new ExpressionInfo(classOf[EqCountExpr].getName, "graft_eqcount"),
       { args: Seq[Expression] =>

@@ -8,10 +8,21 @@ class PlansSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("native graft_minhash equals the HOF signature bit-for-bit") {
-    // both emit the driver-facing comma-joined form; equality of the
-    // strings is equality of every signature position
-    val hof = SetSimilarity.minhashSig(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the HOF form is built inline (the library itself now runs the
+    // native kernel everywhere): k × array_min(transform(...)) over the
+    // same tokenization, compared on the comma-joined encoding
+    val hofSigExprs = SetSimilarity.MinHashSeeds.map { case (a, b) =>
+      s"array_min(transform(xs, x -> ($a * x + $b) % ${SetSimilarity.MinHashMod}))"
+    }.mkString(", ")
+    val hof = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(expr(graft.ops.Text.toksExpr)).as("ts"))
+      .withColumn("xs", expr(
+        s"transform(ts, t -> ${graft.functions.Hashing.h31SparkSql("t")})"))
+      .select(col("doc_id"),
+        array_join(expr(s"array($hofSigExprs)").cast("array<string>"), ",")
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val native = SetSimilarity.minhashSigNative(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(native.keySet == hof.keySet)
@@ -30,6 +41,21 @@ class PlansSpec extends AnyFunSuite {
       expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
         .as("hof")).collect()
     rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id ${r.getLong(0)}"))
+  }
+
+  test("graft_isize equals array_intersect size on sorted distinct arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "d", "f"), Seq("b", "c", "d", "g")),
+      (2L, Seq("x"), Seq("x")),
+      (3L, Seq("p", "q"), Seq("r", "s")),
+      (4L, Seq.empty[String], Seq("a")))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      expr("graft_isize(a, b)").as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
       s"id ${r.getLong(0)}"))
   }
 
