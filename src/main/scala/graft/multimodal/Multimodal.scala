@@ -61,6 +61,55 @@ object Multimodal {
       }
   }
 
+  case class Frame(docId: Long, frameIdx: Int, frameBytes: Array[Byte])
+
+  /** Frame sampling — the video-modality plumbing: each blob ("video")
+    * yields `nFrames` evenly-spaced "frames", emitted as rows so every
+    * downstream op (dedup, feature extraction, similarity) applies
+    * per-frame. STUB frame bytes (md5 of blob ++ index — deterministic,
+    * testable); a real implementation seeks the container and decodes
+    * the keyframe here. Fan-out is map-side (no shuffle): row count
+    * multiplies by nFrames but bytes stay bounded by the frame size. */
+  def sampleFrames(s: SparkSession, d: String, nFrames: Int)
+  : Dataset[Frame] = {
+    import s.implicits._
+    blobs(s, d).select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          (0 until nFrames).iterator.map { i =>
+            md.reset()
+            md.update(bytes)
+            md.update(i.toByte)
+            Frame(id, i, md.digest())
+          }
+        }
+      }
+  }
+
+  /** Feature extraction — frame bytes → fixed-dim float vector, the
+    * step before embedding-space dedup/ANN ([[graft.mining
+    * .VectorSimilarity]] consumes exactly this shape). STUB features
+    * (bytes folded into [0,1) floats); a real model inference call has
+    * the same signature and the same per-partition init amortization. */
+  val FeatureDim = 8
+
+  def extractFeatures(frames: Dataset[Frame])
+  : DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      // model/session init would happen once per partition here
+      it.map { f =>
+        val v = (0 until FeatureDim).map { j =>
+          ((f.frameBytes(2 * j) & 0xff) * 256 +
+            (f.frameBytes(2 * j + 1) & 0xff)).toFloat / 65536.0f
+        }.toArray
+        (f.docId, f.frameIdx, v)
+      }
+    }.toDF("doc_id", "frame_idx", "features")
+  }
+
   /** q42: blob metadata — byte length, content hash, and the stub
     * decoder's deterministic dimensions, expressed relationally so the
     * oracle can replay it (the mapPartitions path computes identical

@@ -30,4 +30,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.height >= 1 && a.height <= 480)
     assert(a.channels >= 1 && a.channels <= 3)
   }
+
+  test("frame sampling fans out deterministically; features are bounded") {
+    import SparkTestSession._
+    val n = 4
+    val frames = graft.multimodal.Multimodal
+      .sampleFrames(spark, sfDir, n).collect()
+    val perDoc = frames.groupBy(_.docId).view.mapValues(_.length).toMap
+    assert(perDoc.values.forall(_ == n), "every doc yields n frames")
+    assert(frames.forall(_.frameBytes.length == 16), "stub frame = md5")
+    // deterministic: a second run produces identical bytes
+    val again = graft.multimodal.Multimodal
+      .sampleFrames(spark, sfDir, n).collect()
+      .map(f => (f.docId, f.frameIdx) -> f.frameBytes.toSeq).toMap
+    assert(frames.forall(f =>
+      again((f.docId, f.frameIdx)) == f.frameBytes.toSeq))
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.sampleFrames(spark, sfDir, n))
+    val rows = feats.collect()
+    assert(rows.length == frames.length)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(v.length == graft.multimodal.Multimodal.FeatureDim)
+      assert(v.forall(x => x >= 0.0f && x < 1.0f))
+    }
+  }
 }
