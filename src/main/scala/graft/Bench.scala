@@ -54,6 +54,9 @@ object Bench {
       // produce the JSON line (first runs just pay the residual JIT)
       try Await.result(Future.sequence(fs), 10.minutes)
       catch { case _: java.util.concurrent.TimeoutException =>
+        // kill the stragglers too — otherwise they keep computing and
+        // contend with the timed runs on the same cores
+        spark.sparkContext.cancelAllJobs()
         System.err.println("[bench] warmup timed out; continuing") }
       pool.shutdown()
       dropCheckpoints(spark)
@@ -64,9 +67,9 @@ object Bench {
     // min-of-2 reports engine cost, not neighbor noise.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val secs = (1 to 2).map { _ =>
+        dropCheckpoints(spark) // session hygiene OUTSIDE the timed window
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        dropCheckpoints(spark)
         (System.nanoTime() - t) / 1e9
       }
       System.err.println(f"[bench] $name: ${secs.min}%.1f s (runs: " +

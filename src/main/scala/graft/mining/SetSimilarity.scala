@@ -97,11 +97,11 @@ object SetSimilarity {
   }
 
   /** Set size from which double-deletion signatures are also emitted:
-    * ⌈2τ/(1−τ)⌉ = 38 at τ = 0.95 — below it, J ≥ τ with |AΔB| = 2 and
-    * B ⊂ A is impossible ((n−2)/n < τ for n < 40), so single deletions
-    * suffice. */
+    * the B ⊂ A, |A| = |B|+2 case needs J = (n−2)/n ≥ τ, i.e.
+    * n ≥ 2/(1−τ) = 40 at τ = 0.95 — below that, single deletions
+    * provably suffice. */
   val DoubleDelMin: Int =
-    math.ceil(2 * JaccardTau / (1 - JaccardTau)).toInt
+    math.ceil(2 / (1 - JaccardTau)).toInt
 
   /** q22: exact near-duplicate pairs at Jaccard ≥ 0.95 via the
     * deletion-neighborhood (SymSpell-style) join. J ≥ τ = 0.95 forces
@@ -124,7 +124,7 @@ object SetSimilarity {
         "slice(st, j + 1, size(st) - j))))))) " +
         "ELSE slice(st, 1, 0) END"
     val sigs = toks
-      .select(col("doc_id"), sort_array(col("ts")).as("st"))
+      .select(col("doc_id"), col("ts").as("st")) // tokenSets pre-sorts
       .select(col("doc_id"), explode(expr(
         "concat(array(md5(concat_ws(' ', st))), " +
           "transform(sequence(1, size(st)), i -> md5(concat_ws(' ', " +

@@ -81,7 +81,9 @@ object Multimodal {
           (0 until nFrames).iterator.map { i =>
             md.reset()
             md.update(bytes)
-            md.update(i.toByte)
+            // full 4-byte index: a single byte would collide frames
+            // 256 apart
+            md.update(java.nio.ByteBuffer.allocate(4).putInt(i).array())
             Frame(id, i, md.digest())
           }
         }

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * expressions instead of driver dict lookups.
   */
 
-/** `graft_dot(array<double>, array<double>)` → double: Σ aᵢ·bᵢ over the
-  * common prefix, left-to-right (bit-identical to the zip_with/aggregate
-  * HOF form and DuckDB's list_sum(list_transform(...))). */
+/** `graft_dot(array<double>, array<double>)` → double: Σ aᵢ·bᵢ,
+  * left-to-right (bit-identical to the zip_with/aggregate HOF form and
+  * DuckDB's list_sum(list_transform(...))). Length mismatch → NULL,
+  * matching the HOF form (zip_with pads with null, which propagates
+  * through the sum) — a ragged row must drop out of cosine ranking,
+  * not contribute a partial dot product. */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -42,12 +45,14 @@ case class DotProductExpr(left: Expression, right: Expression)
         s"graft_dot requires (array<double>, array<double>), got $other")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -63,12 +68,16 @@ case class DotProductExpr(left: Expression, right: Expression)
     val acc = ctx.freshName("acc")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -106,7 +115,14 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var cnt = 0
     while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      // null elements sort first (sort_array) and match like
+      // array_intersect: null == null counts, null < any string
+      val an = a.isNullAt(i); val bn = b.isNullAt(j)
+      val c =
+        if (an && bn) 0
+        else if (an) -1
+        else if (bn) 1
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -119,13 +135,17 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
     val i = ctx.freshName("i"); val j = ctx.freshName("j")
     val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
+    val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0, $j = 0, $cnt = 0;
          |while ($i < $na && $j < $nb) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  boolean $an = $a.isNullAt($i);
+         |  boolean $bn = $b.isNullAt($j);
+         |  int $c = ($an && $bn) ? 0 : $an ? -1 : $bn ? 1
+         |    : $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) $i++;
          |  else $j++;
@@ -154,12 +174,14 @@ case class EqCountExpr(left: Expression, right: Expression)
         s"graft_eqcount requires (array<bigint>, array<bigint>), got $other")
     }
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_eqcount"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null // HOF parity: ragged → NULL
     var cnt = 0
     var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) cnt += 1; i += 1 }
@@ -173,12 +195,16 @@ case class EqCountExpr(left: Expression, right: Expression)
     val cnt = ctx.freshName("cnt")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $cnt = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $cnt++;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $cnt = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $cnt++;
+         |  }
+         |  ${ev.value} = $cnt;
          |}
-         |${ev.value} = $cnt;
        """.stripMargin
     })
   }

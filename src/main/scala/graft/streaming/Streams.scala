@@ -107,7 +107,18 @@ object Streams {
     if (docs.isStreaming)
       hashed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("content_hash")
-    else hashed.dropDuplicates("content_hash")
+        .drop("content_hash")
+    else {
+      // batch parity: dropDuplicates keeps an ARBITRARY row per key —
+      // pin first-occurrence (earliest ts, doc_id tie-break) so batch
+      // and streaming agree on which document survives
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("content_hash"))
+        .orderBy(col("ts").asc, col("doc_id").asc)
+      hashed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "content_hash")
+    }
   }
 
   case class ResEvent(seq: Long, tag: String)
