@@ -31,13 +31,15 @@ object KMeans {
     embeddings(s, d).select(col("vec_id"), expr(vdExpr).as("vd"))
 
   /** Nearest-centroid assignment against a literal centroid matrix —
-    * pure map-side codegen'd expressions, no shuffle. */
+    * pure map-side codegen'd expressions, no shuffle. dist² runs
+    * through the native graft_dist2 kernel (graft.plans.ArrayKernels):
+    * the HOF form allocated a zip_with array per centroid per point,
+    * k allocations per row in the hottest clustering loop. */
   private def assignExpr(centroids: Seq[(Int, Array[Double])]): String = {
     // struct array (cid, dist2); argmin by (dist2, cid) via array_sort
     val structs = centroids.map { case (cid, c) =>
       val lits = c.map(v => s"${v}D").mkString(", ")
-      s"named_struct('dist2', aggregate(zip_with(vd, array($lits), " +
-        s"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x), 'cid', $cid)"
+      s"named_struct('dist2', graft_dist2(vd, array($lits)), 'cid', $cid)"
     }.mkString(", ")
     s"array_sort(array($structs))[0]"
   }

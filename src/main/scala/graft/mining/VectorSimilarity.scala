@@ -243,9 +243,7 @@ object VectorSimilarity {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cdist").asc, col("list_id").asc)
     val probes = broadcast(q).crossJoin(broadcast(cents))
-      .withColumn("cdist",
-        expr("aggregate(zip_with(qv, centroid, (x, y) -> (x - y) * (x - y)), " +
-          "0D, (a, x) -> a + x)"))
+      .withColumn("cdist", expr("graft_dist2(qv, centroid)"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("list_id"))

@@ -87,6 +87,66 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_dist2(array<double>, array<double>)` → double: Σ (aᵢ−bᵢ)²,
+  * left-to-right — the squared-euclidean kernel of the clustering
+  * assignment loops (K-Means/BFR/IVF probe selection), bit-identical
+  * to the zip_with/aggregate HOF form. Length mismatch → NULL (HOF
+  * parity, see [[DotProductExpr]]). */
+case class Dist2Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_dist2 requires (array<double>, array<double>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dist2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dv = a.getDouble(i) - b.getDouble(i); acc += dv * dv; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val dv = ctx.freshName("dv")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $dv = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $dv * $dv;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_isize(array<string>, array<string>)` → int: size of the
   * intersection of two ASCENDING-SORTED string arrays with distinct
   * elements, by linear merge — the exact-Jaccard verify kernel of the

@@ -59,6 +59,25 @@ class PlansSpec extends AnyFunSuite {
       s"id ${r.getLong(0)}"))
   }
 
+  test("graft_dist2 equals the HOF squared-distance bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.5, -2.0, 3.25), Seq(4.0, 0.5, -1.0)),
+      (2L, Seq(0.1, 0.2), Seq(0.1, 0.2)))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      expr("graft_dist2(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (s, x) -> s + x)").as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"id ${r.getLong(0)}"))
+    // ragged input → NULL, like the HOF form
+    val ragged = Seq((1L, Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("id", "a", "b")
+      .select(expr("graft_dist2(a, b)").as("v")).collect()
+    assert(ragged.head.isNullAt(0))
+  }
+
   test("graft_eqcount counts agreeing positions (codegen + interpreted)") {
     import spark.implicits._
     val df = Seq(
