@@ -361,6 +361,99 @@ object Relational {
       |    AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The event-type domain (pinned so the pivot schema is static — at
+    * scale you never want pivot("col") inferring the domain with an
+    * extra pass over 100 TB). */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** q52: pivot — daily event counts, one column per event type. The
+    * wide-format reporting shape; with the domain pinned it compiles
+    * to a single groupBy with conditional aggregates (one scan, one
+    * shuffle on day). */
+  def pivotDaily(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("day"))
+
+  val pivotDailySql: String = {
+    val cols = EventTypes.map(t =>
+      s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS "$t"""".stripMargin).mkString(",\n  ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events WHERE ts < TIMESTAMP '2024-01-08'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q53: EXCEPT / INTERSECT set operators over customer key sets
+    * (big-spender custkeys vs urgent-order custkeys) — the remaining
+    * SQL set-op surface beyond q13's UNION. Both set ops are one
+    * shuffle on the key at scale. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d).filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey"))
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val ex = big.except(urgent)
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    val in = big.intersect(urgent)
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    ex.unionByName(in).select(col("op"), col("n")).orderBy(col("op"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'except' AS op, count(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000.0
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT') t
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 250000.0
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT') t
+      |ORDER BY op""".stripMargin
+
+  /** q54: running totals and gaps — cumulative revenue per customer in
+    * order-date order plus days since the previous order (lag). The
+    * window partitions by customer, so at scale it is one shuffle on
+    * custkey with no global ordering anywhere. */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .withColumn("run_total",
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 2))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("run_total"), col("gap_days"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  val runningTotalsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS run_total,
+      |  CAST(date_diff('day', lag(o_orderdate, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |    o_orderdate) AS BIGINT) AS gap_days
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
   /** q51: deterministic hash-based stratified sampling — the
     * reproducible replacement for the reference's random.sample seeding
     * (U14, Assignment5/bfr.py): a row is in the p% sample iff the
@@ -397,6 +490,9 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_pivot_daily" -> (pivotDaily _),
+    "q53_setops" -> (setOps _),
+    "q54_running_totals" -> (runningTotals _),
     "q51_hash_sample" -> (hashSample _),
     "q44_json_props" -> (jsonProps _),
     "q46_asof_purchase" -> (asofPurchase _),
@@ -423,6 +519,9 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q52_pivot_daily" -> pivotDailySql,
+    "q53_setops" -> setOpsSql,
+    "q54_running_totals" -> runningTotalsSql,
     "q51_hash_sample" -> hashSampleSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
