@@ -62,24 +62,34 @@ object Bench {
       dropCheckpoints(spark)
     }
     val warmupSec = (System.nanoTime() - t0) / 1e9
-    // Two timed runs, min taken: the host shows heavy external
-    // interference spikes (identical plans vary 1 s ↔ 80 s run-to-run);
-    // min-of-2 reports engine cost, not neighbor noise.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val secs = (1 to 2).map { _ =>
+    // Three timed rounds, INTERLEAVED (full pass over every query, then
+    // repeat), min per query: the host shows external interference in
+    // multi-minute windows (identical plans vary 1 s ↔ 80 s). Two
+    // back-to-back runs of one query both land inside a bad window;
+    // interleaving separates a query's samples by a whole pass, so the
+    // min dodges any window shorter than ~1/3 of the bench.
+    val names = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    for (round <- 1 to 3) {
+      names.foreach { case (name, fn) =>
         dropCheckpoints(spark) // session hygiene OUTSIDE the timed window
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t) / 1e9
+        val sec = (System.nanoTime() - t) / 1e9
+        samples(name) = sec :: samples.getOrElse(name, Nil)
+        System.err.println(f"[bench] r$round $name: $sec%.1f s")
       }
-      System.err.println(f"[bench] $name: ${secs.min}%.1f s (runs: " +
-        secs.map(s => f"$s%.1f").mkString(", ") + ")")
-      name -> secs.min
     }
+    val results = names.map { case (name, _) =>
+      val runs = samples(name).reverse
+      System.err.println(f"[bench] $name: ${runs.min}%.1f s (runs: " +
+        runs.map(s => f"$s%.1f").mkString(", ") + ")")
+      name -> runs.min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sf0001_sec":$warmupSec,"timed_runs":2,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sf0001_sec":$warmupSec,"timed_runs":3,"agg":"min","interleaved":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

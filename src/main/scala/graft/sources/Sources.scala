@@ -65,6 +65,20 @@ object Sources {
     s.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * the partition column. Queries filtering on it prune whole
+    * directories at planning time (`PartitionFilters` in the scan, no
+    * file even opened) — with a date partition on 100 TB, a one-day
+    * query reads one day, not the table. Partition columns should be
+    * low-cardinality (date, source, region); high-cardinality keys
+    * belong in [[writeBucketed]] buckets instead.
+    * (SourcesSpec asserts the pruned scan.) */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Bucketed parquet table: pre-shuffle the data ONCE at write time
     * into `nBuckets` hash buckets on the join/agg key. Every later
     * equi-join or aggregation on that key is co-located — no Exchange

@@ -74,6 +74,26 @@ class SourcesSpec extends AnyFunSuite {
       Set("window_start", "n_events", "approx_users"))
   }
 
+  test("partitioned layout prunes partitions at planning time") {
+    val dir = tmp() + "/ev_by_type"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Sources.writePartitioned(ev, dir, "event_type")
+    val one = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+    val scan = one.queryExecution.executedPlan.toString
+    // the partition filter must be applied at the scan, not post-scan
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("purchase"),
+      s"expected pruned scan:\n$scan")
+    val expected = ev.filter(col("event_type") === "purchase").count()
+    assert(one.count() == expected)
+    // only the one directory's files are listed by the pruned plan
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("event_type=purchase") && dirs.size > 1)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val base = tmp()
     val ords = Tables.orders(spark, sfDir)
