@@ -90,6 +90,24 @@ object Streams {
         col("approx_users"), col("fm_estimate"))
   }
 
+  /** Session windows on a stream — the incremental form of q50's
+    * sessionization: per-user 30-minute-gap sessions that close (and
+    * emit, in append mode) once the watermark passes the session end.
+    * Same aggregate body as the batch query, so the batch oracle
+    * (gaps-and-islands SQL) proves the math and StreamingSpec proves
+    * the micro-batch/watermark semantics. */
+  def sessionizeStream(events: DataFrame,
+      gap: String = "30 minutes", watermark: String = "1 hour")
+  : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming exact deduplication — the incremental form of q21's
     * content-hash dedup, for ingest pipelines that must drop duplicate
     * documents as they arrive rather than in a nightly batch. The key

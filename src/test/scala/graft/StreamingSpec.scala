@@ -112,4 +112,37 @@ class StreamingSpec extends AnyFunSuite {
       TestDoc(3, "z", new Timestamp(2000))).toDF())
     assert(batch.count() == 2)
   }
+
+  test("streaming session windows match the batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEv]
+    val q = Streams.sessionizeStream(mem.toDF(), gap = "30 seconds",
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      val t0 = 1700000000000L
+      // user 1: two sessions (gap 60s > 30s); user 2: one session
+      val evs = Seq(
+        TestEv(new Timestamp(t0), 1, "a"),
+        TestEv(new Timestamp(t0 + 10000), 1, "a"),
+        TestEv(new Timestamp(t0 + 80000), 1, "a"),
+        TestEv(new Timestamp(t0 + 5000), 2, "b"))
+      mem.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      val batch = Streams.sessionizeStream(evs.toDF(), gap = "30 seconds")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"streaming sessions == batch sessions; got $streamed vs $batch")
+      assert(streamed.count(_._1 == 1L) == 2, "user 1 has two sessions")
+    } finally q.stop()
+  }
 }
