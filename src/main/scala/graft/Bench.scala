@@ -58,7 +58,11 @@ object Bench {
         // contend with the timed runs on the same cores
         spark.sparkContext.cancelAllJobs()
         System.err.println("[bench] warmup timed out; continuing") }
-      pool.shutdown()
+      // shutdownNow, not shutdown: graceful shutdown still EXECUTES the
+      // queued warmup futures, which would launch fresh Spark jobs
+      // concurrently with the timed rounds after a timeout (on the
+      // success path the queue is empty and this is equivalent)
+      pool.shutdownNow()
       dropCheckpoints(spark)
     }
     val warmupSec = (System.nanoTime() - t0) / 1e9
@@ -77,10 +81,15 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     val names = SparkEntry.queries.toSeq
     val samples = scala.collection.mutable.Map[String, List[Double]]()
+    def inBudget: Boolean = (System.nanoTime() - t0) / 1e9 < budgetSec
     var round = 1
-    while (round == 1 ||
-        (round <= 3 && (System.nanoTime() - t0) / 1e9 < budgetSec)) {
-      names.foreach { case (name, fn) =>
+    while (round == 1 || (round <= 3 && inBudget)) {
+      // rounds ≥ 2 also re-check the budget per QUERY: every query
+      // already has a round-1 sample, so aborting an extra pass midway
+      // loses nothing, while finishing it could overshoot by minutes
+      val it = names.iterator
+      while (it.hasNext && (round == 1 || inBudget)) {
+        val (name, fn) = it.next()
         dropCheckpoints(spark) // session hygiene OUTSIDE the timed window
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -29,11 +29,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   */
 
 /** `graft_dot(array<double>, array<double>)` → double: Σ aᵢ·bᵢ,
-  * left-to-right (bit-identical to the zip_with/aggregate HOF form and
-  * DuckDB's list_sum(list_transform(...))). Length mismatch → NULL,
-  * matching the HOF form (zip_with pads with null, which propagates
-  * through the sum) — a ragged row must drop out of cosine ranking,
-  * not contribute a partial dot product. */
+  * left-to-right (bit-identical to the zip_with/aggregate HOF form on
+  * equal-length input, which is what the oracles exercise — the corpus
+  * is fixed-dimension). Length mismatch → NULL, matching the HOF form
+  * (zip_with pads with null, which propagates through the sum): a
+  * ragged row must drop out of cosine ranking, not contribute a
+  * partial dot product. NB this is a deliberate DIVERGENCE from
+  * DuckDB's permissive list_sum, which skips NULLs and would return
+  * the partial prefix sum on ragged input. */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 

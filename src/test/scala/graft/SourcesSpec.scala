@@ -82,10 +82,12 @@ class SourcesSpec extends AnyFunSuite {
     val one = spark.read.parquet(dir)
       .filter(col("event_type") === "purchase")
     val scan = one.queryExecution.executedPlan.toString
-    // the partition filter must be applied at the scan, not post-scan
-    assert(scan.contains("PartitionFilters") &&
-      scan.contains("purchase"),
-      s"expected pruned scan:\n$scan")
+    // the predicate must sit INSIDE the PartitionFilters clause —
+    // "PartitionFilters: []" plus a data filter elsewhere would mean
+    // pruning was lost while a naive contains() check stayed green
+    assert("PartitionFilters: \\[[^\\]]*purchase".r
+      .findFirstIn(scan).isDefined,
+      s"expected the predicate in PartitionFilters:\n$scan")
     val expected = ev.filter(col("event_type") === "purchase").count()
     assert(one.count() == expected)
     // only the one directory's files are listed by the pruned plan
