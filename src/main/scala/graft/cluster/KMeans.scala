@@ -82,6 +82,16 @@ object KMeans {
        |        / count(*), 4) AS avg_dist2
        |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Round a centroid coordinate to 6 decimals, HALF_UP — the same
+    * rule as Spark SQL / DuckDB round(). Pinning every iteration's
+    * centroids to 6 dp makes the whole Lloyd loop bit-reproducible
+    * across engines AND across partition counts: the per-dimension
+    * mean is a float sum whose order depends on partitioning, and the
+    * ~1e-13 relative noise that injects would otherwise compound over
+    * iterations and flip boundary-point assignments. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Lloyd's algorithm over an arbitrary (vec_id, vd) points frame —
     * init = the k rows with smallest vec_id. Dimension is read from the
     * data. Returns (vec_id, cluster). */
@@ -104,7 +114,8 @@ object KMeans {
         .groupBy(_.getAs[Int]("cid"))
         .map { case (cid, rows) =>
           val arr = new Array[Double](dim)
-          rows.foreach(r => arr(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+          rows.foreach(r =>
+            arr(r.getAs[Int]("dim")) = round6(r.getAs[Double]("m")))
           (cid, arr)
         }.toSeq.sortBy(_._1)
       // empty clusters keep their previous centroid
@@ -119,19 +130,64 @@ object KMeans {
   def lloyd(s: SparkSession, d: String, k: Int = K,
       iters: Int = LloydIters): DataFrame = lloydOn(points(s, d), k, iters)
 
-  /** q40: full K-Means (5 Lloyd iterations) cluster sizes. Rows-only
-    * for the driver; ClusterSpec asserts NMI ≥ 0.8 against the planted
-    * `label` column — the reference's own grading criterion. */
+  /** q40: full K-Means (5 Lloyd iterations) cluster sizes, hash-
+    * verified: the DuckDB oracle unrolls all five assign/update
+    * iterations as CTEs. Cross-engine determinism holds because every
+    * iteration's centroids are pinned to 6 decimals on both sides
+    * (see [[round6]]) — identical centroid literals ⇒ identical dist²
+    * (same left-to-right order) ⇒ identical argmin with the (dist²,
+    * cid) tie-break. ClusterSpec additionally asserts NMI against the
+    * planted labels — the reference's own grading criterion. */
   def kmeansClusters(s: SparkSession, d: String): DataFrame =
     lloyd(s, d)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("csize"))
       .orderBy(col("cluster"))
 
+  /** Unrolled-Lloyd oracle (the LPA-oracle idiom applied to K-Means).
+    * CTEs MATERIALIZED — DuckDB otherwise re-inlines each iteration
+    * into the next and the plan explodes. */
+  val kmeansClustersSql: String = {
+    val dist = s"""list_sum(list_transform(generate_series(1, $Dim),
+                  |          i -> (e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i])))""".stripMargin
+    val iters = (1 to LloydIters).map { n =>
+      s"""a$n AS MATERIALIZED (
+         |  SELECT vec_id, vd, cid FROM (
+         |    SELECT e.vec_id, e.vd, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        $dist ASC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN c${n - 1} c) t WHERE rn = 1),
+         |m$n AS MATERIALIZED (
+         |  SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+         |    SELECT a.cid, g.dim, round(avg(a.vd[g.dim]), 6) AS mn
+         |    FROM a$n a CROSS JOIN
+         |      (SELECT unnest(generate_series(1, $Dim)) AS dim) g
+         |    GROUP BY a.cid, g.dim) t GROUP BY cid),
+         |c$n AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+         |  FROM c${n - 1} p LEFT JOIN m$n m USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, $vdSql AS vd FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INT) AS cid, vd AS cv FROM e
+       |  WHERE vec_id < $K),
+       |$iters,
+       |af AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        $dist ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c$LloydIters c) t WHERE rn = 1)
+       |SELECT cid AS cluster, count(*) AS csize
+       |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_kmeans_assign" -> (kmeansAssign _),
     "q40_kmeans" -> (kmeansClusters _))
 
   val oracle: Map[String, String] = Map(
-    "q39_kmeans_assign" -> kmeansAssignSql)
+    "q39_kmeans_assign" -> kmeansAssignSql,
+    "q40_kmeans" -> kmeansClustersSql)
 }
