@@ -5,6 +5,9 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 import graft.mining.Son
 import graft.streaming.Streams
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import graft.plans.{DotProductExpr, EqCountExpr, SortedIntersectSizeExpr}
 
 /** Property-based checks (SURVEY §5.3) for the algorithm kernels that
   * have no SQL oracle — scalacheck properties run under fixed seeds via
@@ -80,5 +83,47 @@ class PropertySpec extends AnyFunSuite {
     vals.take(100).foreach { v =>
       assert(positions(v).forall(trained.contains), s"false negative on $v")
     }
+  }
+
+  // ---- native kernel properties (interpreted eval path; the codegen
+  // path is pinned by PlansSpec's fixed cases) ----
+
+  private val dblArr: Gen[List[Double]] =
+    Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0))
+
+  test("graft_dot eval == fold dot product; ragged input is NULL") {
+    check(Prop.forAll(dblArr, dblArr) { (a, b) =>
+      val got = DotProductExpr(
+        Literal.create(a, ArrayType(DoubleType)),
+        Literal.create(b, ArrayType(DoubleType))).eval(null)
+      val expect = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      got == expect
+    })
+    val ragged = DotProductExpr(
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Seq(1.0), ArrayType(DoubleType))).eval(null)
+    assert(ragged == null)
+  }
+
+  test("graft_eqcount eval == position-wise equality count") {
+    val lngArr = Gen.listOfN(6, Gen.chooseNum(0L, 3L))
+    check(Prop.forAll(lngArr, lngArr) { (a, b) =>
+      val got = EqCountExpr(
+        Literal.create(a, ArrayType(LongType)),
+        Literal.create(b, ArrayType(LongType))).eval(null)
+      got == a.zip(b).count { case (x, y) => x == y }
+    })
+  }
+
+  test("graft_isize eval == set-intersection size on sorted arrays") {
+    val strArr = Gen.listOf(Gen.oneOf(
+        "a", "b", "c", "d", "e", "f", "g", "h", "aa", "ab"))
+      .map(_.distinct.sorted)
+    check(Prop.forAll(strArr, strArr) { (a, b) =>
+      val got = SortedIntersectSizeExpr(
+        Literal.create(a, ArrayType(StringType)),
+        Literal.create(b, ArrayType(StringType))).eval(null)
+      got == a.toSet.intersect(b.toSet).size
+    })
   }
 }
