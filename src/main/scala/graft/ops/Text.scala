@@ -226,7 +226,65 @@ object Text {
       |  count(*) - count(DISTINCT md5(text)) AS n_dupes
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q55: repetition filtering signals (the Gopher/RefinedWeb-style
+    * "repetition ratios" every LLM-data pipeline computes before
+    * training): duplicate-token fraction and the share of all bigrams
+    * taken by the single most frequent bigram. High values flag
+    * boilerplate/spam for removal. One explode + two grouped
+    * aggregations — shuffles carry (doc_id, bigram) pairs, linear in
+    * corpus size. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    val grams = base
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) < 2 THEN slice(toks, 1, 0) " +
+          "ELSE transform(sequence(1, size(toks) - 1), i -> " +
+          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) " +
+          "END")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_grams"))
+    base
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        round(coalesce(col("top_cnt").cast("double") / col("n_grams"),
+          lit(0.0)), 4).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        (col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
+          .cast("boolean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSignalsSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(toks) - 1),
+       |          i -> concat_ws(' ', toks[i], toks[i + 1]))) AS g
+       |      FROM t),
+       |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams
+       |        FROM gc GROUP BY 1),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |        len(list_distinct(toks)) AS n_uniq FROM t)
+       |SELECT m.doc_id, m.n_tokens,
+       |  round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4)
+       |    AS dup_token_frac,
+       |  round(coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0), 4)
+       |    AS top_bigram_frac,
+       |  (round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4) > 0.5 OR
+       |   round(coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0), 4) > 0.2)
+       |    AS repetitive
+       |FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_repetition" -> (repetitionSignals _),
     "q17_token_stats" -> (tokenStats _),
     "q18_doc_quality" -> (docQuality _),
     "q19_lang_id" -> (langId _),
@@ -234,6 +292,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q55_repetition" -> repetitionSignalsSql,
     "q17_token_stats" -> tokenStatsSql,
     "q18_doc_quality" -> docQualitySql,
     "q19_lang_id" -> langIdSql,
