@@ -454,6 +454,34 @@ object Relational {
       |FROM orders WHERE o_custkey < 200
       |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  /** q56: statistical aggregates — Pearson correlation, sample
+    * covariance, sample stddev/variance per group. All algebraic
+    * (co-moment merge), so they partial-aggregate map-side and shuffle
+    * only k summary rows; rounded to 4 dp because co-moment merge
+    * order differs across engines at ~1e-12 relative. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qty_price"),
+        round(stddev_samp(col("l_discount")), 4).as("std_disc"),
+        round(var_samp(col("l_tax")), 4).as("var_tax"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  val statsAggSql: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4)
+      |    AS covar_qty_price,
+      |  round(stddev_samp(l_discount), 4) AS std_disc,
+      |  round(var_samp(l_tax), 4) AS var_tax,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q51: deterministic hash-based stratified sampling — the
     * reproducible replacement for the reference's random.sample seeding
     * (U14, Assignment5/bfr.py): a row is in the p% sample iff the
@@ -493,6 +521,7 @@ object Relational {
     "q52_pivot_daily" -> (pivotDaily _),
     "q53_setops" -> (setOps _),
     "q54_running_totals" -> (runningTotals _),
+    "q56_stats_agg" -> (statsAgg _),
     "q51_hash_sample" -> (hashSample _),
     "q44_json_props" -> (jsonProps _),
     "q46_asof_purchase" -> (asofPurchase _),
@@ -522,6 +551,7 @@ object Relational {
     "q52_pivot_daily" -> pivotDailySql,
     "q53_setops" -> setOpsSql,
     "q54_running_totals" -> runningTotalsSql,
+    "q56_stats_agg" -> statsAggSql,
     "q51_hash_sample" -> hashSampleSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
