@@ -83,7 +83,11 @@ object KMeans {
        |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Round a centroid coordinate to 6 decimals, HALF_UP — the same
-    * rule as Spark SQL / DuckDB round(). Pinning every iteration's
+    * rule as Spark SQL round() (BigDecimal HALF_UP on the exact double
+    * value; DuckDB rounds the scaled double, which can differ only
+    * when a mean sits within ~1 ulp of a .5e-6 boundary — the same
+    * measure-zero exposure every rounded oracle column in this repo
+    * already carries). Pinning every iteration's
     * centroids to 6 dp makes the whole Lloyd loop bit-reproducible
     * across engines AND across partition counts: the per-dimension
     * mean is a float sum whose order depends on partitioning, and the
@@ -136,8 +140,10 @@ object KMeans {
     * iteration's centroids are pinned to 6 decimals on both sides
     * (see [[round6]]) — identical centroid literals ⇒ identical dist²
     * (same left-to-right order) ⇒ identical argmin with the (dist²,
-    * cid) tie-break. ClusterSpec additionally asserts NMI against the
-    * planted labels — the reference's own grading criterion. */
+    * cid) tie-break. ClusterSpec additionally asserts clustering
+    * quality (NMI = 1 on synthetic blobs; WCSS improvement on the
+    * embeddings — the planted labels are only ~41% separable, so
+    * label-NMI is not a usable gate there). */
   def kmeansClusters(s: SparkSession, d: String): DataFrame =
     lloyd(s, d)
       .groupBy(col("cluster"))
@@ -171,7 +177,7 @@ object KMeans {
        |  SELECT vec_id, $vdSql AS vd FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INT) AS cid, vd AS cv FROM e
-       |  WHERE vec_id < $K),
+       |  ORDER BY vec_id LIMIT $K),
        |$iters,
        |af AS (
        |  SELECT vec_id, cid FROM (

@@ -297,16 +297,11 @@ object SetSimilarity {
   // ---------------------------------------------------------------- q25
   val SimHashBits = 32
 
-  /** Word-3-shingle sets (distinct), the simhash feature universe.
-    * Guarded for docs with <3 tokens: Spark's sequence(1, n) steps
-    * DOWNWARD when n < 1 (sequence(1, 0) = [1, 0]), so the unguarded
-    * form indexed toks[0] and threw at runtime (ADVICE r02); DuckDB's
-    * generate_series yields [] there, which the CASE now mirrors. */
+  /** Word-3-shingle sets (distinct), the simhash feature universe —
+    * built on the shared short-doc-guarded n-gram helper
+    * ([[graft.ops.Text.ngramExpr]], ADVICE r02). */
   private val shinglesExpr =
-    "array_distinct(CASE WHEN size(toks) < 3 THEN slice(toks, 1, 0) " +
-      "ELSE transform(sequence(1, size(toks) - 2), i -> " +
-      "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-      "element_at(toks, i + 2))) END)"
+    s"array_distinct(${graft.ops.Text.ngramExpr("toks", 3)})"
   private val shinglesSqlExpr =
     "list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> " +
       "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"

@@ -27,6 +27,20 @@ object Text {
     * non-space chars — the "whitespace + BPE-ish regex" token counter. */
   val subtokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
+  /** Space-joined word n-grams over a token-array column, guarded for
+    * arrays shorter than n: Spark's sequence(1, m) steps DOWNWARD when
+    * m < 1 (sequence(1, 0) = [1, 0] → out-of-bounds element_at), while
+    * DuckDB's generate_series yields [] — the CASE mirrors the empty
+    * list (ADVICE r02). Shared by the fingerprint shingles (n = 3) and
+    * the repetition bigrams (n = 2). */
+  def ngramExpr(toksCol: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(j => s"element_at($toksCol, i + $j)").mkString(", ")
+    s"CASE WHEN size($toksCol) < $n THEN slice($toksCol, 1, 0) " +
+      s"ELSE transform(sequence(1, size($toksCol) - ${n - 1}), i -> " +
+      s"concat_ws(' ', $parts)) END"
+  }
+
   /** q17: per-document token statistics — whitespace tokens, distinct
     * tokens, BPE-ish subtokens, average token length. */
   def tokenStats(s: SparkSession, d: String): DataFrame =
@@ -181,13 +195,7 @@ object Text {
       .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
       .select(col("doc_id"),
         md5(col("text")).as("content_hash"),
-        // guarded for <3 tokens: Spark sequence(1, n) steps DOWNWARD
-        // when n < 1 (sequence(1,0) = [1,0] → toks[0] throws); DuckDB
-        // generate_series yields [] — the CASE mirrors it (ADVICE r02)
-        expr("CASE WHEN size(toks) < 3 THEN slice(toks, 1, 0) " +
-          "ELSE transform(sequence(1, size(toks) - 2), i -> " +
-          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-          "element_at(toks, i + 2))) END").as("shingles"))
+        expr(ngramExpr("toks", 3)).as("shingles"))
       .select(col("doc_id"), col("content_hash"),
         size(col("shingles")).as("n_shingles"),
         array_min(expr(
@@ -233,33 +241,39 @@ object Text {
     * boilerplate/spam for removal. One explode + two grouped
     * aggregations — shuffles carry (doc_id, bigram) pairs, linear in
     * corpus size. */
-  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+  def repetitionSignals(s: SparkSession, d: String): DataFrame =
+    // single scan: token stats ride along with the exploded bigrams
+    // (re-tokenizing in a second branch would double the dominant
+    // per-row split cost); posexplode_outer keeps zero-bigram docs
+    documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
-    val grams = base
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) < 2 THEN slice(toks, 1, 0) " +
-          "ELSE transform(sequence(1, size(toks) - 1), i -> " +
-          "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) " +
-          "END")).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_grams"))
-    base
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_uniq"))
-      .join(grams, Seq("doc_id"), "left")
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        explode_outer(expr(ngramExpr("toks", 2))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_uniq")).as("n_uniq"),
+        count(col("g")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_uniq")).as("n_uniq"),
+        max(col("c")).as("top_cnt"),
+        sum(col("c")).as("n_grams"))
       .select(col("doc_id"), col("n_tokens"),
-        round(lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"), 4)
+        // zero-token docs pinned to 0.0 (0/0 is NULL in Spark but NaN
+        // on DuckDB ≥ 1.1's IEEE division — pin both engines)
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("n_uniq").cast("double") / col("n_tokens"), 4))
           .as("dup_token_frac"),
-        round(coalesce(col("top_cnt").cast("double") / col("n_grams"),
-          lit(0.0)), 4).as("top_bigram_frac"))
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(
+            col("top_cnt").cast("double") / col("n_grams"), 4))
+          .as("top_bigram_frac"))
       .withColumn("repetitive",
         (col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
           .cast("boolean"))
       .orderBy(col("doc_id"))
-  }
 
   val repetitionSignalsSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
@@ -271,17 +285,18 @@ object Text {
        |top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams
        |        FROM gc GROUP BY 1),
        |m AS (SELECT doc_id, len(toks) AS n_tokens,
-       |        len(list_distinct(toks)) AS n_uniq FROM t)
-       |SELECT m.doc_id, m.n_tokens,
-       |  round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4)
-       |    AS dup_token_frac,
-       |  round(coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0), 4)
-       |    AS top_bigram_frac,
-       |  (round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4) > 0.5 OR
-       |   round(coalesce(CAST(top_cnt AS DOUBLE) / n_grams, 0.0), 4) > 0.2)
-       |    AS repetitive
-       |FROM m LEFT JOIN top ON m.doc_id = top.doc_id
-       |ORDER BY m.doc_id""".stripMargin
+       |        len(list_distinct(toks)) AS n_uniq FROM t),
+       |f AS (SELECT m.doc_id, m.n_tokens,
+       |        CASE WHEN m.n_tokens = 0 THEN 0.0
+       |             ELSE round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4)
+       |        END AS dup_token_frac,
+       |        CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+       |             ELSE round(CAST(top_cnt AS DOUBLE) / n_grams, 4)
+       |        END AS top_bigram_frac
+       |      FROM m LEFT JOIN top ON m.doc_id = top.doc_id)
+       |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+       |  (dup_token_frac > 0.5 OR top_bigram_frac > 0.2) AS repetitive
+       |FROM f ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_repetition" -> (repetitionSignals _),

@@ -224,8 +224,9 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
 }
 
 /** `graft_eqcount(array<long>, array<long>)` → int: number of positions
-  * where the two arrays agree (over the common prefix) — the
-  * signature-agreement pre-filter of the banded-LSH join (q24). */
+  * where the two equal-length arrays agree; NULL on length mismatch
+  * (HOF parity — a ragged signature pair must not pass the filter) —
+  * the signature-agreement pre-filter of the banded-LSH join (q24). */
 case class EqCountExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 

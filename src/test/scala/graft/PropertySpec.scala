@@ -113,6 +113,10 @@ class PropertySpec extends AnyFunSuite {
         Literal.create(b, ArrayType(LongType))).eval(null)
       got == a.zip(b).count { case (x, y) => x == y }
     })
+    val ragged = EqCountExpr(
+      Literal.create(Seq(1L, 2L), ArrayType(LongType)),
+      Literal.create(Seq(1L), ArrayType(LongType))).eval(null)
+    assert(ragged == null, "ragged signature pair must be NULL")
   }
 
   test("graft_isize eval == set-intersection size on sorted arrays") {
