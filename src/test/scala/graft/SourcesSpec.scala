@@ -134,4 +134,25 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
     assert(back == Set("('a'), 1", "('b'), 2"))
   }
+
+  test("json-lines scan surfaces corrupt records instead of dying") {
+    val dir = tmp()
+    val f = new java.io.File(dir, "in.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "v": "ok"}""")
+    w.println("""{"id": 2, "v": """)          // truncated json
+    w.println("""{"id": 3, "v": "also ok"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = Sources.jsonLines(spark, f.toString, schema)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val bad = rows.filter(r =>
+      !r.isNullAt(r.fieldIndex("_corrupt_record")))
+    assert(bad.length == 1, "exactly the truncated line is quarantined")
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+  }
 }
