@@ -104,10 +104,12 @@ object Bfr {
     seeds
   }
 
-  /** Driver-local Lloyd for RS re-clustering (RS is bounded small). */
+  /** Driver-local Lloyd for RS re-clustering and seed derivation (input
+    * is always bounded: the RS set, or an [[InitSampleCap]]-row sample).
+    * Returns (point→cluster, final centroids indexed 0..k-1). */
   private def localKMeans(pts: Seq[(Long, Array[Double])], k: Int,
-      iters: Int = 5): Map[Long, Int] = {
-    if (pts.isEmpty) return Map.empty
+      iters: Int = 5): (Map[Long, Int], Seq[(Int, Array[Double])]) = {
+    if (pts.isEmpty) return (Map.empty, Seq.empty)
     var cents: Seq[Array[Double]] = farthestFirstSeeds(pts, k)
     def nearest(p: Array[Double]): Int =
       cents.indices.minBy { i =>
@@ -129,12 +131,44 @@ object Bfr {
         }
       }.toSeq
     }
-    pts.map { case (id, p) => id -> nearest(p) }.toMap
+    (pts.map { case (id, p) => id -> nearest(p) }.toMap,
+      cents.zipWithIndex.map { case (c, i) => (i, c) })
   }
 
-  /** Run BFR; returns (assignments DataFrame (vec_id, cluster),
-    * DS/CS stats). Clusters: 0..K-1 = DS, ≥ 100 = CS, −1 = outlier. */
-  def run(s: SparkSession, d: String): DataFrame = {
+  /** Seed sample size for round-1 init: bounded, so the driver never
+    * holds data proportional to the chunk (a chunk at 100 TB is ~20 TB —
+    * it must not land on the driver). */
+  val InitSampleCap = 2000
+  /** Lloyd refinement iterations for the distributed round-1 init. */
+  val InitIters = 5
+
+  /** Per-cluster N/SUM/SUMSQ from an assignment frame — one typed-
+    * Aggregator shuffle; only k stats rows reach the driver. */
+  private def clusterStats(ptsDf: DataFrame, asg: DataFrame)
+  : Map[Int, CStats] = {
+    val s = ptsDf.sparkSession
+    import s.implicits._
+    ptsDf.join(asg, "vec_id")
+      .select(col("cluster"), col("vd")).as[(Int, Array[Double])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(StatsAgg.toColumn.name("st"))
+      .collect().toMap
+  }
+
+  /** One reference-format intermediate row: state AFTER a round
+    * (Assignment5/bfr.py:427-432 header). */
+  private[cluster] case class RoundStats(
+      round_id: Int, nof_cluster_discard: Int, nof_point_discard: Long,
+      nof_cluster_compression: Int, nof_point_compression: Long,
+      nof_point_retained: Long)
+
+  /** Run BFR; returns assignments DataFrame (vec_id, cluster).
+    * Clusters: 0..K-1 = DS, ≥ 100 = CS, −1 = outlier. When
+    * `intermediateOut` is set, writes the reference's per-round
+    * DS/CS/RS stats CSV there (one row per chunk round,
+    * Assignment5/bfr.py:427-432). */
+  def run(s: SparkSession, d: String,
+      intermediateOut: Option[String] = None): DataFrame = {
     import s.implicits._
     val pts = KMeans.points(s, d)
       .select(col("vec_id"), col("vd")).as[(Long, Array[Double])]
@@ -142,19 +176,27 @@ object Bfr {
     val total = pts.count()
     val chunkSz = math.max(1L, (total + NumChunks - 1) / NumChunks)
 
-    // Round 1: K-Means on chunk 0 initializes DS. (chunk 0 is collected
-    // once — it is the init sample, the one intentional driver load.)
-    val chunk0 = pts.filter(col("vec_id") < chunkSz).collect().toSeq
-    val init = localKMeans(chunk0, K)
-    var ds: Map[Int, CStats] = chunk0
-      .groupBy { case (id, _) => init(id) }
-      .map { case (cid, ps) =>
-        cid -> ps.foldLeft(StatsAgg.zero)((b, p) => b.add(p._2))
-      }
+    // Round 1, fully distributed: seed centroids come from a BOUNDED
+    // deterministic sample (InitSampleCap rows, hash-ordered top-k —
+    // farthest-first + local Lloyd on the sample, the reference's 20%
+    // sampling intent, bfr.py:255-259), then InitIters distributed
+    // Lloyd iterations over the whole chunk refine them. Only k×d
+    // centroids and k stats rows ever cross the driver — no data-sized
+    // collect anywhere in this loop.
+    val chunk0 = pts.filter(col("vec_id") < chunkSz).toDF()
+    val sample = chunk0
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(InitSampleCap)
+      .as[(Long, Array[Double])].collect().toSeq
+    val seeds = localKMeans(sample, K)._2
+    val asg0 = KMeans.lloydOn(chunk0, K, InitIters, Some(seeds))
+      .localCheckpoint()
+    var ds: Map[Int, CStats] = clusterStats(chunk0, asg0)
     var cs: Map[Int, CStats] = Map.empty
     var rs: Seq[(Long, Array[Double])] = Seq.empty
-    var assignments: DataFrame = chunk0
-      .map { case (id, _) => (id, init(id)) }.toDF("vec_id", "cluster")
+    var assignments: DataFrame = asg0
+    val rounds = scala.collection.mutable.ArrayBuffer(
+      roundStats(1, ds, cs, rs))
 
     for (chunk <- 1 until NumChunks) {
       val lo = chunk * chunkSz; val hi = math.min(total, lo + chunkSz)
@@ -190,7 +232,7 @@ object Bfr {
       rs = rs ++ tagged.filter(_._3 == -1)
         .map { case (id, p, _) => (id, p) }.collect().toSeq
       if (rs.size > 2 * K) {
-        val asg = localKMeans(rs, math.max(K, rs.size / 2))
+        val asg = localKMeans(rs, math.max(K, rs.size / 2))._1
         val groups = rs.groupBy { case (id, _) => asg(id) }
         val (multi, single) = groups.partition(_._2.size > 1)
         val nextCsId = (cs.keys ++ Seq(CsIdOffset - 1)).max + 1
@@ -223,12 +265,22 @@ object Bfr {
         }
       }
       assignments = assignments.localCheckpoint()
+      rounds += roundStats(chunk + 1, ds, cs, rs)
+    }
+    intermediateOut.foreach { path =>
+      graft.sources.Sinks.csvWithHeader(
+        s.createDataFrame(rounds.toSeq).coalesce(1), path)
     }
     // Final: surviving RS points are outliers (−1).
     val outliers = rs.map { case (id, _) => (id, -1) }
       .toDF("vec_id", "cluster")
     assignments.unionByName(outliers)
   }
+
+  private def roundStats(round: Int, ds: Map[Int, CStats],
+      cs: Map[Int, CStats], rs: Seq[(Long, Array[Double])]): RoundStats =
+    RoundStats(round, ds.size, ds.values.map(_.n).sum,
+      cs.size, cs.values.map(_.n).sum, rs.size.toLong)
 
   /** q41: BFR cluster sizes — DS 0..9, CS ≥ 100, outliers −1.
     * Rows-only; ClusterSpec asserts DS NMI vs the planted labels. */

@@ -30,19 +30,34 @@ object KMeans {
   def points(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), expr(vdExpr).as("vd"))
 
-  /** Nearest-centroid assignment against a literal centroid matrix —
-    * pure map-side codegen'd expressions, no shuffle. dist² runs
-    * through the native graft_dist2 kernel (graft.plans.ArrayKernels):
-    * the HOF form allocated a zip_with array per centroid per point,
-    * k allocations per row in the hottest clustering loop. */
-  private def assignExpr(centroids: Seq[(Int, Array[Double])]): String = {
-    // struct array (cid, dist2); argmin by (dist2, cid) via array_sort
-    val structs = centroids.map { case (cid, c) =>
-      val lits = c.map(v => s"${v}D").mkString(", ")
-      s"named_struct('dist2', graft_dist2(vd, array($lits)), 'cid', $cid)"
+  /** Argmin-over-centroids expression TEXT — references the centroid
+    * matrix by index into a single `__cents` column (attached by
+    * [[withAssign]] as one array<array<double>> literal), so the text is
+    * O(k) regardless of d. The earlier form inlined every coordinate as
+    * a SQL double literal — k×d string literals — which at one order of
+    * magnitude more clusters or dimensions becomes a megabyte expression
+    * tree and a codegen blowup. Struct ordering (dist2 first, cid
+    * second) makes array_sort the (dist², cid) argmin. */
+  private[graft] def assignStructs(cids: Seq[Int]): String = {
+    val structs = cids.zipWithIndex.map { case (cid, i) =>
+      s"named_struct('dist2', graft_dist2(vd, `__cents`[$i]), 'cid', $cid)"
     }.mkString(", ")
     s"array_sort(array($structs))[0]"
   }
+
+  /** Nearest-centroid assignment struct column `out` (fields dist2,
+    * cid) over a frame with a `vd` array<double> column — pure map-side
+    * codegen'd expressions, no shuffle. dist² runs through the native
+    * graft_dist2 kernel (graft.plans.ArrayKernels): the HOF form
+    * allocated a zip_with array per centroid per point, k allocations
+    * per row in the hottest clustering loop. The centroid matrix rides
+    * as ONE typed literal (Catalyst folds the per-centroid index into
+    * compact array literals), never as k×d SQL text. */
+  private[graft] def withAssign(df: DataFrame,
+      centroids: Seq[(Int, Array[Double])], out: String): DataFrame =
+    df.withColumn("__cents", typedLit(centroids.map(_._2.toSeq)))
+      .withColumn(out, expr(assignStructs(centroids.map(_._1))))
+      .drop("__cents")
 
   /** q39: one Lloyd assignment step from the deterministic init
     * (centroids = vectors with the K smallest vec_ids): every point to
@@ -54,8 +69,7 @@ object KMeans {
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    points(s, d)
-      .withColumn("a", expr(assignExpr(cents)))
+    withAssign(points(s, d), cents, "a")
       .select(col("vec_id"), col("a.cid").as("centroid_id"),
         col("a.dist2").as("dist2"))
       .groupBy(col("centroid_id"))
@@ -97,16 +111,21 @@ object KMeans {
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Lloyd's algorithm over an arbitrary (vec_id, vd) points frame —
-    * init = the k rows with smallest vec_id. Dimension is read from the
-    * data. Returns (vec_id, cluster). */
-  def lloydOn(ptsIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    * init = the k rows with smallest vec_id, or caller-supplied seed
+    * centroids (`init`; BFR passes farthest-first seeds from a bounded
+    * sample). Dimension is read from the data. Returns (vec_id,
+    * cluster). */
+  def lloydOn(ptsIn: DataFrame, k: Int, iters: Int,
+      init: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
     val pts = ptsIn.localCheckpoint()
-    var cents = pts.orderBy(col("vec_id")).limit(k).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+    var cents: Seq[(Int, Array[Double])] = init.getOrElse {
+      pts.orderBy(col("vec_id")).limit(k).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    }
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val assigned = pts.withColumn("a", expr(assignExpr(cents)))
+      val assigned = withAssign(pts, cents, "a")
         .select(col("vec_id"), col("a.cid").as("cid"), col("vd"))
       // new centroids: per-(cluster, dim) means — one shuffle of
       // (cid, dim, component) triples, k×d result to the driver.
@@ -126,7 +145,7 @@ object KMeans {
       val byId = next.toMap
       cents = cents.map { case (cid, old) => (cid, byId.getOrElse(cid, old)) }
     }
-    pts.withColumn("a", expr(assignExpr(cents)))
+    withAssign(pts, cents, "a")
       .select(col("vec_id"), col("a.cid").as("cluster"))
   }
 

@@ -99,9 +99,6 @@ object Son {
     // consumed three times (total count, phase 1, phase 2) — without it
     // each pass recomputes the 600k-row join (this was 60 of q28's 88
     // bench seconds at sf0.1).
-    val t0 = System.nanoTime()
-    def lap(tag: String): Unit =
-      System.err.println(f"[son] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // repartition pins phase-1 parallelism: AQE coalesces the small
     // basket shuffle to ~1 partition, which would serialize the local
     // mining (this, not the mining itself, was q28's bench cost). The
@@ -111,7 +108,6 @@ object Son {
       .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()
     val total = b.count()
-    lap("baskets")
     val minsup = math.max(1L, math.ceil(SupportFrac * total).toLong)
     // Phase 1: per-partition candidates.
     // toVector, not toSeq: Iterator.toSeq yields a lazily-memoized
@@ -122,7 +118,6 @@ object Son {
       .distinct()
       .collect()
       .map(_.toVector)
-    lap(s"phase1 (${candidates.length} candidates)")
     val bc = s.sparkContext.broadcast(candidates)
     // Phase 2: exact counting — enumerate each basket's subsets up to
     // MaxSize, probe the broadcast candidate set, emit hits map-side;

@@ -45,14 +45,27 @@ class ClusterSpec extends AnyFunSuite {
     assert(degenerate.sigma.forall(_ == 1.0))
   }
 
-  test("bfr end-to-end on embeddings: full coverage, DS ids 0..9") {
-    val out = Bfr.run(spark, sfDir).collect()
+  test("bfr end-to-end on embeddings: full coverage, DS ids 0..9, round stats") {
+    val statsDir =
+      java.nio.file.Files.createTempDirectory("bfr-rounds").toString
+    val out = Bfr.run(spark, sfDir, Some(statsDir)).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     assert(out.size == n, "every vector labeled exactly once")
     val clusters = out.values.toSet
     assert(clusters.forall(c => c == -1 || c < 10 || c >= 100),
       s"cluster ids follow DS/CS/outlier convention: $clusters")
+    // intermediate stats: the reference's exact header
+    // (Assignment5/bfr.py:427-432), one row per chunk round
+    val csv = spark.read.option("header", true).csv(statsDir)
+    assert(csv.columns.toSeq == Seq("round_id", "nof_cluster_discard",
+      "nof_point_discard", "nof_cluster_compression",
+      "nof_point_compression", "nof_point_retained"))
+    assert(csv.count() == Bfr.NumChunks)
+    // DS point count never shrinks across rounds
+    val dsPts = csv.collect().map(r =>
+      (r.getString(0).toInt, r.getString(2).toLong)).sortBy(_._1).map(_._2)
+    assert(dsPts.zip(dsPts.tail).forall { case (a, b) => b >= a })
   }
 
   /** NB: the planted `label` column is barely separable (supervised

@@ -99,6 +99,26 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans assignment expression text is O(k), never inlined k×d literals") {
+    import graft.cluster.KMeans
+    // the text indexes a single __cents literal — its size must not
+    // depend on the dimension and must stay linear in k
+    val t10 = KMeans.assignStructs(0 until 10)
+    val t20 = KMeans.assignStructs(0 until 20)
+    assert(t10.contains("`__cents`[") && !t10.contains("D,") && !t10.contains("D)"),
+      "no inlined double coordinate literals")
+    assert(t20.length < 2.5 * t10.length, "text grows linearly in k")
+    // and the indexed form assigns correctly, with (dist², cid) tie-break
+    import spark.implicits._
+    val cents = Seq((0, Array(0.0, 0.0)), (1, Array(10.0, 10.0)))
+    val df = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(9.0, 9.5)), (3L, Seq(5.0, 5.0)))
+      .toDF("vec_id", "vd")
+    val got = KMeans.withAssign(df, cents, "a")
+      .select(col("vec_id"), col("a.cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0)) // (5,5) ties → smaller cid
+  }
+
   test("graft_minhash survives whole-stage codegen and interpreted eval") {
     import spark.implicits._
     val df = Seq((1L, Seq(5L, 17L, 123456789L)), (2L, Seq(42L)))
