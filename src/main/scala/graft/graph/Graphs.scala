@@ -13,9 +13,11 @@ import graft.Tables._
   * The edge build is the J2 shape done right: explode to (custkey,
   * partkey), self-equi-join on partkey, count per pair — a shuffle join,
   * never the reference's O(V²) driver loop (task1.py:32-47). At 100 TB
-  * the join keys are parts (bounded fan-out per part via AQE skew
-  * handling); everything downstream operates on the edge list, which is
-  * orders of magnitude smaller than the input.
+  * the join keys are parts: per-key fan-out is bounded by the
+  * [[MaxSourceDf]] cap (a key with f rows emits f² pairs — the cap
+  * removes the pathological keys before the join; AQE skew splitting
+  * handles the merely-uneven rest); everything downstream operates on
+  * the edge list, which is orders of magnitude smaller than the input.
   *
   * LPA and connected components are synchronous join-iterations with
   * explicit deterministic tie-breaks (count desc, label asc) — unlike
@@ -28,6 +30,17 @@ object Graphs {
 
   /** Full-graph edge threshold (shared distinct parts). */
   val EdgeThreshold = 5
+  /** Skew guard: a part bought by f distinct customers emits O(f²)
+    * candidate pairs in the self-join — one ubiquitous part at 100×
+    * data (f ≈ 10⁶) would emit 10¹² pairs from a single join key and
+    * stall the stage. Parts with df above this cap are excluded from
+    * the edge build BEFORE the join, the standard co-occurrence-mining
+    * guard (ubiquitous items carry no pair signal — the market-basket
+    * stop-word rule). The cap sits far above the testdata's max df
+    * (53 at sf0.1) so results here are unchanged, and the SQL oracle
+    * applies the same cap, so Spark and oracle agree at EVERY scale,
+    * not just the tested ones. */
+  val MaxSourceDf = 1000
   /** Subgraph: nations < 5, threshold 4 — the bounded graph for
     * triangle/LPA/CC queries (306 nodes / ~650 edges at sf0.01). */
   val SubNations = 5
@@ -47,10 +60,20 @@ object Graphs {
     bounded.distinct()
   }
 
+  /** Drop join keys whose fan-out exceeds `maxDf` — the pre-join skew
+    * guard for the f² self-join. One window on the join key; Catalyst
+    * reuses its hash-partitioning exchange for the self-join that
+    * follows, so the guard costs no extra shuffle. */
+  private[graft] def capBySourceDf(cp: DataFrame, maxDf: Int): DataFrame =
+    cp.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("pk"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+
   /** Canonical undirected edges (src < dst). */
   def edges(s: SparkSession, d: String, maxNation: Option[Int], thr: Int)
   : DataFrame = {
-    val cp = custParts(s, d, maxNation)
+    val cp = capBySourceDf(custParts(s, d, maxNation), MaxSourceDf)
     cp.select(col("ck").as("src"), col("pk"))
       .join(cp.select(col("ck").as("dst"), col("pk")), Seq("pk"))
       .filter(col("src") < col("dst"))
@@ -71,9 +94,12 @@ object Graphs {
          |    WHERE c_nationkey < $SubNations)""".stripMargin
     else ""
     s"""cp AS MATERIALIZED (
-       |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |  $where),""".stripMargin
+       |  SELECT ck, pk FROM (
+       |    SELECT ck, pk, count(*) OVER (PARTITION BY pk) AS df FROM (
+       |      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+       |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |      $where))
+       |  WHERE df <= $MaxSourceDf),""".stripMargin
   }
 
   private def edgesSql(sub: Boolean, thr: Int): String =

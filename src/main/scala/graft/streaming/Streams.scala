@@ -69,8 +69,12 @@ object Streams {
   }
 
   private object ExpressionEncoderHelper {
+    /** Catalyst-native array<int> encoder: buffer ser/de is a primitive
+      * array copy per partial-merge/state-store round-trip, not a Java
+      * serialization stream (the previous javaSerialization encoder
+      * paid object-graph serialization on every merge). */
     val intArray: Encoder[Array[Int]] =
-      org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
   }
 
   /** FM distinct-user estimate per sliding window — the full streaming

@@ -6,6 +6,21 @@ import graft.graph.GirvanNewman
 class GraphSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("edge-build skew guard drops hot join keys, keeps the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // part 99 is "hot": bought by 6 customers (> cap 5) → must emit no
+    // pairs; part 1 is normal: 3 customers → C(3,2) pairs survive.
+    val hot = (1 to 6).map(c => (c.toLong, 99L))
+    val cold = (1 to 3).map(c => (c.toLong, 1L))
+    val cp = (hot ++ cold).toDF("ck", "pk")
+    val capped = graft.graph.Graphs.capBySourceDf(cp, maxDf = 5)
+    assert(capped.filter(col("pk") === 99L).count() == 0,
+      "hot key excluded before the self-join")
+    assert(capped.filter(col("pk") === 1L).count() == 3,
+      "normal keys untouched")
+  }
+
   test("brandes edge betweenness: path graph 1-2-3-4") {
     val b = GirvanNewman.edgeBetweenness(spark, Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     // pairs crossing each edge: (1,2)=3, (2,3)=4, (3,4)=3
