@@ -135,6 +135,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(back == Set("('a'), 1", "('b'), 2"))
   }
 
+  test("reference grouped-itemset format: golden bytes (Assignment2 shape)") {
+    import spark.implicits._
+    import graft.functions.Formats
+    // FIXTURES.md §4 golden SON fixture at support=1: all singletons
+    // frequent, plus the u2 pair — grouped one line per size,
+    // lexicographic tuples within a line.
+    val itemsets = Seq(
+      (Seq("100"), 1), (Seq("101"), 1), (Seq("102"), 1),
+      (Seq("98"), 1), (Seq("99"), 1),
+      (Seq("101", "99"), 2))
+      .toDF("itemset", "sz")
+    val dir = tmp() + "/itemsets"
+    Sinks.textLines(Formats.groupedItemsetLines(itemsets), dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(back == Set(
+      "('100'),('101'),('102'),('98'),('99')", // singleton: ('x'), not ('x',)
+      "('101', '99')"))
+  }
+
+  test("reference pair-value line format: golden bytes (Assignment4 shape)") {
+    import spark.implicits._
+    import graft.functions.Formats
+    val edges = Seq(("u1", "u2", 4.0), ("u1", "u3", 0.5))
+      .toDF("a", "b", "v")
+    val dir = tmp() + "/pairs"
+    Sinks.textLines(edges.select(
+      Formats.pairValueLine(col("a"), col("b"), col("v")).as("line")), dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(back == Set("('u1', 'u2'), 4.0", "('u1', 'u3'), 0.5"))
+  }
+
   test("json-lines scan surfaces corrupt records instead of dying") {
     val dir = tmp()
     val f = new java.io.File(dir, "in.jsonl")

@@ -18,6 +18,65 @@ class StreamingSpec extends AnyFunSuite {
         user_id = i % 37, event_type = s"t${i % 3}")
     }
 
+  test("socket source drives the sliding window end-to-end (ST1+ST5 off MemoryStream)") {
+    import graft.sources.Sources
+    // real localhost socket: serve "ts,user_id" lines, read through
+    // Sources.socketLines, window through the oracle-verified
+    // slidingUserCounts body
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val lines = Seq(
+      "2024-01-01 00:00:05,1",
+      "2024-01-01 00:00:07,2",
+      "2024-01-01 00:00:15,1",
+      "2024-01-01 00:00:25,3")
+    @volatile var served = false
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      served = true
+      // hold the connection until the query is done reading
+      var open = true
+      while (open && !sock.isClosed)
+        try Thread.sleep(100)
+        catch { case _: InterruptedException => open = false }
+    })
+    t.setDaemon(true); t.start()
+    val parsed = Sources.socketLines(spark, "127.0.0.1", server.getLocalPort)
+      .select(
+        split(col("value"), ",").getItem(0).cast("timestamp").as("ts"),
+        split(col("value"), ",").getItem(1).cast("long").as("user_id"))
+    val q = Streams.slidingUserCounts(parsed)
+      .writeStream.format("memory").queryName("socket_win")
+      .outputMode("complete").start()
+    try {
+      // poll: socket delivery is asynchronous — wait for all 4 events
+      // to land in windows (each event covers 3 sliding windows)
+      val deadline = System.currentTimeMillis() + 30000
+      def total(): Long =
+        spark.table("socket_win").agg(sum(col("n_events"))).collect()(0)
+          .getLong(0)
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        ok = served && spark.table("socket_win").count() > 0 &&
+          total() == lines.size * 3
+        if (!ok) Thread.sleep(200)
+      }
+      assert(ok, "socket-fed window totals never reached expected count")
+      // spot-check one window: [00:00:00, 00:00:30) start 00:00:00
+      // covers events at :05, :07, :15, :25 → 4 events, 3 users
+      val w0 = spark.table("socket_win")
+        .filter(col("window_start") === lit("2024-01-01 00:00:00").cast("timestamp"))
+        .collect()
+      assert(w0.length == 1 && w0(0).getAs[Long]("n_events") == 4)
+    } finally {
+      q.stop(); t.interrupt(); server.close()
+    }
+  }
+
   test("sliding FM window agg over MemoryStream matches batch run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
