@@ -176,26 +176,90 @@ object VectorSimilarity {
 
   // ---------------------------------------------------------------- q45
   val NearDupCos = 0.4
+  /** Threshold at/above which [[nearDupPairs]] routes through the
+    * bucketed LSH path by default. Below it, sign-random-projection
+    * buckets lose recall (bit-agreement probability 1 − θ/π drops too
+    * far from 1), so the exact pair scan is the honest form. */
+  val DedupGradeCos = 0.8
 
-  /** q45: embedding-cosine near-duplicate pairs — every pair with
-    * cosine ≥ 0.4 (this corpus's pairwise max is ≈0.5: no true dups
-    * exist, so the threshold demonstrates the operator on the corpus's
-    * own similarity scale). Exact by construction: at thresholds this
-    * low no LSH family prunes without recall loss, so the honest form
-    * is the broadcast-one-side pair scan; at dedup-grade thresholds
-    * (≥0.9) you'd run [[annHyperplaneLsh]]'s bucketing first. */
-  def embedNearDup(s: SparkSession, d: String): DataFrame = {
-    val base = withNorm(s, d)
+  /** Public near-dup entry point — dispatches on the threshold.
+    * Dedup-grade thresholds (≥ [[DedupGradeCos]]) take the bucketed
+    * path: candidate pairs come from hyperplane-bucket equi-joins
+    * (cost ~ Σ bucket², never n²), then exact-cosine verification —
+    * this is THE default at scale; a 100 TB dedup pass must not
+    * enumerate all pairs. Exploratory low thresholds take the exact
+    * broadcast pair scan, O(n²) by construction, intended for bounded
+    * corpora (no LSH family prunes at τ≈0.4 without recall loss). */
+  def nearDupPairs(s: SparkSession, d: String, threshold: Double)
+  : DataFrame = {
+    val pts = embeddings(s, d).select(col("vec_id"), expr(vdExpr).as("vd"))
+    if (usesBucketedPath(threshold)) nearDupPairsBucketedOn(pts, threshold)
+    else nearDupPairsExactOn(pts, threshold)
+  }
+
+  private[graft] def usesBucketedPath(threshold: Double): Boolean =
+    threshold >= DedupGradeCos
+
+  /** Bucketed near-dup join over an arbitrary (vec_id, vd) frame: hash
+    * each vector into [[NumTables]] hyperplane tables map-side, self
+    * equi-join the (table, bucket) keys CARRYING IDS ONLY (the q24
+    * lesson: pair fan-out × 64-double payload is what hurts), dedup
+    * candidate pairs across tables, then join vectors back for the
+    * exact-cosine verify. Recall is the standard multi-table OR bound
+    * (1 − (1 − p^planes)^tables, p = 1 − θ/π); exact duplicates are
+    * found with probability 1 — identical vectors share every bucket. */
+  def nearDupPairsBucketedOn(ptsIn: DataFrame, threshold: Double)
+  : DataFrame = {
+    val tableStructs = (0 until NumTables).map { t =>
+      s"named_struct('t', $t, 'bkt', (${bucketExpr(t, "vd")}))"
+    }.mkString(", ")
+    val vecs = ptsIn.withColumn("nrm", expr("sqrt(graft_dot(vd, vd))"))
+    val buck = vecs
+      .select(col("vec_id"), explode(expr(s"array($tableStructs)")).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cand = buck.select(col("vec_id").as("vec_a"), col("t"), col("bkt"))
+      .join(buck.select(col("vec_id").as("vec_b"), col("t"), col("bkt")),
+        Seq("t", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact all-pairs cosine scan over an arbitrary (vec_id, vd) frame —
+    * broadcast one side, O(n²) pairs by construction. */
+  def nearDupPairsExactOn(ptsIn: DataFrame, threshold: Double)
+  : DataFrame = {
+    val base = ptsIn.withColumn("nrm", expr("sqrt(graft_dot(vd, vd))"))
     val a = base.select(col("vec_id").as("vec_a"), col("vd").as("va"),
       col("nrm").as("na"))
     val b = base.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
       col("nrm").as("nb"))
     broadcast(a).join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
-      .filter(col("cos") >= NearDupCos)
+      .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** q45: embedding-cosine near-duplicate pairs — every pair with
+    * cosine ≥ 0.4 (this corpus's pairwise max is ≈0.5: no true dups
+    * exist, so the threshold demonstrates the operator on the corpus's
+    * own similarity scale, and [[nearDupPairs]] legitimately routes it
+    * to the exact scan). At dedup-grade thresholds the SAME entry point
+    * takes the bucketed path by default — SimilaritySpec proves the two
+    * paths agree on planted duplicates and that the high-threshold plan
+    * contains no nested-loop join. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d, NearDupCos)
 
   val embedNearDupSql: String =
     s"""WITH e AS (SELECT vec_id, $vdSql AS vd FROM embeddings),

@@ -97,6 +97,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == exact, s"deletion join ${got.size} vs brute ${exact.size}")
   }
 
+  test("near-dup dispatcher: bucketed at dedup grade, exact below; paths agree") {
+    import spark.implicits._
+    // routing rule
+    assert(VectorSimilarity.usesBucketedPath(0.9))
+    assert(VectorSimilarity.usesBucketedPath(VectorSimilarity.DedupGradeCos))
+    assert(!VectorSimilarity.usesBucketedPath(0.4))
+    // synthetic 64-d corpus with planted EXACT duplicates (ids 100+i
+    // duplicate ids 0..4) — identical vectors share every bucket, so
+    // the bucketed path must find them with probability 1
+    def vec(seed: Int): Seq[Double] =
+      (0 until 64).map(j => TestUtil.det01(seed.toLong * 64 + j) * 2 - 1)
+    val base = (0 until 20).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 5).map(i => ((100 + i).toLong, vec(i)))
+    val pts = (base ++ dups).toDF("vec_id", "vd")
+    val thr = 0.95
+    val exact = VectorSimilarity.nearDupPairsExactOn(pts, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = VectorSimilarity.nearDupPairsBucketedOn(pts, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == (0 until 5).map(i => (i.toLong, (100 + i).toLong)).toSet,
+      s"ground truth is exactly the planted dup pairs: $exact")
+    assert(bucketed == exact, "bucketed path finds exactly the exact-path pairs")
+    // the dedup-grade plan must be equi-join only — no all-pairs
+    // nested-loop anywhere at scale
+    val plan = VectorSimilarity.nearDupPairsBucketedOn(pts, thr)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), "bucketed path never builds n² pairs")
+  }
+
   test("ivf search recall@3 >= 0.5 vs exact top-k at nprobe=4/16") {
     val bf = VectorSimilarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
