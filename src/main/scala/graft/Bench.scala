@@ -79,7 +79,12 @@ object Bench {
     // killed bench reports nothing at all).
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+    // Optional local-iteration filter (comma-separated query names);
+    // the driver never sets it, so driver runs bench everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
     def inBudget: Boolean = (System.nanoTime() - t0) / 1e9 < budgetSec
     var round = 1

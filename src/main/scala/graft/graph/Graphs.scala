@@ -48,7 +48,7 @@ object Graphs {
   val LpaIters = 5
 
   /** Distinct (custkey, partkey) purchases, optionally nation-bounded. */
-  private def custParts(s: SparkSession, d: String, maxNation: Option[Int])
+  private[graft] def custParts(s: SparkSession, d: String, maxNation: Option[Int])
   : DataFrame = {
     val base = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -73,7 +73,13 @@ object Graphs {
   /** Canonical undirected edges (src < dst). */
   def edges(s: SparkSession, d: String, maxNation: Option[Int], thr: Int)
   : DataFrame = {
+    // localCheckpoint: cp feeds BOTH sides of the self-join (and every
+    // caller reuses the edge list 2–4×) — without it Spark recomputes
+    // the scan→join→distinct→window subtree once per reference (q33
+    // paid it 4×). Materializing cp once trades bounded storage
+    // (distinct (ck,pk) pairs) for never re-reading the fact tables.
     val cp = capBySourceDf(custParts(s, d, maxNation), MaxSourceDf)
+      .localCheckpoint()
     cp.select(col("ck").as("src"), col("pk"))
       .join(cp.select(col("ck").as("dst"), col("pk")), Seq("pk"))
       .filter(col("src") < col("dst"))
@@ -116,7 +122,8 @@ object Graphs {
     * n_customers). The heavy edge build runs over all customers; the
     * result is histogram-sized regardless of scale. */
   def degreeHist(s: SparkSession, d: String): DataFrame =
-    undirected(edges(s, d, None, EdgeThreshold))
+    // edges checkpointed: undirected() references it twice
+    undirected(edges(s, d, None, EdgeThreshold).localCheckpoint())
       .groupBy(col("src"))
       .agg(count(lit(1)).as("degree"))
       .groupBy(col("degree"))
@@ -133,7 +140,8 @@ object Graphs {
   /** q34: triangle count on the bounded subgraph — canonical-edge 3-way
     * self-join (a<b<c counts each triangle once). */
   def triangles(s: SparkSession, d: String): DataFrame = {
-    val ed = edges(s, d, Some(SubNations), SubThreshold)
+    // edge list referenced three times below
+    val ed = edges(s, d, Some(SubNations), SubThreshold).localCheckpoint()
     val e1 = ed.select(col("src").as("a"), col("dst").as("b"))
     val e2 = ed.select(col("src").as("b"), col("dst").as("c"))
     val e3 = ed.select(col("src").as("a"), col("dst").as("c"))
