@@ -193,16 +193,18 @@ object SetSimilarity {
           .as("sig"))
       .orderBy(col("doc_id"))
 
-  private val minhashSigSqlInner: String = {
-    val sigExprs = MinHashSeeds.map { case (a, b) =>
-      s"list_min(list_transform(xs, x -> ($a * x + $b) % $MinHashMod))"
-    }.mkString(", ")
+  /** The 32 per-seed min expressions as one DuckDB list literal —
+    * shared by the token-set (q23/q24) and shingle-set (q58) oracles. */
+  private val sigListSql: String = MinHashSeeds.map { case (a, b) =>
+    s"list_min(list_transform(xs, x -> ($a * x + $b) % $MinHashMod))"
+  }.mkString("[", ", ", "]")
+
+  private val minhashSigSqlInner: String =
     s"""WITH t AS ($tokenSetsSql),
        |x AS (SELECT doc_id,
        |        list_transform(ts, t -> ${Hashing.h31Sql("t")}) AS xs
        |      FROM t)
-       |SELECT doc_id, [$sigExprs] AS sig FROM x""".stripMargin
-  }
+       |SELECT doc_id, $sigListSql AS sig FROM x""".stripMargin
 
   val minhashSigSql: String =
     s"""SELECT doc_id, array_to_string(sig, ',') AS sig
@@ -235,22 +237,25 @@ object SetSimilarity {
     * (Assignment3/task1.py:64-99): explode to (band#, band-sig) keys,
     * shuffle groups the buckets, and the verify join replaces the
     * driver-side dict lookup (Assignment3/task1.py:84-88). */
-  def neardupLsh(s: SparkSession, d: String): DataFrame = {
-    val toks = tokenSets(s, d)
-    val sigTable = sigs0(s, d)
-    val bandStructs = (1 to LshBands).map { i =>
-      val elems = (1 to LshRows)
-        .map(r => s"element_at(sig, ${(i - 1) * LshRows + r}) AS s$r")
+  /** Banded-LSH candidate pairs over a (doc_id, sig) table: explode to
+    * (band#, band-key) buckets, id-only bucket self-join, dedup, then
+    * the signature-agreement pre-filter on the distinct pairs.
+    *
+    * The bucket self-join carries ONLY ids: on a self-similar corpus
+    * it emits millions of matches, and carrying both 32-long
+    * signatures through that join shuffled ~0.5 KB/row (q24 was the
+    * bench's slowest query). Ids are deduped first, then the two
+    * signature lookups run on the much smaller distinct-pair set —
+    * broadcast joins here (the sig table is corpus-sized, not
+    * pair-sized; at larger scale Catalyst falls back to shuffle join). */
+  private def lshCandidates(sigTable: DataFrame, nBands: Int, nRows: Int,
+      minMatches: Int): DataFrame = {
+    val bandStructs = (1 to nBands).map { i =>
+      val elems = (1 to nRows)
+        .map(r => s"element_at(sig, ${(i - 1) * nRows + r}) AS s$r")
         .mkString(", ")
       s"named_struct('band', $i, 'key', struct($elems))"
     }.mkString(", ")
-    // The bucket self-join carries ONLY ids: on a self-similar corpus
-    // it emits millions of matches, and carrying both 32-long
-    // signatures through that join shuffled ~0.5 KB/row (q24 was the
-    // bench's slowest query). Ids are deduped first, then the two
-    // signature lookups run on the much smaller distinct-pair set —
-    // broadcast joins here (the sig table is corpus-sized, not
-    // pair-sized; at larger scale Catalyst falls back to shuffle join).
     val bands = sigTable
       .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
@@ -259,17 +264,21 @@ object SetSimilarity {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val cand = cand0
+    cand0
       .join(sigTable.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")
       .join(sigTable.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
       // native codegen eq-count (graft.plans.ArrayKernels) — the HOF
       // zip_with/aggregate form ran interpreted (q24 was 125 s at sf0.1)
-      .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $LshMinSigMatches"))
+      .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $minMatches"))
       .select(col("doc_a"), col("doc_b"))
-    verifyExact(cand, toks, LshVerifyTau)
   }
+
+  def neardupLsh(s: SparkSession, d: String): DataFrame =
+    verifyExact(
+      lshCandidates(sigs0(s, d), LshBands, LshRows, LshMinSigMatches),
+      tokenSets(s, d), LshVerifyTau)
 
   val neardupLshSql: String = {
     val bandCols = (1 to LshRows)
@@ -379,7 +388,78 @@ object SetSimilarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------------------------------------------------------------- q58
+  /** Shingle-space thresholds: word 3-shingles discriminate far harder
+    * than token sets (this corpus's token-J≈0.7 background collapses to
+    * shingle-J≈0.2), so near-dup grade is τ = 0.8 with a wider banding:
+    * 8 bands × 4 rows catches J = 0.8 with P ≈ 0.99 (1−(1−τ⁴)⁸), and
+    * the ≥20/32 agreement pre-filter kills the J≈0.2 background before
+    * the shingle-array verify. All deterministic — the oracle replays
+    * banding, agreement, and verify exactly, so the (shared) LSH recall
+    * property never shows up as a diff. */
+  val ShingleTau = 0.8
+  val ShingleBands = 8
+  val ShingleRows = 4
+  val ShingleMinSigMatches = 20
+
+  /** Distinct word-3-shingle sets, ascending for the merge kernel;
+    * docs with < 3 tokens have no shingles and can match nothing, so
+    * they exit before the signature build (J over ∅ is 0/0). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), sort_array(expr(shinglesExpr)).as("ts"))
+      .filter(size(col("ts")) > 0)
+
+  /** q58: n-gram Jaccard near-duplicates — the same MinHash+LSH+verify
+    * pipeline as q24 but over word-3-shingle sets, the n-gram dedup
+    * family (shingling detects reordered/boilerplate-shifted copies
+    * that token-set Jaccard misses, and is the standard web-dedup
+    * feature space). Shares [[lshCandidates]] and the merge-intersect
+    * verify; only the feature extractor and thresholds differ. */
+  def shingleNeardup(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d)
+    val sigTable = sh
+      .withColumn("xs",
+        expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
+      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+    verifyExact(
+      lshCandidates(sigTable, ShingleBands, ShingleRows,
+        ShingleMinSigMatches),
+      sh, ShingleTau)
+  }
+
+  val shingleNeardupSql: String = {
+    val bandCols = (1 to ShingleRows)
+      .map(r => s"sig[(i - 1) * $ShingleRows + $r]").mkString(", ")
+    s"""WITH t0 AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+       |t AS (SELECT * FROM (
+       |        SELECT doc_id, $shinglesSqlExpr AS ts FROM t0)
+       |      WHERE len(ts) > 0),
+       |x AS (SELECT doc_id,
+       |        list_transform(ts, t -> ${Hashing.h31Sql("t")}) AS xs
+       |      FROM t),
+       |sigs AS (SELECT doc_id, $sigListSql AS sig FROM x),
+       |bands AS (SELECT doc_id, sig, i, [$bandCols] AS key
+       |          FROM sigs CROSS JOIN
+       |            (SELECT unnest(generate_series(1, $ShingleBands)) AS i) g),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.i = y.i AND x.key = y.key AND x.doc_id < y.doc_id
+       |         WHERE len(list_filter(generate_series(1, $NumHashes),
+       |             j -> x.sig[j] = y.sig[j])) >= $ShingleMinSigMatches),
+       |v AS (SELECT doc_a, doc_b,
+       |        len(list_intersect(a.ts, b.ts)) AS inter,
+       |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
+       |      FROM cand JOIN t a ON a.doc_id = doc_a
+       |                JOIN t b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       |FROM v WHERE CAST(inter AS DOUBLE) / uni >= $ShingleTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_shingle_neardup" -> (shingleNeardup _),
     "q22_neardup_jaccard" -> (neardupJaccard _),
     "q23_minhash_sig" -> (minhashSig _),
     "q24_neardup_lsh" -> (neardupLsh _),
@@ -387,6 +467,7 @@ object SetSimilarity {
     "q43_minhash_native" -> (minhashSigNative _))
 
   val oracle: Map[String, String] = Map(
+    "q58_shingle_neardup" -> shingleNeardupSql,
     "q22_neardup_jaccard" -> neardupJaccardSql,
     "q23_minhash_sig" -> minhashSigSql,
     "q24_neardup_lsh" -> neardupLshSql,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.Hashing
 
@@ -298,7 +299,59 @@ object Text {
        |  (dup_token_frac > 0.5 OR top_bigram_frac > 0.2) AS repetitive
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Terms kept per document in the TF-IDF ranking. */
+  val TfidfTopK = 3
+
+  /** q57: top-[[TfidfTopK]] terms per document by TF-IDF — the
+    * relevance/keyword-extraction signal of a training-data pipeline
+    * (the natural extension of the reference's global word counts,
+    * Assignment1/task1.py:40-53, to per-document term weighting).
+    *
+    * tf from one explode + grouped count; df is a second aggregation
+    * OVER the tf result (vocabulary-sized, so the df and corpus-count
+    * joins broadcast); idf = ln(N/df). At 100 TB the only data-sized
+    * shuffle is the (doc_id, term) count — df/N ride on top of it, and
+    * the per-document top-k window partitions by doc_id, so no skew
+    * (documents are bounded). */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // rank on the raw double (identical arithmetic in the oracle), so
+    // both engines break float ties the same way; term asc disambiguates
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSqlExpr) AS term
+       |           FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |         tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC,
+       |             term ASC) AS rk
+       |       FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rk, term, tf, df, round(score, 4) AS tfidf
+       |FROM sc WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_tfidf" -> (tfidfTopTerms _),
     "q55_repetition" -> (repetitionSignals _),
     "q17_token_stats" -> (tokenStats _),
     "q18_doc_quality" -> (docQuality _),
@@ -307,6 +360,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q57_tfidf" -> tfidfTopTermsSql,
     "q55_repetition" -> repetitionSignalsSql,
     "q17_token_stats" -> tokenStatsSql,
     "q18_doc_quality" -> docQualitySql,

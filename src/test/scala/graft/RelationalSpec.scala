@@ -77,6 +77,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(anti == all.diff(big), "anti join = customers minus big-order set")
   }
 
+  test("q57 tfidf matches a driver-side brute-force recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q57_tfidf")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf")))
+      .toMap
+    // brute force: tokenize every doc, count tf/df, rank per doc
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr(graft.ops.Text.toksExpr).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val n = toks.size.toDouble
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val expect = toks.flatMap { case (doc, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (t, xs) => (t, xs.size * math.log(n / df(t))) }
+        .sortBy { case (t, sc) => (-sc, t) }
+        .take(graft.ops.Text.TfidfTopK).zipWithIndex
+        .map { case ((t, sc), i) =>
+          (doc, i + 1L) -> (t, math.rint(sc * 1e4) / 1e4) }
+    }
+    assert(got.size == expect.size, s"${got.size} vs ${expect.size} rows")
+    expect.foreach { case (k, (term, sc)) =>
+      val (gTerm, gSc) = got(k)
+      assert(gTerm == term && math.abs(gSc - sc) < 1e-9,
+        s"$k: got ($gTerm, $gSc) expected ($term, $sc)")
+    }
+  }
+
   test("q10 rank ties include all keys at tied counts") {
     val rows = SparkEntry.queries("q10_rank_ties")(spark, sfDir).collect()
     val byRank = rows.groupBy(_.getAs[Long]("rnk"))

@@ -62,6 +62,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("shingle near-dup pairs are a subset of exact shingle pairs at tau") {
+    val lsh = SetSimilarity.shingleNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force word-3-shingle jaccard on sf0.001
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(graft.ops.Text.toksExpr).as("toks"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(${graft.ops.Text.ngramExpr("toks", 3)})").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val ids = sh.keys.toSeq.sorted
+    val exact = (for {
+      a <- ids; b <- ids if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= SetSimilarity.ShingleTau
+    } yield (a, b)).toSet
+    assert(lsh.subsetOf(exact), "every emitted pair is truly above tau")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.8, s"shingle LSH recall $recall (bar: 0.8)")
+    }
+  }
+
   test("prefix-filter join equals brute force at tau 0.7") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
