@@ -115,7 +115,8 @@ object SetSimilarity {
     * verify candidates exactly; candidates ≈ true pairs and the index
     * stays linear in corpus size. */
   def neardupJaccard(s: SparkSession, d: String): DataFrame = {
-    val toks = tokenSets(s, d)
+    // token sets feed the signature explode AND both verify joins
+    val toks = tokenSets(s, d).localCheckpoint()
     val del2 =
       "CASE WHEN size(st) >= " + DoubleDelMin + " THEN " +
         "flatten(transform(sequence(1, size(st) - 1), i -> " +
@@ -276,9 +277,12 @@ object SetSimilarity {
   }
 
   def neardupLsh(s: SparkSession, d: String): DataFrame =
+    // same reuse story as q58: the signature and token-set tables feed
+    // multiple join branches — materialize each once
     verifyExact(
-      lshCandidates(sigs0(s, d), LshBands, LshRows, LshMinSigMatches),
-      tokenSets(s, d), LshVerifyTau)
+      lshCandidates(sigs0(s, d).localCheckpoint(), LshBands, LshRows,
+        LshMinSigMatches),
+      tokenSets(s, d).localCheckpoint(), LshVerifyTau)
 
   val neardupLshSql: String = {
     val bandCols = (1 to LshRows)
@@ -418,11 +422,18 @@ object SetSimilarity {
     * feature space). Shares [[lshCandidates]] and the merge-intersect
     * verify; only the feature extractor and thresholds differ. */
   def shingleNeardup(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
+    // localCheckpoint both tables: the shingle build (split → n-gram →
+    // distinct → md5-hash per shingle) feeds five plan branches (band
+    // self-join ×2, sig lookups ×2, verify ×2) — recomputing it per
+    // branch made q58 the bench's slowest query (12.5 s at sf0.1; the
+    // materialized tables are corpus-sized, ~doc_id + 32 longs / the
+    // shingle arrays, so storage is bounded and the hash runs once).
+    val sh = shingleSets(s, d).localCheckpoint()
     val sigTable = sh
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+      .localCheckpoint()
     verifyExact(
       lshCandidates(sigTable, ShingleBands, ShingleRows,
         ShingleMinSigMatches),

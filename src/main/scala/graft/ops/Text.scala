@@ -77,7 +77,13 @@ object Text {
   /** q18: document quality scoring — length score, stopword ratio,
     * punctuation count; composite quality in [0,1]-ish and a keep flag.
     * The shape every LLM-data pipeline runs before training. */
-  def docQuality(s: SparkSession, d: String): DataFrame = {
+  def docQuality(s: SparkSession, d: String): DataFrame =
+    docQuality0(s, d).orderBy(col("doc_id"))
+
+  /** Unordered quality signals — shared by q18 and the q59 curation
+    * chain (joining on the ordered public form would drag a useless
+    * sort into downstream plans). */
+  private def docQuality0(s: SparkSession, d: String): DataFrame = {
     val stops = QualityStops.map(w => s"'$w'").mkString(", ")
     documents(s, d)
       .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
@@ -99,7 +105,6 @@ object Text {
           col("punct_cnt").cast("double") / col("n_chars"), 4)
           .as("quality"))
       .withColumn("keep", (col("quality") >= 0.5).cast("boolean"))
-      .orderBy(col("doc_id"))
   }
 
   val docQualitySql: String = {
@@ -243,6 +248,10 @@ object Text {
     * aggregations — shuffles carry (doc_id, bigram) pairs, linear in
     * corpus size. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
+    repetitionSignals0(s, d).orderBy(col("doc_id"))
+
+  /** Unordered repetition signals — shared by q55 and q59. */
+  private def repetitionSignals0(s: SparkSession, d: String): DataFrame =
     // single scan: token stats ride along with the exploded bigrams
     // (re-tokenizing in a second branch would double the dominant
     // per-row split cost); posexplode_outer keeps zero-bigram docs
@@ -274,7 +283,6 @@ object Text {
       .withColumn("repetitive",
         (col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
           .cast("boolean"))
-      .orderBy(col("doc_id"))
 
   val repetitionSignalsSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
@@ -350,7 +358,89 @@ object Text {
        |SELECT doc_id, rk, term, tf, df, round(score, 4) AS tfidf
        |FROM sc WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
 
+  /** Minimum tokens before a document is even considered. */
+  val CurationMinTokens = 10
+
+  /** q59: the corpus-curation decision chain — every upstream signal
+    * (length, exact-dup, quality, repetition) composed into one
+    * keep/drop verdict with the FIRST failing rule as the reason code,
+    * exactly the filter cascade an LLM-data pipeline runs before
+    * training. Rule order: too_short → exact_dup (min-doc_id survivor
+    * per content hash, one window on the 128-bit key) → low_quality
+    * (q18's composite < 0.5) → repetitive (q55's flags) → ok.
+    * Three document scans (quality, repetition, hash) joined on
+    * doc_id; each signal is map-side + one small shuffle, so the
+    * cascade stays linear at 100 TB and the verdict join keys are
+    * doc-bounded. */
+  def curation(s: SparkSession, d: String): DataFrame = {
+    val qual = docQuality0(s, d).select(col("doc_id"), col("quality"))
+    val rep = repetitionSignals0(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("repetitive"))
+    val firstOfDupGroup = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("first_id",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .select(col("doc_id"), col("first_id"))
+    rep.join(qual, "doc_id").join(firstOfDupGroup, "doc_id")
+      .withColumn("reason",
+        when(col("n_tokens") < CurationMinTokens, "too_short")
+          .when(col("first_id") =!= col("doc_id"), "exact_dup")
+          .when(col("quality") < 0.5, "low_quality")
+          .when(col("repetitive"), "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("reason"),
+        (col("reason") === "ok").cast("boolean").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationSql: String = {
+    val stops = QualityStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSqlExpr AS toks FROM documents),
+       |qm AS (SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> list_contains([$stops], x))) AS stop_cnt,
+       |  len(text) - len(translate(text, '.,!?;:', '')) AS punct_cnt,
+       |  len(text) AS n_chars
+       |FROM t),
+       |q AS (SELECT doc_id,
+       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
+       |        least(1.0, CAST(stop_cnt AS DOUBLE) / n_tokens * 8.0) * 0.5 -
+       |        CAST(punct_cnt AS DOUBLE) / n_chars, 4) AS quality
+       |FROM qm),
+       |g AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(toks) - 1),
+       |          i -> concat_ws(' ', toks[i], toks[i + 1]))) AS g
+       |      FROM t),
+       |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams
+       |        FROM gc GROUP BY 1),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |        len(list_distinct(toks)) AS n_uniq FROM t),
+       |rep AS (SELECT m.doc_id, m.n_tokens,
+       |        (CASE WHEN m.n_tokens = 0 THEN 0.0
+       |              ELSE round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4)
+       |         END > 0.5 OR
+       |         CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+       |              ELSE round(CAST(top_cnt AS DOUBLE) / n_grams, 4)
+       |         END > 0.2) AS repetitive
+       |      FROM m LEFT JOIN top ON m.doc_id = top.doc_id),
+       |dup AS (SELECT doc_id,
+       |          min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+       |        FROM documents),
+       |v AS (SELECT rep.doc_id,
+       |        CASE WHEN rep.n_tokens < $CurationMinTokens THEN 'too_short'
+       |             WHEN dup.first_id <> rep.doc_id THEN 'exact_dup'
+       |             WHEN q.quality < 0.5 THEN 'low_quality'
+       |             WHEN rep.repetitive THEN 'repetitive'
+       |             ELSE 'ok' END AS reason
+       |      FROM rep JOIN q ON q.doc_id = rep.doc_id
+       |               JOIN dup ON dup.doc_id = rep.doc_id)
+       |SELECT doc_id, reason, (reason = 'ok') AS keep
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_curation" -> (curation _),
     "q57_tfidf" -> (tfidfTopTerms _),
     "q55_repetition" -> (repetitionSignals _),
     "q17_token_stats" -> (tokenStats _),
@@ -360,6 +450,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q59_curation" -> curationSql,
     "q57_tfidf" -> tfidfTopTermsSql,
     "q55_repetition" -> repetitionSignalsSql,
     "q17_token_stats" -> tokenStatsSql,
