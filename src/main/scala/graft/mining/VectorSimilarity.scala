@@ -324,13 +324,59 @@ object VectorSimilarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q60
+  /** q60: symmetric int8 quantization of the embedding column — the
+    * storage/serving compression step of an embedding pipeline
+    * (scale = max|x|/127 per vector, q_i = round-half-up(x_i/scale)),
+    * reported as per-vector scale, reconstruction RMSE, and nonzero
+    * count. Pure map-side expression work over one scan — linear at
+    * any corpus size, no shuffle at all. floor(x+0.5) rather than
+    * round(): Spark's HALF_UP and DuckDB's HALF_EVEN disagree on .5
+    * boundaries, floor is bit-identical in both. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), expr(vdExpr).as("v"))
+      .withColumn("scale",
+        expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+      .withColumn("q", expr(
+        "CASE WHEN scale = 0.0 THEN transform(v, x -> 0) " +
+          "ELSE transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        round(expr(
+          "sqrt(aggregate(transform(sequence(1, size(v)), i -> " +
+            "(element_at(v, i) - element_at(q, i) * scale) * " +
+            "(element_at(v, i) - element_at(q, i) * scale)), " +
+            "0D, (a, b) -> a + b) / size(v))"), 6).as("rmse"),
+        expr("size(filter(q, x -> x != 0))").cast("long").as("nnz"))
+      .orderBy(col("vec_id"))
+
+  val quantizeInt8Sql: String =
+    s"""WITH e AS (SELECT vec_id, $vdSql AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |       FROM e),
+       |qz AS (SELECT vec_id, v, scale,
+       |         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |              ELSE list_transform(v, x ->
+       |                CAST(floor(x / scale + 0.5) AS INT)) END AS q
+       |       FROM sc)
+       |SELECT vec_id, round(scale, 6) AS scale,
+       |  round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+       |    i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)))
+       |    / len(v)), 6) AS rmse,
+       |  len(list_filter(q, x -> x <> 0)) AS nnz
+       |FROM qz ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> (cosineTopK _),
     "q27_ann_lsh" -> (annHyperplaneLsh _),
-    "q45_embed_neardup" -> (embedNearDup _))
+    "q45_embed_neardup" -> (embedNearDup _),
+    "q60_quantize_int8" -> (quantizeInt8 _))
 
   val oracle: Map[String, String] = Map(
     "q26_cosine_topk" -> cosineTopKSql,
     "q27_ann_lsh" -> annHyperplaneLshSql,
-    "q45_embed_neardup" -> embedNearDupSql)
+    "q45_embed_neardup" -> embedNearDupSql,
+    "q60_quantize_int8" -> quantizeInt8Sql)
 }

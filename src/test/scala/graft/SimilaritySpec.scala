@@ -149,6 +149,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), "bucketed path never builds n² pairs")
   }
 
+  test("int8 quantization: rmse bounded by half-step, nnz sane") {
+    val rows = VectorSimilarity.quantizeInt8(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, rmse, nnz) =
+        (r.getAs[Double]("scale"), r.getAs[Double]("rmse"),
+          r.getAs[Long]("nnz"))
+      assert(scale >= 0.0)
+      // round-half-up keeps every element within half a quantization
+      // step, so the RMS can't exceed it either
+      assert(rmse <= scale / 2 + 1e-9, s"rmse $rmse > step/2 ${scale / 2}")
+      assert(nnz >= 0 && nnz <= VectorSimilarity.Dim)
+    }
+  }
+
   test("ivf search recall@3 >= 0.5 vs exact top-k at nprobe=4/16") {
     val bf = VectorSimilarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
