@@ -34,14 +34,129 @@ object Son {
     * unbounded); the registered query pins 3 for oracle parity. */
   val MaxSize = 3
 
-  /** Local levelwise A-Priori over one partition's baskets. */
+  /** Local levelwise A-Priori over one partition's baskets.
+    *
+    * Fast path: items int-coded against the partition vocabulary,
+    * itemsets as base-v packed longs (ascending ids), level counting
+    * by a per-basket presence bitmap scanned over the (small)
+    * candidate array — no string hashing or per-subset allocation in
+    * the level loops. Falls back to the generic string-set form when
+    * v^maxSize would overflow the packing (enormous vocabulary and
+    * deep maxSize — never the registered query, which pins size 3). */
   private[graft] def aprioriLocal(
       baskets: Seq[Array[String]], supportFrac: Double, maxSize: Int)
   : Iterator[Seq[String]] = {
     val n = baskets.length
     if (n == 0) return Iterator.empty
+    val items: Array[String] =
+      baskets.iterator.flatten.toArray.distinct.sorted
+    val v = items.length.toLong
+    if (maxSize > 1 &&
+        math.pow(v.toDouble, maxSize.toDouble) >= Long.MaxValue.toDouble / 4)
+      return aprioriLocalGeneric(baskets, supportFrac, maxSize)
     val thr = math.max(1L, math.ceil(supportFrac * n).toLong)
+    val idOf = items.iterator.zipWithIndex.toMap
+    // basket strings are sorted, ids follow lexicographic order →
+    // id arrays arrive ascending
+    val bs: Array[Array[Int]] =
+      baskets.iterator.map(_.map(idOf)).toArray
     // L1
+    val c1 = new Array[Long](items.length)
+    bs.foreach(_.foreach(i => c1(i) += 1))
+    val out = mutable.ArrayBuffer[(Int, Long)]()
+    var prev: Array[Long] =
+      c1.indices.iterator.filter(c1(_) >= thr).map(_.toLong).toArray
+    out ++= prev.iterator.map((1, _))
+    def unpackIds(p: Long, k: Int): Array[Int] = {
+      val ids = new Array[Int](k)
+      var q = p
+      var i = k - 1
+      while (i >= 0) { ids(i) = (q % v).toInt; q /= v; i -= 1 }
+      ids
+    }
+    val mark = new Array[Boolean](items.length)
+    var k = 2
+    while (prev.nonEmpty && k <= maxSize) {
+      // candidate gen: prev is ascending, so equal (k-2)-prefixes are
+      // contiguous blocks; pair every (a, b) in a block (a < b) and
+      // keep candidates whose every (k-1)-subset is in prev
+      val prevArr = prev
+      def inPrev(p: Long): Boolean =
+        java.util.Arrays.binarySearch(prevArr, p) >= 0
+      val cands = mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < prevArr.length) {
+        val pref = prevArr(i) / v
+        var j = i
+        while (j < prevArr.length && prevArr(j) / v == pref) j += 1
+        var x = i
+        while (x < j) {
+          var y = x + 1
+          while (y < j) {
+            val c = prevArr(x) * v + prevArr(y) % v
+            // subset check (the two generating subsets are in prev by
+            // construction; test the remaining k-2)
+            val ids = unpackIds(c, k)
+            var ok = true
+            var drop = 0
+            while (ok && drop < k - 2) {
+              var sub = 0L
+              var t = 0
+              while (t < k) {
+                if (t != drop) sub = sub * v + ids(t)
+                t += 1
+              }
+              ok = inPrev(sub)
+              drop += 1
+            }
+            if (ok) cands += c
+            y += 1
+          }
+          x += 1
+        }
+        i = j
+      }
+      if (cands.isEmpty) { prev = Array.emptyLongArray }
+      else {
+        // counting: presence bitmap per basket, k id-lookups per
+        // candidate — O(baskets × candidates × k) primitive reads,
+        // no allocation in the loop
+        val candArr = cands.toArray // ascending by construction
+        val candIds = candArr.map(unpackIds(_, k))
+        val hits = new Array[Long](candArr.length)
+        bs.foreach { b =>
+          if (b.length >= k) {
+            b.foreach(mark(_) = true)
+            var ci = 0
+            while (ci < candIds.length) {
+              val ids = candIds(ci)
+              var t = 0
+              var all = true
+              while (all && t < k) { all = mark(ids(t)); t += 1 }
+              if (all) hits(ci) += 1
+              ci += 1
+            }
+            b.foreach(mark(_) = false)
+          }
+        }
+        prev = candArr.indices.iterator
+          .filter(hits(_) >= thr).map(candArr).toArray
+        out ++= prev.iterator.map((k, _))
+      }
+      k += 1
+    }
+    out.iterator.map { case (sz, p) =>
+      unpackIds(p, sz).toSeq.map(items)
+    }
+  }
+
+  /** The pre-int-coding form, kept for vocabularies too large to pack
+    * (v^maxSize ≥ Long range). Identical semantics. */
+  private def aprioriLocalGeneric(
+      baskets: Seq[Array[String]], supportFrac: Double, maxSize: Int)
+  : Iterator[Seq[String]] = {
+    val n = baskets.length
+    val thr = math.max(1L, math.ceil(supportFrac * n).toLong)
     val c1 = mutable.Map.empty[String, Long]
     baskets.foreach(_.foreach(i => c1.update(i, c1.getOrElse(i, 0L) + 1)))
     var frequent: Seq[Seq[String]] =
@@ -50,7 +165,6 @@ object Son {
     out ++= frequent
     var k = 2
     while (frequent.nonEmpty && k <= maxSize) {
-      // candidate gen: join frequent (k-1)-sets sharing a (k-2)-prefix
       val prev = frequent.map(_.toVector).toSet
       val cands = (for {
         a <- prev.iterator
@@ -61,18 +175,13 @@ object Son {
       } yield c).toSet
       if (cands.isEmpty) { frequent = Nil }
       else {
-        // Count by enumerating each basket's size-k subsets and probing
-        // the candidate set — O(Σ C(|basket|, k)) instead of
-        // O(baskets × candidates); with small baskets this is orders of
-        // magnitude cheaper than the candidate-scan direction. Baskets
-        // arrive sorted, so subsets align with candidate vectors.
         val counts = mutable.Map.empty[Vector[String], Long]
         baskets.foreach { b =>
           if (b.length >= k) {
             b.combinations(k).foreach { c =>
-              val v = c.toVector
-              if (cands.contains(v))
-                counts.update(v, counts.getOrElse(v, 0L) + 1)
+              val vv = c.toVector
+              if (cands.contains(vv))
+                counts.update(vv, counts.getOrElse(vv, 0L) + 1)
             }
           }
         }
@@ -118,27 +227,83 @@ object Son {
       .distinct()
       .collect()
       .map(_.toVector)
-    val bc = s.sparkContext.broadcast(candidates)
-    // Phase 2: exact counting — enumerate each basket's subsets up to
-    // MaxSize, probe the broadcast candidate set, emit hits map-side;
-    // one shuffle for the global sum.
-    val maxK = MaxSize
-    b.mapPartitions { it =>
-        val candSet = bc.value.toSet // built once per partition
-        it.flatMap { basket =>
-          (1 to math.min(maxK, basket.length)).iterator
-            .flatMap(k => basket.combinations(k))
-            .map(_.toVector)
-            .filter(candSet.contains)
-            .map(_.mkString(","))
+    // Phase 2: exact counting. The naive form (enumerate subsets,
+    // build a "a,b,c" string per hit, hash-aggregate the strings) paid
+    // ~10⁸ string constructions at sf0.1; instead items are int-coded
+    // against the candidate vocabulary, candidates become sorted
+    // packed-long arrays (one per size), baskets probe them by binary
+    // search, and each partition emits only its (size, packed, count)
+    // partial counts — a candidate-bounded shuffle, with the packed →
+    // string unpack running on the aggregated (tiny) result.
+    val items: Array[String] =
+      candidates.iterator.flatten.toArray.distinct.sorted
+    val dictB = s.sparkContext.broadcast((items, candidates))
+    import org.apache.spark.sql.Encoders
+    val counted = b.mapPartitions { it =>
+        val (itemArr, cands) = dictB.value
+        val v = itemArr.length.toLong
+        val idOf = itemArr.iterator.zipWithIndex.toMap
+        // candidate packed keys, ascending, one array per size;
+        // item ids follow lexicographic order, so packing sorted-string
+        // itemsets yields keys comparable across both sides
+        val byK: Array[Array[Long]] = Array.tabulate(MaxSize) { k0 =>
+          cands.iterator.filter(_.length == k0 + 1)
+            .map(_.foldLeft(0L)((a, it0) => a * v + idOf(it0)))
+            .toArray.sorted
         }
-      }
-      .toDF("itemset")
-      .groupBy(col("itemset"))
-      .agg(count(lit(1)).as("support"))
+        val hits = byK.map(a => new Array[Long](a.length))
+        val pairs = byK(1) // size-2 candidates prune the triple loop
+        it.foreach { basket =>
+          val ids = basket.iterator.flatMap(idOf.get).toArray
+          val n = ids.length
+          var i = 0
+          while (i < n) {
+            val ki = java.util.Arrays.binarySearch(byK(0), ids(i).toLong)
+            if (ki >= 0) hits(0)(ki) += 1
+            var j = i + 1
+            while (j < n) {
+              val pk = ids(i).toLong * v + ids(j)
+              val kj = java.util.Arrays.binarySearch(pairs, pk)
+              if (kj >= 0) {
+                hits(1)(kj) += 1
+                // A-Priori: a frequent triple's (i,j) prefix is itself a
+                // local candidate somewhere, so the union contains it —
+                // extending only candidate pairs loses nothing
+                var l = j + 1
+                while (l < n) {
+                  val kt = java.util.Arrays.binarySearch(byK(2), pk * v + ids(l))
+                  if (kt >= 0) hits(2)(kt) += 1
+                  l += 1
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        (for {
+          k0 <- (0 until MaxSize).iterator
+          ix <- byK(k0).indices.iterator if hits(k0)(ix) > 0
+        } yield (k0 + 1, byK(k0)(ix), hits(k0)(ix))).iterator
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong))
+      .toDF("sz0", "packed", "c")
+      .groupBy(col("sz0"), col("packed"))
+      .agg(sum(col("c")).as("support"))
       .filter(col("support") >= minsup)
-      .withColumn("sz", (size(split(col("itemset"), ",")) * lit(1)).cast("long"))
-      .select(col("itemset"), col("sz"), col("support"))
+    counted.as[(Int, Long, Long)](
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+          Encoders.scalaLong))
+      .map { case (k, packed, support) =>
+        val itemArr = dictB.value._1
+        val v = itemArr.length.toLong
+        val ids = Iterator.iterate((packed, List.empty[Int])) {
+          case (p, acc) => (p / v, (p % v).toInt :: acc)
+        }.drop(k).next()._2
+        (ids.map(itemArr).mkString(","), k.toLong, support)
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong))
+      .toDF("itemset", "sz", "support")
       .orderBy(col("sz"), col("itemset"))
   }
 
