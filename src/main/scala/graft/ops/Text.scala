@@ -322,10 +322,15 @@ object Text {
     * the per-document top-k window partitions by doc_id, so no skew
     * (documents are bounded). */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    // materialized: df and the final ranking both consume tf — without
+    // this the corpus scan + explode + aggregate runs twice (tf is the
+    // aggregated relation, far smaller than the raw token stream, so
+    // it's the cheapest thing to hold)
     val tf = documents(s, d)
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
     // rank on the raw double (identical arithmetic in the oracle), so
