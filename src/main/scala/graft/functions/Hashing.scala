@@ -42,9 +42,13 @@ object Hashing {
   /** DuckDB SQL for h31 over expression `e`. */
   def h31Sql(e: String): String = s"(${h60Sql(e)} % $M31)"
 
-  /** Spark SQL (expr string) for h60 over expression `e`. */
+  /** Spark SQL (expr string) for h60 over expression `e` — the native
+    * [[graft.plans.Hash60Expr]] kernel (requires a session built with
+    * graft.plans.GraftExtensions, as every engine entry point is);
+    * bit-identical to the conv(substring(md5)) form, minus the per-hash
+    * hex-string round trip. */
   def h60SparkSql(e: String): String =
-    s"CAST(conv(substring(md5(CAST($e AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    s"graft_h60(CAST($e AS STRING))"
 
   /** Spark SQL (expr string) for h31 over expression `e` — identical
     * value to [[h31Sql]], Spark syntax. */

@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedIntersectSizeExpr(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[Hash60Expr].getName, "graft_h60"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_h60 takes one string arg")
+        Hash60Expr(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_eqcount"),
       new ExpressionInfo(classOf[EqCountExpr].getName, "graft_eqcount"),
       { args: Seq[Expression] =>

@@ -29,6 +29,24 @@ class PlansSpec extends AnyFunSuite {
     native.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
   }
 
+  test("graft_h60 equals the conv(substring(md5)) form bit-for-bit") {
+    import spark.implicits._
+    val df = (Seq("", "a", "hello world", "ünïcodé ✓", "0", "-1",
+      "a" * 300) :+ "tab\tand\nnewline").toDF("s")
+    val rows = df.select(
+      expr("graft_h60(s)").as("native"),
+      expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)")
+        .as("sql")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    // and inside a transform lambda (the minhash call shape)
+    val lam = Seq(Seq("x", "y", "z")).toDF("ts")
+      .select(expr("transform(ts, t -> graft_h60(t))").as("n"),
+        expr("transform(ts, t -> CAST(conv(substring(md5(t), 1, 15), " +
+          "16, 10) AS BIGINT))").as("s")).collect().head
+    assert(lam.getSeq[Long](0) == lam.getSeq[Long](1))
+  }
+
   test("graft_dot equals the zip_with/aggregate HOF form bit-for-bit") {
     import spark.implicits._
     val df = Seq(
