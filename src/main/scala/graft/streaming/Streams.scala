@@ -31,6 +31,18 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("n_events"), col("approx_users"))
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * (or slowly-refreshed) dimension on `key` — the ingest-time
+    * enrichment shape every event pipeline runs (events × user/device/
+    * geo dim). Stateless, so no watermark is involved; `broadcast` on
+    * the dim keeps the join map-side in every micro-batch, which is
+    * the only plan that holds when the stream side is unbounded.
+    * Left join: an event without a dim row must flow through (with
+    * nulls), not silently drop. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String)
+  : DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** ST4: Flajolet–Martin sketch as a typed Aggregator — buffer is the
     * 40 per-hash maxima; merge is element-wise max, which is what makes
     * FM an algebraic aggregate (partial aggregation + shuffle merge,

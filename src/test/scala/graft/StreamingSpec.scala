@@ -142,6 +142,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.last.topTags == "a:2,b:2,c:1,d:1")
   }
 
+  test("stream-static enrichment joins the dim per micro-batch, keeps misses") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TestEv]
+    val dim = Seq((0L, "gold"), (1L, "silver"))
+      .toDF("user_id", "segment")
+    val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(mkEvents(4).map(e => e.copy(user_id = e.user_id % 3)))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select(col("user_id"), col("segment")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set(
+        (0L, Some("gold")), (1L, Some("silver")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
