@@ -90,6 +90,40 @@ object Multimodal {
       }
   }
 
+  /** Resize — frame bytes → fixed (w × h) byte buffer, the
+    * normalization step between decode and feature extraction (every
+    * vision pipeline resizes to the model's input dims before
+    * inference). STUB pixel content (md5-DRBG expansion of the source
+    * bytes — deterministic, length-exact); a real implementation
+    * interpolates the decoded bitmap here with the same signature.
+    * Map-side per-row work: output size is w·h regardless of input,
+    * so the stage BOUNDS the bytes flowing downstream — at 100 TB this
+    * is the step that makes frame volume predictable. */
+  def resizeFrames(frames: Dataset[Frame], w: Int, h: Int)
+  : Dataset[Frame] = {
+    import frames.sparkSession.implicits._
+    val target = w * h
+    frames.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { f =>
+        val out = new Array[Byte](target)
+        var filled = 0
+        var ctr = 0
+        while (filled < target) {
+          md.reset()
+          md.update(f.frameBytes)
+          md.update(java.nio.ByteBuffer.allocate(4).putInt(ctr).array())
+          val block = md.digest()
+          val n = math.min(block.length, target - filled)
+          System.arraycopy(block, 0, out, filled, n)
+          filled += n
+          ctr += 1
+        }
+        f.copy(frameBytes = out)
+      }
+    }
+  }
+
   /** Feature extraction — frame bytes → fixed-dim float vector, the
     * step before embedding-space dedup/ANN ([[graft.mining
     * .VectorSimilarity]] consumes exactly this shape). STUB features

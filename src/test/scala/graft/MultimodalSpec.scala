@@ -55,4 +55,23 @@ class MultimodalSpec extends AnyFunSuite {
       assert(v.forall(x => x >= 0.0f && x < 1.0f))
     }
   }
+
+  test("resize bounds every frame to w*h bytes, deterministically") {
+    import SparkTestSession._
+    val M = graft.multimodal.Multimodal
+    val (w, h) = (6, 5)
+    val resized = M.resizeFrames(M.sampleFrames(spark, sfDir, 2), w, h)
+      .collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.frameBytes.length == w * h),
+      "every resized frame is exactly w*h bytes")
+    val again = M.resizeFrames(M.sampleFrames(spark, sfDir, 2), w, h)
+      .collect().map(f => (f.docId, f.frameIdx) -> f.frameBytes.toSeq).toMap
+    assert(resized.forall(f =>
+      again((f.docId, f.frameIdx)) == f.frameBytes.toSeq))
+    // resized frames feed the same downstream feature extractor
+    val feats = M.extractFeatures(
+      M.resizeFrames(M.sampleFrames(spark, sfDir, 2), w, h)).collect()
+    assert(feats.length == resized.length)
+  }
 }
