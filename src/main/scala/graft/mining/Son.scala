@@ -151,8 +151,9 @@ object Son {
   }
 
   /** The pre-int-coding form, kept for vocabularies too large to pack
-    * (v^maxSize ≥ Long range). Identical semantics. */
-  private def aprioriLocalGeneric(
+    * (v^maxSize ≥ Long range). Identical semantics — SonSpec
+    * cross-checks the two paths on random baskets. */
+  private[graft] def aprioriLocalGeneric(
       baskets: Seq[Array[String]], supportFrac: Double, maxSize: Int)
   : Iterator[Seq[String]] = {
     val n = baskets.length

@@ -55,4 +55,30 @@ class SonSpec extends AnyFunSuite {
     // support 3 of 6: a(4) b(4) c(4) ab(3) ac(3) bc(3) abc(2 — out)
     assert(out == Set("a", "b", "c", "a,b", "a,c", "b,c"))
   }
+
+  test("packed-long fast path == generic string path on random baskets") {
+    // deterministic LCG so the property replays
+    var seed = 0xC0FFEEL
+    def next(n: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    (1 to 10).foreach { trial =>
+      val vocab = (0 until (5 + next(20))).map(i => f"it$i%02d")
+      val baskets = (0 until (20 + next(60))).map { _ =>
+        val sz = 1 + next(math.min(8, vocab.size))
+        (0 until sz).map(_ => vocab(next(vocab.size)))
+          .distinct.sorted.toArray
+      }
+      (2 to 4).foreach { maxSize =>
+        val fast = Son.aprioriLocal(baskets, 0.15, maxSize)
+          .map(_.mkString(",")).toSet
+        val gen = Son.aprioriLocalGeneric(baskets, 0.15, maxSize)
+          .map(_.mkString(",")).toSet
+        assert(fast == gen,
+          s"trial $trial maxSize $maxSize: fast ${fast.size} vs generic ${gen.size}; " +
+            s"diff ${(fast diff gen) ++ (gen diff fast)}")
+      }
+    }
+  }
 }
