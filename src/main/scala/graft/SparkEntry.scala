@@ -7,7 +7,7 @@ object SparkEntry {
     ops.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Text.queries ++
+    ops.Relational.queries ++ ops.Text.queries ++ ops.Pipeline.queries ++
       mining.SetSimilarity.queries ++ mining.VectorSimilarity.queries ++
       mining.Son.queries ++ sketch.Sketches.queries ++ ops.Windows.queries ++
       graph.Graphs.queries ++ graph.GirvanNewman.queries ++
@@ -16,7 +16,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Text.oracle ++
+    ops.Relational.oracle ++ ops.Text.oracle ++ ops.Pipeline.oracle ++
       mining.SetSimilarity.oracle ++ mining.VectorSimilarity.oracle ++
       mining.Son.oracle ++ sketch.Sketches.oracle ++ ops.Windows.oracle ++
       graph.Graphs.oracle ++ cluster.KMeans.oracle ++

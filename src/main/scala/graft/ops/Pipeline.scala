@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.mining.SetSimilarity
+
+/** End-to-end corpus-preparation compositions — the operators of
+  * [[Text]] and [[graft.mining.SetSimilarity]] chained the way a
+  * training-data pipeline actually runs them. Nothing here introduces
+  * new math; the value is that the pieces compose as DataFrames (one
+  * driver program, one Catalyst plan per stage, no materialization
+  * between stages beyond what the similarity join already checkpoints)
+  * and that the WHOLE chain is still oracle-verifiable.
+  */
+object Pipeline {
+
+  /** q61: the final kept-document set — curation verdict (q59) minus
+    * near-duplicates (q58): a document is dropped when it has a
+    * shingle-Jaccard ≥ 0.8 neighbor with a smaller doc_id ("keep first
+    * occurrence"; chains collapse to their minimum id, the standard
+    * production choice — no transitive-closure pass). Anti-join on the
+    * near-dup pair list, which is tiny relative to the corpus. */
+  def corpusPrep(s: SparkSession, d: String): DataFrame = {
+    val kept = Text.curation(s, d)
+      .filter(col("keep")).select(col("doc_id"))
+    val dupDropped = SetSimilarity.shingleNeardup(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept.join(dupDropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusPrepSql: String =
+    s"""WITH cur AS (SELECT * FROM (${Text.curationSql})),
+       |nd AS (SELECT DISTINCT doc_b FROM (${SetSimilarity.shingleNeardupSql}))
+       |SELECT doc_id FROM cur
+       |WHERE keep AND doc_id NOT IN (SELECT doc_b FROM nd)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q62: the per-source dataset report ("dataset card" numbers): doc
+    * count, kept count and fraction after the q59 cascade, mean
+    * composite quality, and distinct language labels. One join of two
+    * doc-keyed signal sets, then a source-keyed aggregate — the shuffle
+    * key is `source` (low cardinality), everything before it map-side
+    * partial-aggregates. */
+  def sourceReport(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+      .join(Text.curation(s, d).select(col("doc_id"), col("keep")), "doc_id")
+      .join(Text.docQuality(s, d).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        round(sum(col("keep").cast("long")).cast("double") /
+          count(lit(1)), 4).as("keep_frac"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+
+  val sourceReportSql: String =
+    s"""WITH cur AS (SELECT * FROM (${Text.curationSql})),
+       |q AS (SELECT * FROM (${Text.docQualitySql}))
+       |SELECT d.source,
+       |  count(*) AS n_docs,
+       |  sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS n_keep,
+       |  round(CAST(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS keep_frac,
+       |  round(avg(q.quality), 4) AS avg_quality,
+       |  count(DISTINCT d.lang) AS n_langs
+       |FROM documents d
+       |JOIN cur ON cur.doc_id = d.doc_id
+       |JOIN q ON q.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_corpus_prep" -> (corpusPrep _),
+    "q62_source_report" -> (sourceReport _))
+
+  val oracle: Map[String, String] = Map(
+    "q61_corpus_prep" -> corpusPrepSql,
+    "q62_source_report" -> sourceReportSql)
+}
