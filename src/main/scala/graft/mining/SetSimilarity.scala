@@ -117,18 +117,23 @@ object SetSimilarity {
   def neardupJaccard(s: SparkSession, d: String): DataFrame = {
     // token sets feed the signature explode AND both verify joins
     val toks = tokenSets(s, d).localCheckpoint()
+    // graft_h60 longs as bucket keys, not md5 hex strings: 8-byte join/
+    // shuffle keys instead of 32-char strings over the O(docs × n²)
+    // signature explode. A 60-bit collision can only ADD a candidate
+    // pair, and verifyExact rechecks exact Jaccard — correctness is
+    // collision-immune (the oracle is brute force, signature-free).
     val del2 =
       "CASE WHEN size(st) >= " + DoubleDelMin + " THEN " +
         "flatten(transform(sequence(1, size(st) - 1), i -> " +
-        "transform(sequence(i + 1, size(st)), j -> md5(concat_ws(' ', " +
+        "transform(sequence(i + 1, size(st)), j -> graft_h60(concat_ws(' ', " +
         "concat(slice(st, 1, i - 1), slice(st, i + 1, j - i - 1), " +
         "slice(st, j + 1, size(st) - j))))))) " +
-        "ELSE slice(st, 1, 0) END"
+        "ELSE transform(slice(st, 1, 0), x -> 0L) END"
     val sigs = toks
       .select(col("doc_id"), col("ts").as("st")) // tokenSets pre-sorts
       .select(col("doc_id"), explode(expr(
-        "concat(array(md5(concat_ws(' ', st))), " +
-          "transform(sequence(1, size(st)), i -> md5(concat_ws(' ', " +
+        "concat(array(graft_h60(concat_ws(' ', st))), " +
+          "transform(sequence(1, size(st)), i -> graft_h60(concat_ws(' ', " +
           s"concat(slice(st, 1, i - 1), slice(st, i + 1, size(st) - i))))), " +
           del2 + ")"))
         .as("sig"))
