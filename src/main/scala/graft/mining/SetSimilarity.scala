@@ -29,11 +29,16 @@ object SetSimilarity {
     * ascending-sorted so the merge-intersection kernel (`graft_isize`)
     * applies. Set semantics are order-free, so the sort changes no
     * result (the DuckDB oracle's list_distinct keeps encounter order —
-    * only order-insensitive ops consume it there). */
-  private def tokenSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    * only order-insensitive ops consume it there).
+    * `docs` is any (doc_id, text) DataFrame — the public `*On` entry
+    * points route a caller's own corpus through here. */
+  private def tokenSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         sort_array(array_distinct(expr(toksExpr))).as("ts"))
+
+  private def tokenSets(s: SparkSession, d: String): DataFrame =
+    tokenSetsOf(documents(s, d))
 
   private val tokenSetsSql =
     s"SELECT doc_id, list_distinct($toksSqlExpr) AS ts FROM documents"
@@ -114,9 +119,13 @@ object SetSimilarity {
     * zero cost on corpora of short documents). Bucket by signature,
     * verify candidates exactly; candidates ≈ true pairs and the index
     * stays linear in corpus size. */
-  def neardupJaccard(s: SparkSession, d: String): DataFrame = {
+  def neardupJaccard(s: SparkSession, d: String): DataFrame =
+    neardupJaccardOn(documents(s, d))
+
+  /** q22 over a caller-supplied (doc_id, text) corpus. */
+  def neardupJaccardOn(docs: DataFrame): DataFrame = {
     // token sets feed the signature explode AND both verify joins
-    val toks = tokenSets(s, d).localCheckpoint()
+    val toks = tokenSetsOf(docs).localCheckpoint()
     // graft_h60 longs as bucket keys, not md5 hex strings: 8-byte join/
     // shuffle keys instead of 32-char strings over the O(docs × n²)
     // signature explode. A 60-bit collision can only ADD a candidate
@@ -166,14 +175,17 @@ object SetSimilarity {
   /** q23: per-document MinHash signature — sig_i = min over tokens of
     * (a_i·h(tok) + b_i) mod m (SURVEY.md A8). One scan, all 32 mins in a
     * single projection, no shuffle at all. */
-  private def sigs0(s: SparkSession, d: String): DataFrame =
+  private def sigsOf(docs: DataFrame): DataFrame =
     // native one-pass kernel (graft.plans.MinHashSigExpr) — bit-identical
     // to the k × array_min(transform(...)) HOF form (PlansSpec asserts
     // it), one array traversal instead of k with no per-hash allocation
-    tokenSets(s, d)
+    tokenSetsOf(docs)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+
+  private def sigs0(s: SparkSession, d: String): DataFrame =
+    sigsOf(documents(s, d))
 
   /** Driver-facing form: the signature as a comma-joined string — the
     * external correctness gate hashes result cells with pandas, which
@@ -282,12 +294,16 @@ object SetSimilarity {
   }
 
   def neardupLsh(s: SparkSession, d: String): DataFrame =
+    neardupLshOn(documents(s, d))
+
+  /** q24 over a caller-supplied (doc_id, text) corpus. */
+  def neardupLshOn(docs: DataFrame): DataFrame =
     // same reuse story as q58: the signature and token-set tables feed
     // multiple join branches — materialize each once
     verifyExact(
-      lshCandidates(sigs0(s, d).localCheckpoint(), LshBands, LshRows,
+      lshCandidates(sigsOf(docs).localCheckpoint(), LshBands, LshRows,
         LshMinSigMatches),
-      tokenSets(s, d).localCheckpoint(), LshVerifyTau)
+      tokenSetsOf(docs).localCheckpoint(), LshVerifyTau)
 
   val neardupLshSql: String = {
     val bandCols = (1 to LshRows)
@@ -414,8 +430,8 @@ object SetSimilarity {
   /** Distinct word-3-shingle sets, ascending for the merge kernel;
     * docs with < 3 tokens have no shingles and can match nothing, so
     * they exit before the signature build (J over ∅ is 0/0). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), sort_array(expr(shinglesExpr)).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -426,14 +442,18 @@ object SetSimilarity {
     * that token-set Jaccard misses, and is the standard web-dedup
     * feature space). Shares [[lshCandidates]] and the merge-intersect
     * verify; only the feature extractor and thresholds differ. */
-  def shingleNeardup(s: SparkSession, d: String): DataFrame = {
+  def shingleNeardup(s: SparkSession, d: String): DataFrame =
+    shingleNeardupOn(documents(s, d))
+
+  /** q58 over a caller-supplied (doc_id, text) corpus. */
+  def shingleNeardupOn(docs: DataFrame): DataFrame = {
     // localCheckpoint both tables: the shingle build (split → n-gram →
     // distinct → md5-hash per shingle) feeds five plan branches (band
     // self-join ×2, sig lookups ×2, verify ×2) — recomputing it per
     // branch made q58 the bench's slowest query (12.5 s at sf0.1; the
     // materialized tables are corpus-sized, ~doc_id + 32 longs / the
     // shingle arrays, so storage is bounded and the hash runs once).
-    val sh = shingleSets(s, d).localCheckpoint()
+    val sh = shingleSetsOf(docs).localCheckpoint()
     val sigTable = sh
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))

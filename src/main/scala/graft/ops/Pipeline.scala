@@ -21,10 +21,15 @@ object Pipeline {
     * occurrence"; chains collapse to their minimum id, the standard
     * production choice — no transitive-closure pass). Anti-join on the
     * near-dup pair list, which is tiny relative to the corpus. */
-  def corpusPrep(s: SparkSession, d: String): DataFrame = {
-    val kept = Text.curation(s, d)
+  def corpusPrep(s: SparkSession, d: String): DataFrame =
+    corpusPrepOn(documents(s, d))
+
+  /** q61 over a caller-supplied (doc_id, text) corpus — the one-call
+    * "clean my corpus" entry point. */
+  def corpusPrepOn(docs: DataFrame): DataFrame = {
+    val kept = Text.curationOn(docs)
       .filter(col("keep")).select(col("doc_id"))
-    val dupDropped = SetSimilarity.shingleNeardup(s, d)
+    val dupDropped = SetSimilarity.shingleNeardupOn(docs)
       .select(col("doc_b").as("doc_id")).distinct()
     kept.join(dupDropped, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

@@ -78,14 +78,14 @@ object Text {
     * punctuation count; composite quality in [0,1]-ish and a keep flag.
     * The shape every LLM-data pipeline runs before training. */
   def docQuality(s: SparkSession, d: String): DataFrame =
-    docQuality0(s, d).orderBy(col("doc_id"))
+    docQualityOn(documents(s, d)).orderBy(col("doc_id"))
 
-  /** Unordered quality signals — shared by q18 and the q59 curation
-    * chain (joining on the ordered public form would drag a useless
-    * sort into downstream plans). */
-  private def docQuality0(s: SparkSession, d: String): DataFrame = {
+  /** Unordered quality signals over any (doc_id, text) corpus — shared
+    * by q18 and the q59 curation chain (joining on the ordered public
+    * form would drag a useless sort into downstream plans). */
+  def docQualityOn(docs: DataFrame): DataFrame = {
     val stops = QualityStops.map(w => s"'$w'").mkString(", ")
-    documents(s, d)
+    docs
       .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -248,14 +248,15 @@ object Text {
     * aggregations — shuffles carry (doc_id, bigram) pairs, linear in
     * corpus size. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
-    repetitionSignals0(s, d).orderBy(col("doc_id"))
+    repetitionSignalsOn(documents(s, d)).orderBy(col("doc_id"))
 
-  /** Unordered repetition signals — shared by q55 and q59. */
-  private def repetitionSignals0(s: SparkSession, d: String): DataFrame =
+  /** Unordered repetition signals over any (doc_id, text) corpus —
+    * shared by q55 and q59. */
+  def repetitionSignalsOn(docs: DataFrame): DataFrame =
     // single scan: token stats ride along with the exploded bigrams
     // (re-tokenizing in a second branch would double the dominant
     // per-row split cost); posexplode_outer keeps zero-bigram docs
-    documents(s, d)
+    docs
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_uniq"),
@@ -321,18 +322,22 @@ object Text {
     * shuffle is the (doc_id, term) count — df/N ride on top of it, and
     * the per-document top-k window partitions by doc_id, so no skew
     * (documents are bounded). */
-  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    tfidfTopTermsOn(documents(s, d))
+
+  /** q57 over a caller-supplied (doc_id, text) corpus. */
+  def tfidfTopTermsOn(docs: DataFrame): DataFrame = {
     // materialized: df and the final ranking both consume tf — without
     // this the corpus scan + explode + aggregate runs twice (tf is the
     // aggregated relation, far smaller than the raw token stream, so
     // it's the cheapest thing to hold)
-    val tf = documents(s, d)
+    val tf = docs
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     // rank on the raw double (identical arithmetic in the oracle), so
     // both engines break float ties the same way; term asc disambiguates
     val w = Window.partitionBy(col("doc_id"))
@@ -377,11 +382,15 @@ object Text {
     * doc_id; each signal is map-side + one small shuffle, so the
     * cascade stays linear at 100 TB and the verdict join keys are
     * doc-bounded. */
-  def curation(s: SparkSession, d: String): DataFrame = {
-    val qual = docQuality0(s, d).select(col("doc_id"), col("quality"))
-    val rep = repetitionSignals0(s, d)
+  def curation(s: SparkSession, d: String): DataFrame =
+    curationOn(documents(s, d))
+
+  /** q59 over a caller-supplied (doc_id, text) corpus. */
+  def curationOn(docs: DataFrame): DataFrame = {
+    val qual = docQualityOn(docs).select(col("doc_id"), col("quality"))
+    val rep = repetitionSignalsOn(docs)
       .select(col("doc_id"), col("n_tokens"), col("repetitive"))
-    val firstOfDupGroup = documents(s, d)
+    val firstOfDupGroup = docs
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("first_id",
         min(col("doc_id")).over(Window.partitionBy(col("h"))))

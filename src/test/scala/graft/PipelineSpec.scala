@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mining.SetSimilarity
+import graft.ops.{Pipeline, Text}
+
+/** The DataFrame-first (`*On`) entry points on a hand-built corpus —
+  * proving the operators run on any (doc_id, text) DataFrame, not just
+  * the driver testdata, and that the composed pipeline makes the right
+  * call on each planted document. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // a good doc: long enough, stopword-bearing, punctuation-light
+  private val good =
+    "the quick brown fox jumps over a lazy dog while the calm river " +
+      "flows past a quiet village and the evening light settles softly " +
+      "over the distant hills beyond the old stone bridge"
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      1L -> good,
+      2L -> good,                                   // exact dup of 1
+      3L -> good.replace("quick", "swift"),         // near-dup of 1
+      4L -> "too short",                            // fails length rule
+      // stopword-bearing so quality passes and the REPETITION rule is
+      // the one that fires (rule order: quality precedes repetition)
+      5L -> ("the spam " * 20).trim,
+      6L -> ("the road north runs a long way past a wide field and " +
+        "a small farm where the dogs sleep in the sun near a barn " +
+        "full of hay and the wind turns a rusty vane above the door")
+    ).toDF("doc_id", "text")
+  }
+
+  test("curationOn flags each planted failure with the right reason") {
+    val verdicts = Text.curationOn(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(verdicts(1L) == "ok")
+    assert(verdicts(2L) == "exact_dup")
+    assert(verdicts(3L) == "ok") // near-dup is NOT the curation rule's job
+    assert(verdicts(4L) == "too_short")
+    assert(verdicts(5L) == "repetitive")
+    assert(verdicts(6L) == "ok")
+  }
+
+  test("shingleNeardupOn finds the planted near-dup pair") {
+    val pairs = SetSimilarity.shingleNeardupOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 exact (J=1), 1-3 and 2-3 near (one token changed)
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("corpusPrepOn keeps exactly the clean, first-occurrence docs") {
+    val kept = Pipeline.corpusPrepOn(corpus).collect()
+      .map(_.getLong(0)).toSet
+    // 2 and 3 drop as near-dups of 1; 4 and 5 fail curation
+    assert(kept == Set(1L, 6L))
+  }
+
+  test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
+    val exact = SetSimilarity.neardupJaccardOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SetSimilarity.neardupLshOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // token-set J: 1-2 identical → 1.0; 1-3 differ by one token of ~33
+    // distinct → ≈ 0.94 < τ=0.95, so only the exact pair qualifies
+    assert(exact == Set((1L, 2L)))
+    assert(lsh == exact)
+  }
+}
