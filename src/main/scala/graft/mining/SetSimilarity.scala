@@ -268,11 +268,19 @@ object SetSimilarity {
     * pair-sized; at larger scale Catalyst falls back to shuffle join). */
   private def lshCandidates(sigTable: DataFrame, nBands: Int, nRows: Int,
       minMatches: Int): DataFrame = {
+    // band key = h60 of the comma-joined row values, not an r-long
+    // struct: the bucket self-join emits millions of pairs out of hot
+    // buckets, and comparing one long per advance beats an r-field
+    // struct comparator. A key collision merges two buckets — extra
+    // CANDIDATES only, which the agreement filter + exact verify
+    // remove; the oracle applies the same hash, so both engines see
+    // identical buckets at every scale.
     val bandStructs = (1 to nBands).map { i =>
       val elems = (1 to nRows)
-        .map(r => s"element_at(sig, ${(i - 1) * nRows + r}) AS s$r")
+        .map(r => s"CAST(element_at(sig, ${(i - 1) * nRows + r}) AS STRING)")
         .mkString(", ")
-      s"named_struct('band', $i, 'key', struct($elems))"
+      s"named_struct('band', $i, 'key', " +
+        s"${Hashing.h60SparkSql(s"concat_ws(',', $elems)")})"
     }.mkString(", ")
     val bands = sigTable
       .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
@@ -307,10 +315,12 @@ object SetSimilarity {
 
   val neardupLshSql: String = {
     val bandCols = (1 to LshRows)
-      .map(r => s"sig[(i - 1) * $LshRows + $r]").mkString(", ")
+      .map(r => s"CAST(sig[(i - 1) * $LshRows + $r] AS VARCHAR)")
+      .mkString(", ")
+    val keyExpr = Hashing.h60Sql(s"concat_ws(',', $bandCols)")
     s"""WITH sigs AS ($minhashSigSqlInner),
        |t AS ($tokenSetsSql),
-       |bands AS (SELECT doc_id, sig, i, [$bandCols] AS key
+       |bands AS (SELECT doc_id, sig, i, $keyExpr AS key
        |          FROM sigs CROSS JOIN
        |            (SELECT unnest(generate_series(1, $LshBands)) AS i) g),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -467,7 +477,9 @@ object SetSimilarity {
 
   val shingleNeardupSql: String = {
     val bandCols = (1 to ShingleRows)
-      .map(r => s"sig[(i - 1) * $ShingleRows + $r]").mkString(", ")
+      .map(r => s"CAST(sig[(i - 1) * $ShingleRows + $r] AS VARCHAR)")
+      .mkString(", ")
+    val keyExpr = Hashing.h60Sql(s"concat_ws(',', $bandCols)")
     s"""WITH t0 AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
        |t AS (SELECT * FROM (
        |        SELECT doc_id, $shinglesSqlExpr AS ts FROM t0)
@@ -476,7 +488,7 @@ object SetSimilarity {
        |        list_transform(ts, t -> ${Hashing.h31Sql("t")}) AS xs
        |      FROM t),
        |sigs AS (SELECT doc_id, $sigListSql AS sig FROM x),
-       |bands AS (SELECT doc_id, sig, i, [$bandCols] AS key
+       |bands AS (SELECT doc_id, sig, i, $keyExpr AS key
        |          FROM sigs CROSS JOIN
        |            (SELECT unnest(generate_series(1, $ShingleBands)) AS i) g),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
