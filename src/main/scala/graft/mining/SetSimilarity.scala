@@ -25,6 +25,18 @@ import graft.ops.Text.{toksExpr, toksSqlExpr}
   */
 object SetSimilarity {
 
+  /** Spread a small input across the cluster before CPU-heavy per-row
+    * work: a few-MB parquet file arrives as ONE scan split, which
+    * serializes the tokenize/shingle/hash projections on a single core
+    * (q58 measured 5.0 of its 5.8 s inside that one-partition stage at
+    * sf0.1). When the scan already has ≥ defaultParallelism splits —
+    * any real corpus — this is an exact no-op, so the shuffle cost
+    * never appears at scale. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Distinct-token sets per document (the similarity universe),
     * ascending-sorted so the merge-intersection kernel (`graft_isize`)
     * applies. Set semantics are order-free, so the sort changes no
@@ -33,7 +45,7 @@ object SetSimilarity {
     * `docs` is any (doc_id, text) DataFrame — the public `*On` entry
     * points route a caller's own corpus through here. */
   private def tokenSetsOf(docs: DataFrame): DataFrame =
-    docs
+    fanOut(docs)
       .select(col("doc_id"),
         sort_array(array_distinct(expr(toksExpr))).as("ts"))
 
@@ -441,7 +453,7 @@ object SetSimilarity {
     * docs with < 3 tokens have no shingles and can match nothing, so
     * they exit before the signature build (J over ∅ is 0/0). */
   private def shingleSetsOf(docs: DataFrame): DataFrame =
-    docs
+    fanOut(docs)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), sort_array(expr(shinglesExpr)).as("ts"))
       .filter(size(col("ts")) > 0)

@@ -29,17 +29,29 @@ object Text {
   val subtokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   /** Space-joined word n-grams over a token-array column, guarded for
-    * arrays shorter than n: Spark's sequence(1, m) steps DOWNWARD when
-    * m < 1 (sequence(1, 0) = [1, 0] → out-of-bounds element_at), while
-    * DuckDB's generate_series yields [] — the CASE mirrors the empty
-    * list (ADVICE r02). Shared by the fingerprint shingles (n = 3) and
-    * the repetition bigrams (n = 2). */
+    * arrays shorter than n (empty result, mirroring DuckDB's empty
+    * generate_series — ADVICE r02). Shared by the fingerprint shingles
+    * (n = 3), the repetition bigrams (n = 2), and the q58 shingle join.
+    *
+    * Built as nested zip_with over n shifted slices — NOT
+    * transform(sequence(...), i -> element_at(toksCol, i + j)). The
+    * element_at form references `toksCol` INSIDE the lambda, and when
+    * `toksCol` is a projected alias (filter(split(text))), Catalyst's
+    * CollapseProject inlines the whole tokenizer into the lambda body,
+    * re-splitting the document once per element per reference —
+    * interpreted HOFs get no common-subexpression elimination, and the
+    * shingle build measured 15× slower (4.3 s vs 0.3 s at sf0.1). The
+    * zip_with form references `toksCol` only at row level (n slices +
+    * the guard), so inlining costs n+1 row-level evaluations instead
+    * of 3·shingles per row. */
   def ngramExpr(toksCol: String, n: Int): String = {
-    val parts = (0 until n)
-      .map(j => s"element_at($toksCol, i + $j)").mkString(", ")
+    val m = s"size($toksCol) - ${n - 1}"
+    def nest(j: Int): String =
+      if (j == n - 1) s"slice($toksCol, $n, $m)"
+      else s"zip_with(slice($toksCol, ${j + 1}, $m), ${nest(j + 1)}, " +
+        s"(x$j, y$j) -> concat(x$j, ' ', y$j))"
     s"CASE WHEN size($toksCol) < $n THEN slice($toksCol, 1, 0) " +
-      s"ELSE transform(sequence(1, size($toksCol) - ${n - 1}), i -> " +
-      s"concat_ws(' ', $parts)) END"
+      s"ELSE ${nest(0)} END"
   }
 
   /** q17: per-document token statistics — whitespace tokens, distinct
