@@ -247,15 +247,78 @@ object Graphs {
        |SELECT component, count(*) AS csize
        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** PageRank iterations and damping — the web-quality signal a
+    * training-data pipeline computes over its link graph (beyond the
+    * reference's surface, like LPA's oracle an unrolled-SQL replay). */
+  val PrIters = 5
+  val PrDamping = 0.85
+
+  /** q63: PageRank on the bounded co-purchase subgraph, 5 synchronous
+    * iterations: pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)/deg(u) over the
+    * both-direction edge list (no dangling nodes — every vertex has an
+    * edge by construction, so mass is conserved). Each iteration is
+    * one edge-sized join + a node-keyed sum; pr is rounded to 6 dp per
+    * iteration so Spark's and DuckDB's group-sum orders can't drift
+    * (the q40 unrolled-Lloyd precedent). The constant (1−d)/N is
+    * computed with the same IEEE ops both engines apply. */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOn(
+      undirected(edges(s, d, Some(SubNations), SubThreshold))
+        .localCheckpoint())
+
+  /** q63 over a caller-supplied both-direction (src, dst) edge list
+    * with no dangling nodes. */
+  def pagerankOn(ue: DataFrame): DataFrame = {
+    val deg = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    var pr = deg.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = ue
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+      pr = deg.join(contrib, Seq("node"))
+        .withColumn("pr", round(
+          lit((1 - PrDamping) / n) + lit(PrDamping) * col("inflow"), 6))
+        .select(col("node"), col("deg"), col("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), col("pr")).orderBy(col("node"))
+  }
+
+  val pagerankSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      val prev = s"p${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT d.node, d.deg,
+         |    round((1 - $PrDamping) / nc.n + $PrDamping * i.inflow, 6) AS pr
+         |  FROM deg d
+         |  JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
+         |        FROM ue e JOIN $prev p ON p.node = e.src
+         |        GROUP BY 1) i ON i.node = d.node
+         |  CROSS JOIN nc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(sub = true, SubThreshold)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM ue GROUP BY 1),
+       |nc AS (SELECT count(*) AS n FROM deg),
+       |p0 AS (SELECT node, deg, 1.0 / nc.n AS pr FROM deg CROSS JOIN nc),
+       |$iters
+       |SELECT node, pr FROM p$PrIters ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_degree_hist" -> (degreeHist _),
     "q34_triangles" -> (triangles _),
     "q35_lpa" -> (lpa _),
-    "q36_components" -> (components _))
+    "q36_components" -> (components _),
+    "q63_pagerank" -> (pagerank _))
 
   val oracle: Map[String, String] = Map(
     "q33_degree_hist" -> degreeHistSql,
     "q34_triangles" -> trianglesSql,
     "q35_lpa" -> lpaSql,
-    "q36_components" -> componentsSql)
+    "q36_components" -> componentsSql,
+    "q63_pagerank" -> pagerankSql)
 }

@@ -21,6 +21,28 @@ class GraphSpec extends AnyFunSuite {
       "normal keys untouched")
   }
 
+  test("pagerank: mass conserved, star center dominates, symmetry holds") {
+    import spark.implicits._
+    // star K1,3: center 0, leaves 1..3, both directions
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val pr = graft.graph.Graphs.pagerankOn(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // no dangling nodes → total mass stays 1 (up to 6-dp rounding)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, s"mass ${pr.values.sum}")
+    assert(pr(0L) > pr(1L), "center outranks leaves")
+    assert(pr(1L) == pr(2L) && pr(2L) == pr(3L), "leaves symmetric")
+    // path 1-2-3: ends symmetric, middle dominates
+    val path = Seq((1L, 2L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val pp = graft.graph.Graphs.pagerankOn(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pp(1L) == pp(3L), "path ends symmetric")
+    assert(pp(2L) > pp(1L), "middle dominates")
+  }
+
   test("brandes edge betweenness: path graph 1-2-3-4") {
     val b = GirvanNewman.edgeBetweenness(spark, Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     // pairs crossing each edge: (1,2)=3, (2,3)=4, (3,4)=3
