@@ -247,6 +247,67 @@ object Graphs {
        |SELECT component, count(*) AS csize
        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the 100-TB upgrade path over [[components]]'s
+    * min-label propagation: label propagation needs O(diameter)
+    * rounds (a 10⁶-node path is 10⁶ shuffles), star contraction
+    * converges in O(log n) rounds on any topology. Each round is two
+    * node-keyed aggregations + joins over the current edge set, which
+    * only shrinks. Returns (node, component) with the component
+    * labeled by its minimum member id. Not a registered driver query
+    * (q36's oracle covers the bounded form); GraphSpec proves it
+    * against union-find on random graphs and a long path.
+    *
+    * Round shapes (u's neighborhood N, m = min(N ∪ {u})):
+    *   large-star: for v ∈ N(u) with v > u, emit (v, m)
+    *   small-star: for v ∈ N(u) with v ≤ u, emit (v, m), plus (u, m)
+    */
+  def componentsLargeStar(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    def undir(e: DataFrame): DataFrame =
+      e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    def minNbr(ue: DataFrame): DataFrame =
+      ue.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+    var e = undir(edges).localCheckpoint()
+    var done = false
+    var iter = 0
+    while (!done && iter < 60) {
+      val ue1 = undir(e)
+      val large = ue1.join(minNbr(ue1), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val e1 = large.filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      val ue2 = undir(e1)
+      val nm = minNbr(ue2)
+      val small = ue2.join(nm, "src")
+        .filter(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(nm.select(col("src"), col("m").as("dst")))
+      val e2 = small.filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      // fixpoint: the star edge set stops changing (scalar counts +
+      // symmetric difference — edge-sized, but each is one cheap job
+      // over a shrinking set)
+      done = e2.count() == e.count() &&
+        e2.exceptAll(e).isEmpty
+      e = e2
+      iter += 1
+    }
+    // stars point children at the component min; the min itself
+    // appears only as a dst — add the roots' self labels
+    val members = e.select(col("src").as("node"), col("dst").as("component"))
+    members
+      .unionByName(members.select(col("component").as("node"),
+        col("component")))
+      .distinct()
+      .orderBy(col("node"))
+  }
+
   // ---------------------------------------------------------------- q63
   /** PageRank iterations and damping — the web-quality signal a
     * training-data pipeline computes over its link graph (beyond the

@@ -21,6 +21,51 @@ class GraphSpec extends AnyFunSuite {
       "normal keys untouched")
   }
 
+  test("large-star/small-star components == union-find on random graphs") {
+    import spark.implicits._
+    // deterministic LCG
+    var seed = 0xBEEFL
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    def unionFind(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val p = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (p(r) != r) r = p(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component MIN (roots are minimal by the
+      // max-points-to-min union rule)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    (1 to 3).foreach { trial =>
+      val n = 30 + next(40)
+      val es = (0 until (n + next(n)))
+        .map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = graft.graph.Graphs
+        .componentsLargeStar(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, es)
+      // only nodes with at least one edge are emitted
+      val touched = es.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched, s"trial $trial node set")
+      touched.foreach { v =>
+        assert(got(v) == want(v), s"trial $trial node $v")
+      }
+    }
+    // long path: label propagation would need ~500 rounds; star
+    // contraction must finish inside the 60-round cap
+    val path = (0L until 499L).map(i => (i, i + 1))
+    val labels = graft.graph.Graphs
+      .componentsLargeStar(path.toDF("src", "dst")).collect()
+    assert(labels.length == 500 && labels.forall(_.getLong(1) == 0L),
+      "path collapses to component 0")
+  }
+
   test("pagerank: mass conserved, star center dominates, symmetry holds") {
     import spark.implicits._
     // star K1,3: center 0, leaves 1..3, both directions
