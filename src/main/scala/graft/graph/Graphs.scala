@@ -168,18 +168,20 @@ object Graphs {
     // loss; local mode has no such failure domain.)
     val ue = undirected(edges(s, d, Some(SubNations), SubThreshold))
       .localCheckpoint()
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("lbl").asc)
     var labels = ue.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to LpaIters) {
+      // deterministic argmax via max_by over a (cnt, −lbl) struct key —
+      // same (highest count, then smallest label) winner the oracle's
+      // row_number window replays, minus the per-iteration sort the
+      // window form needed after the count aggregate
       labels = ue
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+        .groupBy(col("node"))
+        .agg(max_by(col("lbl"),
+          struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
         .localCheckpoint()
     }
     labels.orderBy(col("node"))
