@@ -58,6 +58,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("every *On operator returns an empty result on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.curationOn(empty).count() == 0)
+    assert(Text.tfidfTopTermsOn(empty).count() == 0)
+    assert(SetSimilarity.neardupJaccardOn(empty).count() == 0)
+    assert(SetSimilarity.neardupLshOn(empty).count() == 0)
+    assert(SetSimilarity.shingleNeardupOn(empty).count() == 0)
+    assert(Pipeline.corpusPrepOn(empty).count() == 0)
+  }
+
   test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
     val exact = SetSimilarity.neardupJaccardOn(corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
