@@ -57,9 +57,13 @@ object Pipeline {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("keep").cast("long")).as("n_keep"),
-        round(sum(col("keep").cast("long")).cast("double") /
-          count(lit(1)), 4).as("keep_frac"),
-        round(avg(col("quality")), 4).as("avg_quality"),
+        // floor(x*1e4+0.5)/1e4 rather than round(x, 4): Spark rounds
+        // HALF_UP, DuckDB HALF_EVEN, and integer ratios like n/32 land
+        // exactly on .5 boundaries at the 5th decimal. floor-half-up is
+        // bit-identical in both engines (same idiom as q60).
+        (floor((sum(col("keep").cast("long")).cast("double") /
+          count(lit(1))) * 1e4 + 0.5) / 1e4).as("keep_frac"),
+        (floor(avg(col("quality")) * 1e4 + 0.5) / 1e4).as("avg_quality"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("source"))
 
@@ -69,9 +73,9 @@ object Pipeline {
        |SELECT d.source,
        |  count(*) AS n_docs,
        |  sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS n_keep,
-       |  round(CAST(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / count(*), 4) AS keep_frac,
-       |  round(avg(q.quality), 4) AS avg_quality,
+       |  floor(CAST(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1e4 + 0.5) / 1e4 AS keep_frac,
+       |  floor(avg(q.quality) * 1e4 + 0.5) / 1e4 AS avg_quality,
        |  count(DISTINCT d.lang) AS n_langs
        |FROM documents d
        |JOIN cur ON cur.doc_id = d.doc_id
