@@ -300,6 +300,11 @@ object Graphs {
       e = e2
       iter += 1
     }
+    // 60 rounds is far past O(log n) convergence for any real graph;
+    // if it's ever hit, fail loudly — a partially-contracted labeling
+    // is a silently wrong answer.
+    require(done,
+      s"componentsLargeStar: no fixpoint after $iter rounds")
     // stars point children at the component min; the min itself
     // appears only as a dst — add the roots' self labels
     val members = e.select(col("src").as("node"), col("dst").as("component"))
@@ -356,7 +361,7 @@ object Graphs {
       val prev = s"p${k - 1}"
       s"""p$k AS MATERIALIZED (
          |  SELECT d.node, d.deg,
-         |    round((1 - $PrDamping) / nc.n + $PrDamping * i.inflow, 6) AS pr
+         |    round(${1 - PrDamping} / nc.n + $PrDamping * i.inflow, 6) AS pr
          |  FROM deg d
          |  JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
          |        FROM ue e JOIN $prev p ON p.node = e.src

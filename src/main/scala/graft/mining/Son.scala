@@ -240,6 +240,14 @@ object Son {
       candidates.iterator.flatten.toArray.distinct.sorted
     val dictB = s.sparkContext.broadcast((items, candidates))
     import org.apache.spark.sql.Encoders
+    // Packed keys need v^MaxSize to fit a Long (the pair loop also
+    // forms pk*v prefix products — hence the /4 headroom). Mirror
+    // aprioriLocal's guard: past ~2M candidate items fall back to
+    // string-keyed counting rather than silently colliding packed keys.
+    if (items.nonEmpty &&
+        math.pow(items.length.toDouble, MaxSize.toDouble) >=
+          Long.MaxValue.toDouble / 4)
+      return phase2Generic(b, dictB, minsup)
     val counted = b.mapPartitions { it =>
         val (itemArr, cands) = dictB.value
         val v = itemArr.length.toLong
@@ -305,6 +313,46 @@ object Son {
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
         Encoders.scalaLong))
       .toDF("itemset", "sz", "support")
+      .orderBy(col("sz"), col("itemset"))
+  }
+
+  /** Exact phase-2 counting with string itemset keys — the fallback
+    * when the candidate vocabulary is too large to base-v pack into a
+    * Long. Same candidate-bounded shuffle shape as the packed path
+    * (per-partition partial counts, one aggregate), just heavier keys;
+    * SonSpec pins agreement between the two paths. */
+  private[graft] def phase2Generic(
+      b: org.apache.spark.sql.Dataset[Array[String]],
+      dictB: org.apache.spark.broadcast.Broadcast[
+        (Array[String], Array[Vector[String]])],
+      minsup: Long): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    b.mapPartitions { it =>
+        val cands = dictB.value._2
+        val candSet: Set[Vector[String]] = cands.toSet
+        val vocab: Set[String] = cands.iterator.flatten.toSet
+        val counts = mutable.HashMap.empty[Vector[String], Long]
+        it.foreach { basket =>
+          val bs = basket.filter(vocab)
+          var k = 1
+          while (k <= MaxSize) {
+            if (bs.length >= k) bs.combinations(k).foreach { c =>
+              val cv = c.toVector
+              if (candSet(cv))
+                counts.update(cv, counts.getOrElse(cv, 0L) + 1)
+            }
+            k += 1
+          }
+        }
+        counts.iterator.map { case (cv, n) =>
+          (cv.mkString(","), cv.length.toLong, n)
+        }
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong))
+      .toDF("itemset", "sz", "c")
+      .groupBy(col("itemset"), col("sz"))
+      .agg(sum(col("c")).as("support"))
+      .filter(col("support") >= minsup)
       .orderBy(col("sz"), col("itemset"))
   }
 

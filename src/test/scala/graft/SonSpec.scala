@@ -81,4 +81,28 @@ class SonSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("phase-2 string-keyed fallback == packed path on sf0.001") {
+    // the fallback only triggers past ~2M candidate vocabulary in
+    // production; call it directly and pin agreement with the
+    // registered (packed) query on the same candidates
+    import spark.implicits._
+    val b = Son.baskets(spark, sfDir).select(col("basket"))
+      .as[Array[String]].repartition(4).localCheckpoint()
+    val total = b.count()
+    val minsup = math.max(1L, math.ceil(Son.SupportFrac * total).toLong)
+    val candidates = b
+      .mapPartitions(it =>
+        Son.aprioriLocal(it.toVector, Son.SupportFrac, Son.MaxSize))
+      .distinct().collect().map(_.toVector)
+    val items = candidates.iterator.flatten.toArray.distinct.sorted
+    val dictB = spark.sparkContext.broadcast((items, candidates))
+    val gen = Son.phase2Generic(b, dictB, minsup).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val packed = Son.sonItemsets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gen == packed,
+      s"generic ${gen.size} vs packed ${packed.size}; " +
+        s"diff ${(gen diff packed) ++ (packed diff gen)}")
+  }
 }
