@@ -257,9 +257,10 @@ object Graphs {
     * converges in O(log n) rounds on any topology. Each round is two
     * node-keyed aggregations + joins over the current edge set, which
     * only shrinks. Returns (node, component) with the component
-    * labeled by its minimum member id. Not a registered driver query
-    * (q36's oracle covers the bounded form); GraphSpec proves it
-    * against union-find on random graphs and a long path.
+    * labeled by its minimum member id. Registered as q64 over the
+    * bounded subgraph (same recursive-CTE oracle as q36); GraphSpec
+    * additionally proves it against union-find on random graphs and a
+    * long path.
     *
     * Round shapes (u's neighborhood N, m = min(N ∪ {u})):
     *   large-star: for v ∈ N(u) with v > u, emit (v, m)
@@ -314,6 +315,16 @@ object Graphs {
       .distinct()
       .orderBy(col("node"))
   }
+
+  /** q64: the same bounded-subgraph component census as q36, computed
+    * by the O(log n) star-contraction path — the designated 100-TB
+    * variant, hash-verified against the identical recursive-CTE
+    * oracle rather than only property-tested. */
+  def componentsStar(s: SparkSession, d: String): DataFrame =
+    componentsLargeStar(edges(s, d, Some(SubNations), SubThreshold))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+      .orderBy(col("component"))
 
   // ---------------------------------------------------------------- q63
   /** PageRank iterations and damping — the web-quality signal a
@@ -381,12 +392,14 @@ object Graphs {
     "q34_triangles" -> (triangles _),
     "q35_lpa" -> (lpa _),
     "q36_components" -> (components _),
-    "q63_pagerank" -> (pagerank _))
+    "q63_pagerank" -> (pagerank _),
+    "q64_components_star" -> (componentsStar _))
 
   val oracle: Map[String, String] = Map(
     "q33_degree_hist" -> degreeHistSql,
     "q34_triangles" -> trianglesSql,
     "q35_lpa" -> lpaSql,
     "q36_components" -> componentsSql,
+    "q64_components_star" -> componentsSql,
     "q63_pagerank" -> pagerankSql)
 }
