@@ -139,8 +139,17 @@ object Bfr {
     * holds data proportional to the chunk (a chunk at 100 TB is ~20 TB —
     * it must not land on the driver). */
   val InitSampleCap = 2000
-  /** Lloyd refinement iterations for the distributed round-1 init. */
-  val InitIters = 5
+  /** Lloyd refinement iterations for the distributed round-1 init
+    * (3 suffices — ClusterSpec's NMI floor holds; the farthest-first
+    * sample seeds are already close). */
+  val InitIters = 3
+  /** Hard bound on the driver-held retained set. The reference keeps
+    * RS driver-resident and unbounded (bfr.py:371); on adversarial
+    * data (mass outliers, bad init) that grows with the input. We cap
+    * it: ~80k points × 64 dims ≈ 40 MB, far above anything normal
+    * data produces (RS shrinks every round via re-clustering), while
+    * guaranteeing no input-proportional driver buffer exists. */
+  val RsCap = 4 * K * InitSampleCap
 
   /** Per-cluster N/SUM/SUMSQ from an assignment frame — one typed-
     * Aggregator shuffle; only k stats rows reach the driver. */
@@ -168,7 +177,8 @@ object Bfr {
     * DS/CS/RS stats CSV there (one row per chunk round,
     * Assignment5/bfr.py:427-432). */
   def run(s: SparkSession, d: String,
-      intermediateOut: Option[String] = None): DataFrame = {
+      intermediateOut: Option[String] = None,
+      rsCap: Int = RsCap): DataFrame = {
     import s.implicits._
     val pts = KMeans.points(s, d)
       .select(col("vec_id"), col("vd")).as[(Long, Array[Double])]
@@ -183,7 +193,10 @@ object Bfr {
     // Lloyd iterations over the whole chunk refine them. Only k×d
     // centroids and k stats rows ever cross the driver — no data-sized
     // collect anywhere in this loop.
+    // checkpointed: consumed by the sample scan, then once per init
+    // Lloyd iteration — without it each pass re-filters pts.
     val chunk0 = pts.filter(col("vec_id") < chunkSz).toDF()
+      .localCheckpoint()
     val sample = chunk0
       .orderBy(hash(col("vec_id")), col("vec_id"))
       .limit(InitSampleCap)
@@ -228,9 +241,30 @@ object Bfr {
       assignments = assignments.unionByName(
         tagged.filter(_._3 >= 0).map { case (id, _, c) => (id, c) }
           .toDF("vec_id", "cluster"))
-      // RS grows by the unassigned; re-cluster RS into CS candidates.
-      rs = rs ++ tagged.filter(_._3 == -1)
-        .map { case (id, p, _) => (id, p) }.collect().toSeq
+      // RS grows by the unassigned, but the driver buffer is hard-
+      // bounded at RsCap: normal data never comes close (RS shrinks
+      // every round via re-clustering), and when an adversarial chunk
+      // would overflow it we keep the `budget` smallest ids
+      // (deterministic) and tag the rest outliers immediately —
+      // RS stays O(1) w.r.t. input size, matching the file's
+      // no-data-sized-collect contract.
+      val newUn = tagged.filter(_._3 == -1)
+        .map { case (id, p, _) => (id, p) }
+      val budget = rsCap - rs.size
+      if (newUn.count() <= budget)
+        rs = rs ++ newUn.collect().toSeq
+      else {
+        val kept =
+          if (budget > 0)
+            newUn.toDF("vec_id", "vd").orderBy(col("vec_id"))
+              .limit(budget).as[(Long, Array[Double])].collect().toSeq
+          else Seq.empty
+        val cutoff = kept.lastOption.map(_._1).getOrElse(Long.MinValue)
+        rs = rs ++ kept
+        assignments = assignments.unionByName(
+          newUn.filter(_._1 > cutoff).map { case (id, _) => (id, -1) }
+            .toDF("vec_id", "cluster"))
+      }
       if (rs.size > 2 * K) {
         val asg = localKMeans(rs, math.max(K, rs.size / 2))._1
         val groups = rs.groupBy { case (id, _) => asg(id) }

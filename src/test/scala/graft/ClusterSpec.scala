@@ -68,6 +68,18 @@ class ClusterSpec extends AnyFunSuite {
     assert(dsPts.zip(dsPts.tail).forall { case (a, b) => b >= a })
   }
 
+  test("bfr retained-set cap: overflow path still labels every point") {
+    // force the adversarial regime (rsCap 0 → every unassigned point
+    // overflows to outlier immediately) — the run must still finish
+    // with a full, exactly-once labeling and valid cluster ids
+    val out = Bfr.run(spark, sfDir, None, rsCap = 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.length == n, "every vector labeled")
+    assert(out.map(_._1).distinct.length == out.length, "exactly once")
+    assert(out.forall { case (_, c) => c == -1 || c < 10 || c >= 100 })
+  }
+
   /** NB: the planted `label` column is barely separable (supervised
     * nearest-label-centroid assignment only reaches NMI ≈ 0.18 at
     * sf0.01; unsupervised K-Means finds different, tighter structure).
