@@ -26,10 +26,16 @@ object Pipeline {
 
   /** q61 over a caller-supplied (doc_id, text) corpus — the one-call
     * "clean my corpus" entry point. */
-  def corpusPrepOn(docs: DataFrame): DataFrame = {
-    val kept = Text.curationOn(docs)
-      .filter(col("keep")).select(col("doc_id"))
-    val dupDropped = SetSimilarity.shingleNeardupOn(docs)
+  def corpusPrepOn(docs: DataFrame): DataFrame =
+    corpusPrepFrom(Text.curationOn(docs), SetSimilarity.shingleNeardupOn(docs))
+
+  /** The q61 composition over ALREADY-COMPUTED q59/q58 outputs — a
+    * pipeline that has run curation and near-dup detection (the usual
+    * case: the source report and the prep share the same signals) pays
+    * only the anti-join here instead of recomputing both subtrees. */
+  def corpusPrepFrom(curation: DataFrame, neardups: DataFrame): DataFrame = {
+    val kept = curation.filter(col("keep")).select(col("doc_id"))
+    val dupDropped = neardups
       .select(col("doc_b").as("doc_id")).distinct()
     kept.join(dupDropped, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

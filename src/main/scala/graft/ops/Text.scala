@@ -256,32 +256,42 @@ object Text {
     * "repetition ratios" every LLM-data pipeline computes before
     * training): duplicate-token fraction and the share of all bigrams
     * taken by the single most frequent bigram. High values flag
-    * boilerplate/spam for removal. One explode + two grouped
-    * aggregations — shuffles carry (doc_id, bigram) pairs, linear in
-    * corpus size. */
+    * boilerplate/spam for removal. Pure map-side expression work over
+    * one scan — zero shuffle at any corpus size (the earlier
+    * explode + double groupBy form shuffled a bigram-sized relation
+    * twice; the max bigram multiplicity is just the longest equal-run
+    * of the per-row SORTED bigram array, a per-row HOF). */
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
     repetitionSignalsOn(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Longest run of equal adjacent elements in the sorted array `c` —
+    * i.e. the max multiplicity of any element — as a single
+    * `aggregate` HOF (row-level; the lambda references only its own
+    * accumulator and element, so no CollapseProject inlining risk). */
+  private def maxRunExpr(c: String): String =
+    s"""aggregate(sort_array($c),
+       |  named_struct('prev', CAST(NULL AS STRING),
+       |               'run', CAST(0 AS BIGINT),
+       |               'best', CAST(0 AS BIGINT)),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(a.prev IS NOT NULL AND x = a.prev,
+       |              a.run + 1L, 1L),
+       |    'best', greatest(a.best,
+       |      IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),
+       |  a -> a.best)""".stripMargin.replaceAll("\n\\s*", " ")
 
   /** Unordered repetition signals over any (doc_id, text) corpus —
     * shared by q55 and q59. */
   def repetitionSignalsOn(docs: DataFrame): DataFrame =
-    // single scan: token stats ride along with the exploded bigrams
-    // (re-tokenizing in a second branch would double the dominant
-    // per-row split cost); posexplode_outer keeps zero-bigram docs
     docs
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_uniq"),
-        explode_outer(expr(ngramExpr("toks", 2))).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(max(col("n_tokens")).as("n_tokens"),
-        max(col("n_uniq")).as("n_uniq"),
-        count(col("g")).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_tokens")).as("n_tokens"),
-        max(col("n_uniq")).as("n_uniq"),
-        max(col("c")).as("top_cnt"),
-        sum(col("c")).as("n_grams"))
+        expr(ngramExpr("toks", 2)).as("g"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        size(col("g")).cast("long").as("n_grams"),
+        expr(maxRunExpr("g")).as("top_cnt"))
       .select(col("doc_id"), col("n_tokens"),
         // zero-token docs pinned to 0.0 (0/0 is NULL in Spark but NaN
         // on DuckDB ≥ 1.1's IEEE division — pin both engines)

@@ -58,6 +58,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("corpusPrepFrom over precomputed q58/q59 outputs matches corpusPrepOn") {
+    val cur = Text.curationOn(corpus).localCheckpoint()
+    val nd = SetSimilarity.shingleNeardupOn(corpus).localCheckpoint()
+    val reused = Pipeline.corpusPrepFrom(cur, nd).collect().map(_.getLong(0))
+    val direct = Pipeline.corpusPrepOn(corpus).collect().map(_.getLong(0))
+    assert(reused.toSeq == direct.toSeq)
+  }
+
   test("every *On operator returns an empty result on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
