@@ -19,6 +19,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Text.oracle ++ ops.Pipeline.oracle ++
       mining.SetSimilarity.oracle ++ mining.VectorSimilarity.oracle ++
       mining.Son.oracle ++ sketch.Sketches.oracle ++ ops.Windows.oracle ++
-      graph.Graphs.oracle ++ cluster.KMeans.oracle ++
-      multimodal.Multimodal.oracle
+      graph.Graphs.oracle ++ graph.GirvanNewman.oracle ++
+      cluster.KMeans.oracle ++ multimodal.Multimodal.oracle
 }

@@ -179,15 +179,94 @@ object GirvanNewman {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   /** q37: top-20 betweenness edges of the GN subgraph (distributed
-    * Brandes). Rows-only for the driver; exact values are asserted on
-    * hand-computed graphs in GraphSpec. */
+    * Brandes), hash-verified against [[betweennessTopSql]] — a full
+    * unrolled Brandes replay in DuckDB (BFS levels → σ forward pass →
+    * δ backward pass). Rounding is floor-half-up with a 1e-9 slack on
+    * BOTH sides: credit sums accumulate in different orders in the two
+    * engines, and the slack absorbs the resulting ≤1-ulp drift at
+    * exact .00005 boundaries (σ ratios are small rationals, so such
+    * boundaries actually occur). */
   def betweennessTop(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val b = edgeBetweenness(s, gnEdges(s, d)).toSeq
-      .map { case ((u, v), c) => (u, v, math.round(c * 10000.0) / 10000.0) }
+      .map { case ((u, v), c) =>
+        (u, v, math.floor(c * 1e4 + 0.5 + 1e-9) / 1e4) }
     s.createDataset(b).toDF("src", "dst", "betweenness")
       .orderBy(col("betweenness").desc, col("src").asc, col("dst").asc)
       .limit(20)
+  }
+
+  /** Deepest BFS level the oracle unrolls — must exceed the subgraph
+    * diameter (11 at sf0.01; levels past the diameter are empty CTEs
+    * and cost nothing). */
+  val BrandesMaxLevel = 16
+
+  /** Unrolled-SQL Brandes over the GN subgraph: a capped recursive BFS
+    * walk gives shortest-path distances; σ unrolls forward one CTE per
+    * level (σ(c) = Σ σ(parents)); δ unrolls backward
+    * (δ(w) = Σ_children σ(w)/σ(c)·(1+δ(c))); per-DAG-edge credits sum
+    * over roots and halve (undirected double-count). Same output shape
+    * and rounding as [[betweennessTop]]. */
+  val betweennessTopSql: String = {
+    val l = BrandesMaxLevel
+    val sigs = (1 to l).map { k =>
+      s"""s$k AS (SELECT p.root, c.node, sum(p.sigma) AS sigma
+         |  FROM s${k - 1} p JOIN ue e ON e.src = p.node
+         |  JOIN sp c ON c.root = p.root AND c.node = e.dst
+         |    AND c.dist = $k
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val sigUnion = (0 to l).map(k => s"SELECT * FROM s$k")
+      .mkString(" UNION ALL ")
+    val deltas = (l - 1 to 0 by -1).map { k =>
+      s"""d$k AS (
+         |  SELECT w.root, w.node,
+         |    coalesce(sum(sw.sigma / sc.sigma * (1.0 + dn.delta)), 0.0)
+         |      AS delta
+         |  FROM sp w
+         |  JOIN sig sw ON sw.root = w.root AND sw.node = w.node
+         |  LEFT JOIN pc ON pc.root = w.root AND pc.w = w.node
+         |  LEFT JOIN sig sc ON sc.root = pc.root AND sc.node = pc.c
+         |  LEFT JOIN d${k + 1} dn ON dn.root = pc.root AND dn.node = pc.c
+         |  WHERE w.dist = $k
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val dallUnion = (0 to l).map(k => s"SELECT * FROM d$k")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${Graphs.edgesSql(Some(GnNations), GnThreshold)},
+       |walk AS (
+       |  SELECT src AS root, src AS node, 0 AS d
+       |  FROM (SELECT DISTINCT src FROM ue)
+       |  UNION
+       |  SELECT w.root, e.dst AS node, w.d + 1 AS d
+       |  FROM walk w JOIN ue e ON e.src = w.node
+       |  WHERE w.d < $l),
+       |sp AS MATERIALIZED (
+       |  SELECT root, node, min(d) AS dist FROM walk GROUP BY 1, 2),
+       |pc AS MATERIALIZED (
+       |  SELECT p.root, p.node AS w, c.node AS c
+       |  FROM sp p JOIN ue e ON e.src = p.node
+       |  JOIN sp c ON c.root = p.root AND c.node = e.dst
+       |    AND c.dist = p.dist + 1),
+       |s0 AS (SELECT root, node, CAST(1 AS DOUBLE) AS sigma
+       |       FROM sp WHERE dist = 0),
+       |$sigs,
+       |sig AS MATERIALIZED ($sigUnion),
+       |d$l AS (SELECT root, node, CAST(0 AS DOUBLE) AS delta
+       |        FROM sp WHERE dist = $l),
+       |$deltas,
+       |dall AS ($dallUnion),
+       |cred AS (
+       |  SELECT least(pc.w, pc.c) AS src, greatest(pc.w, pc.c) AS dst,
+       |    sw.sigma / sc.sigma * (1.0 + dd.delta) AS credit
+       |  FROM pc
+       |  JOIN sig sw ON sw.root = pc.root AND sw.node = pc.w
+       |  JOIN sig sc ON sc.root = pc.root AND sc.node = pc.c
+       |  JOIN dall dd ON dd.root = pc.root AND dd.node = pc.c)
+       |SELECT src, dst,
+       |  floor(sum(credit) / 2.0 * 1e4 + 0.5 + 1e-9) / 1e4 AS betweenness
+       |FROM cred GROUP BY 1, 2
+       |ORDER BY 3 DESC, 1 ASC, 2 ASC LIMIT 20""".stripMargin
   }
 
   /** q38: Girvan–Newman best-modularity communities of the subgraph —
@@ -205,7 +284,9 @@ object GirvanNewman {
     "q37_betweenness" -> (betweennessTop _),
     "q38_gn_communities" -> (gnCommunitiesDf _))
 
-  /** Betweenness/GN have no SQL oracle (iterative graph algorithms) —
-    * driver records rows-only; GraphSpec holds the golden assertions. */
-  val oracle: Map[String, String] = Map.empty
+  /** q37 replays Brandes in unrolled SQL; q38's inner loop (repeated
+    * edge removal + recompute) stays rows-only — GraphSpec holds its
+    * golden assertions. */
+  val oracle: Map[String, String] = Map(
+    "q37_betweenness" -> betweennessTopSql)
 }

@@ -94,11 +94,10 @@ object Graphs {
     ed.select(col("src"), col("dst"))
       .unionByName(ed.select(col("dst").as("src"), col("src").as("dst")))
 
-  private def cpSql(sub: Boolean): String = {
-    val where = if (sub)
+  private def cpSql(maxNation: Option[Int]): String = {
+    val where = maxNation.fold("")(n =>
       s"""WHERE o_custkey IN (SELECT c_custkey FROM customer
-         |    WHERE c_nationkey < $SubNations)""".stripMargin
-    else ""
+         |    WHERE c_nationkey < $n)""".stripMargin)
     s"""cp AS MATERIALIZED (
        |  SELECT ck, pk FROM (
        |    SELECT ck, pk, count(*) OVER (PARTITION BY pk) AS df FROM (
@@ -108,8 +107,8 @@ object Graphs {
        |  WHERE df <= $MaxSourceDf),""".stripMargin
   }
 
-  private def edgesSql(sub: Boolean, thr: Int): String =
-    s"""${cpSql(sub)}
+  private[graft] def edgesSql(maxNation: Option[Int], thr: Int): String =
+    s"""${cpSql(maxNation)}
        |ed AS MATERIALIZED (
        |  SELECT a.ck AS src, b.ck AS dst
        |  FROM cp a JOIN cp b ON a.pk = b.pk AND a.ck < b.ck
@@ -131,7 +130,7 @@ object Graphs {
       .orderBy(col("degree"))
 
   val degreeHistSql: String =
-    s"""WITH ${edgesSql(sub = false, EdgeThreshold)},
+    s"""WITH ${edgesSql(None, EdgeThreshold)},
        |deg AS (SELECT src, count(*) AS degree FROM ue GROUP BY 1)
        |SELECT degree, count(*) AS n_customers
        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
@@ -150,7 +149,7 @@ object Graphs {
   }
 
   val trianglesSql: String =
-    s"""WITH ${edgesSql(sub = true, SubThreshold)}
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)}
        |SELECT count(*) AS n_triangles
        |FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
        |           JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
@@ -199,7 +198,7 @@ object Graphs {
          |    GROUP BY e.src, l.lbl)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${edgesSql(sub = true, SubThreshold)},
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)},
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ue),
        |$iters
        |SELECT node, lbl FROM l$LpaIters ORDER BY node""".stripMargin
@@ -239,7 +238,7 @@ object Graphs {
   }
 
   val componentsSql: String =
-    s"""WITH RECURSIVE ${edgesSql(sub = true, SubThreshold)},
+    s"""WITH RECURSIVE ${edgesSql(Some(SubNations), SubThreshold)},
        |r AS (
        |  SELECT src AS node, src AS lbl FROM ue
        |  UNION
@@ -379,7 +378,7 @@ object Graphs {
          |        GROUP BY 1) i ON i.node = d.node
          |  CROSS JOIN nc)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${edgesSql(sub = true, SubThreshold)},
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)},
        |deg AS (SELECT src AS node, count(*) AS deg FROM ue GROUP BY 1),
        |nc AS (SELECT count(*) AS n FROM deg),
        |p0 AS (SELECT node, deg, 1.0 / nc.n AS pr FROM deg CROSS JOIN nc),
