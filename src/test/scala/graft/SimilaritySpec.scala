@@ -174,6 +174,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@3 = $recall (probing 4/16 lists)")
   }
 
+  test("shingle LSH recall ≥ 0.85 over 100 random corpora (1−(1−τ⁴)⁸ bound)") {
+    // property-style recall check mirroring the reference's recall ≥ 0.8
+    // grading: 100 generated corpora (deterministic LCG, replayable),
+    // planted near-dups at token-mutation distances straddling τ = 0.8.
+    // At J = 0.8 the banding bound gives detection ≥ 1−(1−0.8⁴)⁸ ≈ 0.985
+    // (the ≥20/32 sig-match pre-filter trims it slightly), so aggregate
+    // recall over every true-J ≥ τ pair must clear 0.85 comfortably.
+    // Corpora share one DataFrame (disjoint vocabularies → no cross-
+    // corpus matches) so the pipeline runs once, as it would in prod.
+    import spark.implicits._
+    var seed = 0xBADC0DEL
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt
+    }
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    (0 until 100).foreach { trial =>
+      val vocab = (0 until 40).map(k => s"t${trial}w$k")
+      def randDoc(len: Int): Array[String] =
+        Array.fill(len)(vocab(next(vocab.size)))
+      val base = randDoc(30)
+      docs += ((trial * 100L, base.mkString(" ")))
+      // planted variants: 0..2 token mutations → J ≈ 1.0 / 0.81 / 0.65
+      (1 to 2).foreach { i =>
+        val v = base.clone()
+        (0 until next(3)).foreach(_ => v(next(v.length)) = vocab(next(vocab.size)))
+        docs += ((trial * 100L + i, v.mkString(" ")))
+      }
+      // unrelated noise docs
+      (3 to 5).foreach(i => docs += ((trial * 100L + i, randDoc(25).mkString(" "))))
+    }
+    def shingles(text: String): Set[String] =
+      text.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val byId = docs.toMap
+    val expected = for {
+      (a, ta) <- docs; (b, tb) <- docs
+      if a < b && a / 100 == b / 100
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= SetSimilarity.ShingleTau
+    } yield (a, b)
+    assert(expected.size >= 50, s"generator sanity: ${expected.size} planted pairs")
+    val found = SetSimilarity.shingleNeardupOn(docs.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactness: every reported pair truly has J ≥ τ (verify step)
+    found.foreach { case (a, b) =>
+      val sa = shingles(byId(a)); val sb = shingles(byId(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= SetSimilarity.ShingleTau - 1e-9, s"false positive ($a,$b) J=$j")
+    }
+    val recall = expected.count(found).toDouble / expected.size
+    assert(recall >= 0.85, s"recall $recall over ${expected.size} true pairs")
+  }
+
   test("ann lsh results carry exact cosines present in brute force") {
     val ann = VectorSimilarity.annHyperplaneLsh(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
