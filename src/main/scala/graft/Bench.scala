@@ -110,10 +110,17 @@ object Bench {
         runs.map(s => f"$s%.1f").mkString(", ") + ")")
       name -> runs.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision — sub-ms digits are noise and the per-query map must
+    // fit the caller's 2000-char output-tail window (round 5's 9-dp
+    // line overflowed it and the driver recorded parsed: null)
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sf0001_sec":$warmupSec,"timed_runs":${round - 1},"agg":"min","interleaved":true,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":${round - 1},"agg":"min","interleaved":true,"sf":"$sfDir"}""")
+    // compact duplicate LAST: even if the full line above is clipped by
+    // a bounded tail capture, this one always parses
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"compact duplicate of the full line above","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
