@@ -88,11 +88,94 @@ object Pipeline {
        |JOIN q ON q.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q65: near-duplicate clusters — the canonicalization step real
+    * dedup pipelines run after pair detection: union the q58 pair list
+    * into an undirected graph, take connected components (star
+    * contraction, the O(log n) 100-TB path), and label every clustered
+    * doc with its component's minimum doc_id. Unlike q61's
+    * drop-every-doc_b rule this closes chains transitively (a~b, b~c
+    * ⇒ one cluster {a,b,c} with canon a). Docs with no near-dup do not
+    * appear (they are their own canon). The pair list is output-sized
+    * — tiny relative to the corpus — so the CC rounds are cheap. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    dupClustersOn(documents(s, d))
+
+  /** q65 over a caller-supplied (doc_id, text) corpus. */
+  def dupClustersOn(docs: DataFrame): DataFrame =
+    graft.graph.Graphs.componentsLargeStar(
+        SetSimilarity.shingleNeardupOn(docs)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("node").as("doc_id"), col("component").as("canon_id"))
+      .orderBy(col("doc_id"))
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE
+       |nd AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${SetSimilarity.shingleNeardupSql})),
+       |ue AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+       |       UNION ALL SELECT doc_b, doc_a FROM nd),
+       |r AS (
+       |  SELECT src AS node, src AS lbl FROM ue
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM r JOIN ue e ON e.dst = r.node)
+       |SELECT node AS doc_id, min(lbl) AS canon_id
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Eval-set boundary and n-gram width for the q66 decontamination
+    * check (first [[DecontamEvalMax]] doc_ids stand in for a held-out
+    * benchmark; 5-grams because the synthetic vocabulary is small —
+    * real pipelines use 8–13-gram hashes, same plan shape). */
+  val DecontamEvalMax = 50L
+  val DecontamN = 5
+
+  /** q66: training-set decontamination — flag corpus documents sharing
+    * any [[DecontamN]]-gram with the eval set, reporting the count of
+    * distinct shared grams. Plan shape at 100 TB: the eval side is
+    * benchmark-sized by definition, so its distinct gram set BROADCASTS
+    * and the corpus side is one explode + map-side hash-join + grouped
+    * count — no corpus-sized shuffle of anything but the hits. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    decontaminateOn(docs.filter(col("doc_id") >= DecontamEvalMax),
+      docs.filter(col("doc_id") < DecontamEvalMax))
+  }
+
+  /** q66 over caller-supplied corpus and eval-set DataFrames (both
+    * (doc_id, text)). */
+  def decontaminateOn(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), expr(Text.toksExpr).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(Text.ngramExpr("toks", DecontamN))).as("g"))
+    grams(corpus)
+      .join(broadcast(grams(evalDocs).select(col("g")).distinct()), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.toksSqlExpr} AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(${Text.ngramSqlExpr("toks", DecontamN)}) AS g
+       |      FROM t),
+       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < $DecontamEvalMax)
+       |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+       |FROM g JOIN ev ON ev.g = g.g
+       |WHERE g.doc_id >= $DecontamEvalMax
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_corpus_prep" -> (corpusPrep _),
-    "q62_source_report" -> (sourceReport _))
+    "q62_source_report" -> (sourceReport _),
+    "q65_dup_clusters" -> (dupClusters _),
+    "q66_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "q61_corpus_prep" -> corpusPrepSql,
-    "q62_source_report" -> sourceReportSql)
+    "q62_source_report" -> sourceReportSql,
+    "q65_dup_clusters" -> dupClustersSql,
+    "q66_decontaminate" -> decontaminateSql)
 }

@@ -54,6 +54,14 @@ object Text {
       s"ELSE ${nest(0)} END"
   }
 
+  /** DuckDB twin of [[ngramExpr]] (generate_series is empty for
+    * len < n, so the short-doc guard is implicit there). */
+  def ngramSqlExpr(toksCol: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"$toksCol[i + $j]").mkString(", ")
+    s"list_transform(generate_series(1, len($toksCol) - ${n - 1}), " +
+      s"i -> concat_ws(' ', $parts))"
+  }
+
   /** q17: per-document token statistics — whitespace tokens, distinct
     * tokens, BPE-ish subtokens, average token length. */
   def tokenStats(s: SparkSession, d: String): DataFrame =

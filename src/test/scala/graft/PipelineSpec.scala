@@ -66,6 +66,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(reused.toSeq == direct.toSeq)
   }
 
+  test("dupClustersOn closes the chain transitively with min-id canon") {
+    // 2 is an exact dup of 1 and 3 a near-dup of 1 → one cluster {1,2,3}
+    val got = Pipeline.dupClustersOn(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("decontaminateOn counts distinct shared n-grams against the eval set") {
+    import spark.implicits._
+    val evalSet = Seq(100L -> "alpha beta gamma delta epsilon zeta")
+      .toDF("doc_id", "text")
+    val corp = Seq(
+      // shares "alpha beta gamma delta epsilon"
+      1L -> "prefix alpha beta gamma delta epsilon suffix",
+      // shares both eval 5-grams
+      2L -> "x alpha beta gamma delta epsilon zeta tail words",
+      3L -> "totally unrelated text with no overlap at all"
+    ).toDF("doc_id", "text")
+    val got = Pipeline.decontaminateOn(corp, evalSet).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("every *On operator returns an empty result on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -75,6 +98,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(SetSimilarity.neardupLshOn(empty).count() == 0)
     assert(SetSimilarity.shingleNeardupOn(empty).count() == 0)
     assert(Pipeline.corpusPrepOn(empty).count() == 0)
+    assert(Pipeline.dupClustersOn(empty).count() == 0)
+    assert(Pipeline.decontaminateOn(empty, empty).count() == 0)
   }
 
   test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
