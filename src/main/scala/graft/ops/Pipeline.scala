@@ -167,15 +167,79 @@ object Pipeline {
        |WHERE g.doc_id >= $DecontamEvalMax
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Token budget per shard for the q67 packing (docs average ~120
+    * tokens, so shards hold ~40 docs at the test scales). */
+  val TokenShardBudget = 5000L
+
+  /** q67: token-budget sharding — the sequence-packing step that cuts
+    * a doc_id-ordered corpus into contiguous shards of ≈`budget`
+    * tokens each (shard k = docs whose preceding cumulative token
+    * count floors to k budgets), the unit a training job reads.
+    *
+    * The naive plan is `sum(n_tokens) OVER (ORDER BY doc_id)` — an
+    * un-partitioned window that drags the whole corpus through ONE
+    * task. Instead: range-partition by doc_id, per-partition token
+    * totals (a partition-COUNT-sized collect, not data), prefix-sum
+    * the offsets on the driver, then one map-side pass closes the
+    * cumulative count per partition. Output is independent of the
+    * partitioning, so the DuckDB window replay verifies it exactly. */
+  def tokenShards(s: SparkSession, d: String): DataFrame =
+    tokenShardsOn(documents(s, d), TokenShardBudget)
+
+  /** q67 over a caller-supplied (doc_id, text) corpus. */
+  def tokenShardsOn(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select(col("doc_id"),
+        size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+    val rdd = toks.rdd.cache()
+    // per-partition totals: one number per partition crosses the driver
+    val totals = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.map(_._2).sum)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val offB = s.sparkContext.broadcast(offsets)
+    val out = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var cum = offB.value(i)
+        it.map { case (id, n) =>
+          val shard = cum / budget
+          cum += n
+          (id, n, shard)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard")
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // materialize before unpersisting the rdd
+    rdd.unpersist(false)
+    out
+  }
+
+  val tokenShardsSql: String =
+    s"""WITH t AS (SELECT doc_id, len(${Text.toksSqlExpr}) AS n_tokens
+       |           FROM documents)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_corpus_prep" -> (corpusPrep _),
     "q62_source_report" -> (sourceReport _),
     "q65_dup_clusters" -> (dupClusters _),
-    "q66_decontaminate" -> (decontaminate _))
+    "q66_decontaminate" -> (decontaminate _),
+    "q67_token_shards" -> (tokenShards _))
 
   val oracle: Map[String, String] = Map(
     "q61_corpus_prep" -> corpusPrepSql,
     "q62_source_report" -> sourceReportSql,
     "q65_dup_clusters" -> dupClustersSql,
-    "q66_decontaminate" -> decontaminateSql)
+    "q66_decontaminate" -> decontaminateSql,
+    "q67_token_shards" -> tokenShardsSql)
 }

@@ -89,6 +89,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("tokenShardsOn packs contiguous budget-bounded shards at any partitioning") {
+    import spark.implicits._
+    // 10 docs × 4 tokens, budget 10 → shard boundaries every 2.5 docs:
+    // cumBefore 0,4,8,12,... → shards 0,0,0,1,1,2,2,2,3,3
+    val docs = (0L until 10L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val got = Pipeline.tokenShardsOn(docs.repartition(7), 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L,
+      4L -> 1L, 5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
+  }
+
   test("every *On operator returns an empty result on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -100,6 +111,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.corpusPrepOn(empty).count() == 0)
     assert(Pipeline.dupClustersOn(empty).count() == 0)
     assert(Pipeline.decontaminateOn(empty, empty).count() == 0)
+    assert(Pipeline.tokenShardsOn(empty, 100L).count() == 0)
   }
 
   test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
