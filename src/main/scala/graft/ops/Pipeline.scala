@@ -229,17 +229,96 @@ object Pipeline {
        |    - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** 2^60 — the h60 hash range, for hash-fraction acceptance tests. */
+  private val H60Range = "1152921504606846976.0"
+
+  /** q68: quality-weighted sampling — keep each document with
+    * probability equal to its composite quality score (importance
+    * sampling: high-quality docs survive, low-quality docs thin out,
+    * negative scores drop outright). Deterministic and replayable:
+    * the acceptance test is h60(doc_id) < quality·2^60, not an RNG —
+    * the same doc makes the same call on every run and both engines.
+    * Map-side expression work over one scan; no shuffle but the
+    * output sort. */
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    qualitySampleOn(documents(s, d))
+
+  /** q68 over a caller-supplied (doc_id, text) corpus. */
+  def qualitySampleOn(docs: DataFrame): DataFrame =
+    Text.docQualityOn(docs)
+      .select(col("doc_id"), col("quality"))
+      .filter(expr(
+        s"${graft.functions.Hashing.h60SparkSql("doc_id")} < " +
+          s"CAST(floor(quality * $H60Range) AS BIGINT)"))
+      .orderBy(col("doc_id"))
+
+  val qualitySampleSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${Text.docQualitySql}))
+       |SELECT doc_id, quality FROM q
+       |WHERE ${graft.functions.Hashing.h60Sql("doc_id")} <
+       |  CAST(floor(quality * $H60Range) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source token quota for the q69 mixture (sources hold
+    * ~1300–1550 tokens at sf0.01, so this admits roughly the better
+    * half and the cutoff actually bites in the oracle comparison). */
+  val SourceTokenQuota = 800L
+
+  /** q69: data-mixture selection — give every source an equal token
+    * quota and fill it with the source's best documents (quality desc,
+    * doc_id tiebreak), the mixing step that stops one giant source
+    * from dominating the training set. One window partitioned by
+    * `source` (bounded cardinality, so no skewed single task) over the
+    * quality signals; a doc is admitted while its source's running
+    * token count is still under quota. */
+  def sourceMixture(s: SparkSession, d: String): DataFrame =
+    sourceMixtureOn(documents(s, d), SourceTokenQuota)
+
+  /** q69 over a caller-supplied (doc_id, source, text) corpus. */
+  def sourceMixtureOn(docs: DataFrame, quota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"))
+      .join(Text.docQualityOn(docs)
+        .select(col("doc_id"), col("n_tokens"), col("quality")), "doc_id")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < quota)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sourceMixtureSql: String =
+    s"""WITH q AS (SELECT doc_id, n_tokens, quality
+       |           FROM (${Text.docQualitySql})),
+       |j AS (SELECT d.doc_id, d.source, q.n_tokens, q.quality,
+       |        coalesce(sum(q.n_tokens) OVER (PARTITION BY d.source
+       |          ORDER BY q.quality DESC, d.doc_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM j WHERE cum_before < $SourceTokenQuota
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_corpus_prep" -> (corpusPrep _),
     "q62_source_report" -> (sourceReport _),
     "q65_dup_clusters" -> (dupClusters _),
     "q66_decontaminate" -> (decontaminate _),
-    "q67_token_shards" -> (tokenShards _))
+    "q67_token_shards" -> (tokenShards _),
+    "q68_quality_sample" -> (qualitySample _),
+    "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
     "q61_corpus_prep" -> corpusPrepSql,
     "q62_source_report" -> sourceReportSql,
     "q65_dup_clusters" -> dupClustersSql,
     "q66_decontaminate" -> decontaminateSql,
-    "q67_token_shards" -> tokenShardsSql)
+    "q67_token_shards" -> tokenShardsSql,
+    "q68_quality_sample" -> qualitySampleSql,
+    "q69_source_mixture" -> sourceMixtureSql)
 }

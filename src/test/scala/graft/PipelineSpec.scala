@@ -100,6 +100,43 @@ class PipelineSpec extends AnyFunSuite {
       4L -> 1L, 5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
   }
 
+  test("qualitySampleOn is deterministic and keeps only positive-quality docs") {
+    val once = Pipeline.qualitySampleOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val twice = Pipeline.qualitySampleOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(once.toSeq == twice.toSeq, "hash acceptance must replay")
+    assert(once.forall(_._2 > 0.0),
+      "acceptance prob = quality, so kept docs have quality > 0")
+  }
+
+  test("sourceMixtureOn admits a quality-ordered prefix within the token quota") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = corpus.withColumn("source",
+      (col("doc_id") % 2).cast("string"))
+    val quota = 40L
+    val admitted = Pipeline.sourceMixtureOn(docs, quota).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val quality = graft.ops.Text.docQualityOn(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2))).toMap
+    admitted.groupBy(_._2).foreach { case (src, docs0) =>
+      // next-fit bound: quota never exceeded before the last admit
+      val toks = docs0.map(_._3).sum
+      val maxDoc = docs0.map(_._3).max
+      assert(toks - maxDoc < quota, s"source $src over quota: $toks")
+      // prefix property: every admitted doc outranks every rejected one
+      val admittedIds = docs0.map(_._1).toSet
+      val all = quality.keys.filter(id =>
+        (id % 2).toString == src).toSeq
+      val rank = all.sortBy(id => (-quality(id)._2, id))
+      val cut = rank.indexWhere(id => !admittedIds.contains(id))
+      assert(cut == -1 || rank.drop(cut).forall(id => !admittedIds.contains(id)),
+        s"admitted set is not a rank prefix for source $src")
+    }
+  }
+
   test("every *On operator returns an empty result on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -112,6 +149,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.dupClustersOn(empty).count() == 0)
     assert(Pipeline.decontaminateOn(empty, empty).count() == 0)
     assert(Pipeline.tokenShardsOn(empty, 100L).count() == 0)
+    assert(Pipeline.qualitySampleOn(empty).count() == 0)
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(Pipeline.sourceMixtureOn(emptySrc, 100L).count() == 0)
   }
 
   test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
