@@ -240,6 +240,47 @@ object SetSimilarity {
     s"""SELECT doc_id, array_to_string(sig, ',') AS sig
        |FROM ($minhashSigSqlInner) ORDER BY doc_id""".stripMargin
 
+  /** q70: pairwise source-overlap estimation from MERGED MinHash
+    * signatures — the "how duplicated are my datasets against each
+    * other" census a pipeline runs before mixing sources. The minhash
+    * of a union is the component-wise min of the parts' signatures,
+    * so per-source signatures come from one (source, pos) min
+    * aggregate over the per-doc signatures (partial-aggregated
+    * map-side; nothing source-level ever sees raw tokens), and the
+    * pairwise estimate ĵ = |equal components|/k touches only the
+    * sources²-sized signature table. At 100 TB this is the point of
+    * sketches: per-source state is k longs regardless of corpus size.
+    * floor-half-up rounding: k/32 hits .xxxx5 exactly (32 = 2^5). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val srcSig = documents(s, d).select(col("doc_id"), col("source"))
+      .join(sigsOf(documents(s, d)), "doc_id")
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(min(col("v")).as("v"))
+    srcSig.as("a")
+      .join(srcSig.as("b"),
+        col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg((floor(
+        sum(when(col("a.v") === col("b.v"), 1L).otherwise(0L))
+          .cast("double") / NumHashes * 1e4 + 0.5) / 1e4)
+        .as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH s0 AS ($minhashSigSqlInner),
+       |m AS (SELECT d.source, g.i, s0.sig[g.i] AS v
+       |      FROM s0 JOIN documents d ON d.doc_id = s0.doc_id
+       |      CROSS JOIN
+       |        (SELECT unnest(generate_series(1, $NumHashes)) AS i) g),
+       |g2 AS (SELECT source, i, min(v) AS v FROM m GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  floor(CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $NumHashes * 1e4 + 0.5) / 1e4 AS est_jaccard
+       |FROM g2 a JOIN g2 b ON a.i = b.i AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** LSH banding: 4 bands × 8 rows, verify τ = 0.95. Deterministic, so
     * the oracle replicates the band join exactly — recall loss vs the
@@ -524,10 +565,12 @@ object SetSimilarity {
     "q23_minhash_sig" -> (minhashSig _),
     "q24_neardup_lsh" -> (neardupLsh _),
     "q25_simhash" -> (simhash _),
-    "q43_minhash_native" -> (minhashSigNative _))
+    "q43_minhash_native" -> (minhashSigNative _),
+    "q70_source_overlap" -> (sourceOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q58_shingle_neardup" -> shingleNeardupSql,
+    "q70_source_overlap" -> sourceOverlapSql,
     "q22_neardup_jaccard" -> neardupJaccardSql,
     "q23_minhash_sig" -> minhashSigSql,
     "q24_neardup_lsh" -> neardupLshSql,

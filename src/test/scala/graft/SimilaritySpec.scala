@@ -230,6 +230,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall over ${expected.size} true pairs")
   }
 
+  test("source-overlap minhash estimate tracks true union jaccard (±4σ)") {
+    val est = SetSimilarity.sourceOverlap(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val unions = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(_.getString(1).split(" ")).filter(_.nonEmpty)
+        .toSet).toMap
+    // 32-hash minhash: σ = sqrt(j(1−j)/32) ≤ 0.089; allow 4σ
+    est.foreach { case ((a, b), e) =>
+      val sa = unions(a); val sb = unions(b)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(e - j) <= 0.36, s"($a,$b): est $e vs true $j")
+    }
+    assert(est.nonEmpty)
+  }
+
   test("ann lsh results carry exact cosines present in brute force") {
     val ann = VectorSimilarity.annHyperplaneLsh(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
