@@ -100,32 +100,59 @@ object Text {
   def docQuality(s: SparkSession, d: String): DataFrame =
     docQualityOn(documents(s, d)).orderBy(col("doc_id"))
 
-  /** Unordered quality signals over any (doc_id, text) corpus — shared
-    * by q18 and the q59 curation chain (joining on the ordered public
-    * form would drag a useless sort into downstream plans). */
-  def docQualityOn(docs: DataFrame): DataFrame = {
+  /** Every STATELESS per-doc curation signal in one projection chain —
+    * no join, no shuffle, no stateful operator, so the same frame runs
+    * unchanged on a stream ([[graft.streaming.Streams.streamingCuration]])
+    * and is the single source of truth the q18/q55/q59 shapes select
+    * from. Adds: n_tokens, n_uniq, stop_cnt, punct_cnt, n_chars,
+    * n_grams, top_cnt, stop_ratio, quality, dup_token_frac,
+    * top_bigram_frac, repetitive. */
+  def signalChainOn(docs: DataFrame): DataFrame = {
     val stops = QualityStops.map(w => s"'$w'").mkString(", ")
     docs
       .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"), col("toks"),
         size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
         size(expr(s"filter(toks, t -> array_contains(array($stops), t))"))
           .as("stop_cnt"),
         (length(col("text")) -
           length(translate(col("text"), ".,!?;:", ""))).as("punct_cnt"),
-        length(col("text")).as("n_chars"))
-      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
-        col("punct_cnt"),
-        round(col("stop_cnt").cast("double") / col("n_tokens"), 4)
-          .as("stop_ratio"),
+        length(col("text")).as("n_chars"),
+        expr(ngramExpr("toks", 2)).as("g"))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+        col("stop_cnt"), col("punct_cnt"), col("n_chars"),
+        size(col("g")).cast("long").as("n_grams"),
+        expr(maxRunExpr("g")).as("top_cnt"))
+      .withColumn("stop_ratio",
+        round(col("stop_cnt").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
         round(
           least(lit(1.0), col("n_tokens").cast("double") / 40.0) * 0.5 +
           least(lit(1.0),
             col("stop_cnt").cast("double") / col("n_tokens") * 8.0) * 0.5 -
-          col("punct_cnt").cast("double") / col("n_chars"), 4)
-          .as("quality"))
-      .withColumn("keep", (col("quality") >= 0.5).cast("boolean"))
+          col("punct_cnt").cast("double") / col("n_chars"), 4))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("n_uniq").cast("double") / col("n_tokens"), 4)))
+      .withColumn("top_bigram_frac",
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(
+            col("top_cnt").cast("double") / col("n_grams"), 4)))
+      .withColumn("repetitive",
+        (col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
+          .cast("boolean"))
   }
+
+  /** Unordered quality signals over any (doc_id, text) corpus — shared
+    * by q18 and the q59 curation chain (joining on the ordered public
+    * form would drag a useless sort into downstream plans). */
+  def docQualityOn(docs: DataFrame): DataFrame =
+    signalChainOn(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+        col("punct_cnt"), col("stop_ratio"), col("quality"))
+      .withColumn("keep", (col("quality") >= 0.5).cast("boolean"))
 
   val docQualitySql: String = {
     val stops = QualityStops.map(w => s"'$w'").mkString(", ")
@@ -290,30 +317,12 @@ object Text {
        |  a -> a.best)""".stripMargin.replaceAll("\n\\s*", " ")
 
   /** Unordered repetition signals over any (doc_id, text) corpus —
-    * shared by q55 and q59. */
+    * shared by q55 and q59 (zero-token docs pinned to 0.0 in the
+    * chain: 0/0 is NULL in Spark but NaN on DuckDB ≥ 1.1). */
   def repetitionSignalsOn(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_uniq"),
-        expr(ngramExpr("toks", 2)).as("g"))
-      .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
-        size(col("g")).cast("long").as("n_grams"),
-        expr(maxRunExpr("g")).as("top_cnt"))
-      .select(col("doc_id"), col("n_tokens"),
-        // zero-token docs pinned to 0.0 (0/0 is NULL in Spark but NaN
-        // on DuckDB ≥ 1.1's IEEE division — pin both engines)
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(lit(1.0) -
-            col("n_uniq").cast("double") / col("n_tokens"), 4))
-          .as("dup_token_frac"),
-        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
-          .otherwise(round(
-            col("top_cnt").cast("double") / col("n_grams"), 4))
-          .as("top_bigram_frac"))
-      .withColumn("repetitive",
-        (col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
-          .cast("boolean"))
+    signalChainOn(docs)
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_bigram_frac"), col("repetitive"))
 
   val repetitionSignalsSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
@@ -415,17 +424,20 @@ object Text {
   def curation(s: SparkSession, d: String): DataFrame =
     curationOn(documents(s, d))
 
-  /** q59 over a caller-supplied (doc_id, text) corpus. */
+  /** q59 over a caller-supplied (doc_id, text) corpus. All stateless
+    * signals ride one [[signalChainOn]] projection (no quality⋈
+    * repetition join); the single join is the one the semantics force
+    * — the exact-dup survivor rule needs cross-row state (md5 window). */
   def curationOn(docs: DataFrame): DataFrame = {
-    val qual = docQualityOn(docs).select(col("doc_id"), col("quality"))
-    val rep = repetitionSignalsOn(docs)
-      .select(col("doc_id"), col("n_tokens"), col("repetitive"))
+    val sig = signalChainOn(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("repetitive"))
     val firstOfDupGroup = docs
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("first_id",
         min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .select(col("doc_id"), col("first_id"))
-    rep.join(qual, "doc_id").join(firstOfDupGroup, "doc_id")
+    sig.join(firstOfDupGroup, "doc_id")
       .withColumn("reason",
         when(col("n_tokens") < CurationMinTokens, "too_short")
           .when(col("first_id") =!= col("doc_id"), "exact_dup")

@@ -155,6 +155,28 @@ object Streams {
     }
   }
 
+  /** Streaming curation — the q59 cascade minus its one stateful rule.
+    * Every quality/repetition signal is a per-row expression (the
+    * repetition ratios are a sorted-run HOF, no shuffle), so the
+    * verdict runs STATELESS on a stream: length → quality → repetition,
+    * same order and thresholds as batch. The exact-dup rule needs
+    * cross-row state; compose with [[streamingExactDedup]] upstream for
+    * the within-watermark equivalent (batch q59 remains the
+    * full-history pass). Works identically on batch frames —
+    * StreamingSpec pins stream/batch parity row for row. */
+  def streamingCuration(docs: DataFrame): DataFrame =
+    graft.ops.Text.signalChainOn(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("repetitive"))
+      .withColumn("reason",
+        when(col("n_tokens") < graft.ops.Text.CurationMinTokens,
+          "too_short")
+          .when(col("quality") < 0.5, "low_quality")
+          .when(col("repetitive"), "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("reason"),
+        (col("reason") === "ok").as("keep"))
+
   case class ResEvent(seq: Long, tag: String)
   case class ResState(n: Long, sample: List[String])
   case class ResOut(seq: Long, n: Long, sampleSize: Long, topTags: String)

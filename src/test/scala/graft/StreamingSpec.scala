@@ -192,6 +192,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 2)
   }
 
+  test("streaming curation is stateless and matches the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog while the calm " +
+      "river flows past a quiet village and the evening light settles " +
+      "softly over the distant hills beyond the old stone bridge"
+    val mem = MemoryStream[TestDoc]
+    val q = Streams.streamingCuration(mem.toDF())
+      .writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      mem.addData(
+        TestDoc(1, good, t0),
+        TestDoc(2, "too short", t0),
+        TestDoc(3, ("the spam " * 20).trim, t0))
+      q.processAllAvailable()
+      val got = spark.table("curation_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "ok", 2L -> "too_short", 3L -> "repetitive"))
+      // append mode + zero state stores = genuinely stateless plan
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "curation stream must carry no state operator")
+    } finally q.stop()
+    // batch parity: identical operator, identical verdicts
+    val batch = Streams.streamingCuration(Seq(
+      TestDoc(1, good, new Timestamp(0)),
+      TestDoc(2, "too short", new Timestamp(0))).toDF())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch == Map(1L -> "ok", 2L -> "too_short"))
+  }
+
   test("streaming session windows match the batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
