@@ -145,11 +145,14 @@ object Bfr {
   val InitIters = 3
   /** Hard bound on the driver-held retained set. The reference keeps
     * RS driver-resident and unbounded (bfr.py:371); on adversarial
-    * data (mass outliers, bad init) that grows with the input. We cap
-    * it: ~80k points × 64 dims ≈ 40 MB, far above anything normal
-    * data produces (RS shrinks every round via re-clustering), while
-    * guaranteeing no input-proportional driver buffer exists. */
-  val RsCap = 4 * K * InitSampleCap
+    * data (mass outliers, bad init) that grows with the input. The cap
+    * bounds BOTH driver memory (8k × 64 d ≈ 4 MB) and the RS
+    * re-cluster's O(n·k) driver Lloyd (k = n/2 per the reference, so
+    * cost ≤ RsCap²/2 ≈ 3·10⁷ per iteration — milliseconds). Normal
+    * data never comes close: RS shrinks every round via
+    * re-clustering; ClusterSpec's rsCap=0 run covers the overflow
+    * regime end to end. */
+  val RsCap = 4 * InitSampleCap
 
   /** Per-cluster N/SUM/SUMSQ from an assignment frame — one typed-
     * Aggregator shuffle; only k stats rows reach the driver. */
