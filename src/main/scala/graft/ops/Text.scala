@@ -495,7 +495,95 @@ object Text {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  /** Continuations kept per context word in the q71 bigram table. */
+  val BigramTopK = 3
+
+  /** q71: bigram language-model table — for every context word, the
+    * top-[[BigramTopK]] continuations with counts and conditional
+    * probability P(w2|w1) = c(w1,w2)/c(w1·) (count desc, w2 asc ties).
+    * The corpus-statistics pass of LM data analysis. One explode over
+    * the shared n-gram helper, one (w1,w2) count (map-side partial),
+    * a w1-keyed window for the top-k — all keys are vocabulary-sized,
+    * so the shuffles shrink with distinct grams, not the corpus.
+    * floor-half-up: counts are small integers, c/total lands on exact
+    * .xxxx5 boundaries. */
+  def bigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmOn(documents(s, d))
+
+  /** q71 over a caller-supplied (doc_id, text) corpus. */
+  def bigramLmOn(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(expr(toksExpr).as("toks"))
+      .select(explode(expr(ngramExpr("toks", 2))).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("w1"))
+    pairs
+      .withColumn("total", sum(col("c")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("c").desc, col("w2").asc)))
+      .filter(col("rk") <= BigramTopK)
+      .select(col("w1"), col("w2"), col("c"),
+        (floor(col("c").cast("double") / col("total") * 1e4 + 0.5) / 1e4)
+          .as("p"))
+      .orderBy(col("w1"), col("c").desc, col("w2"))
+  }
+
+  val bigramLmSql: String =
+    s"""WITH t AS (SELECT $toksSqlExpr AS toks FROM documents),
+       |g AS (SELECT unnest(${ngramSqlExpr("toks", 2)}) AS g FROM t),
+       |p AS (SELECT string_split(g, ' ')[1] AS w1,
+       |        string_split(g, ' ')[2] AS w2, count(*) AS c
+       |      FROM g GROUP BY 1, 2),
+       |r AS (SELECT w1, w2, c,
+       |        sum(c) OVER (PARTITION BY w1) AS total,
+       |        row_number() OVER (PARTITION BY w1
+       |          ORDER BY c DESC, w2 ASC) AS rk
+       |      FROM p)
+       |SELECT w1, w2, c,
+       |  floor(CAST(c AS DOUBLE) / total * 1e4 + 0.5) / 1e4 AS p
+       |FROM r WHERE rk <= $BigramTopK
+       |ORDER BY w1, c DESC, w2""".stripMargin
+
+  /** Posting-list sample length in the q72 inverted index. */
+  val PostingSample = 10
+
+  /** q72: inverted index census — per term: document frequency, total
+    * term frequency, and the first-[[PostingSample]] posting list as a
+    * comma-joined doc_id sample. The retrieval-side build: one explode
+    * to (term, doc_id, tf), a term-keyed aggregate; posting lists stay
+    * bounded by the sample cut so no row grows with the corpus. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    invertedIndexOn(documents(s, d))
+
+  /** q72 over a caller-supplied (doc_id, text) corpus. */
+  def invertedIndexOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          slice(sort_array(collect_list(col("doc_id"))), 1, PostingSample),
+          ",").as("postings"))
+      .orderBy(col("term"))
+
+  val invertedIndexSql: String =
+    s"""WITH e AS (SELECT doc_id, unnest($toksSqlExpr) AS term
+       |           FROM documents),
+       |tfs AS (SELECT term, doc_id, count(*) AS tf FROM e GROUP BY 1, 2)
+       |SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS total_tf,
+       |  array_to_string(list_sort(list(doc_id))[1:$PostingSample], ',')
+       |    AS postings
+       |FROM tfs GROUP BY term ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_bigram_lm" -> (bigramLm _),
+    "q72_inverted_index" -> (invertedIndex _),
     "q59_curation" -> (curation _),
     "q57_tfidf" -> (tfidfTopTerms _),
     "q55_repetition" -> (repetitionSignals _),
@@ -506,6 +594,8 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q71_bigram_lm" -> bigramLmSql,
+    "q72_inverted_index" -> invertedIndexSql,
     "q59_curation" -> curationSql,
     "q57_tfidf" -> tfidfTopTermsSql,
     "q55_repetition" -> repetitionSignalsSql,
