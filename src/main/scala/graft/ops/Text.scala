@@ -558,19 +558,31 @@ object Text {
   def invertedIndex(s: SparkSession, d: String): DataFrame =
     invertedIndexOn(documents(s, d))
 
-  /** q72 over a caller-supplied (doc_id, text) corpus. */
-  def invertedIndexOn(docs: DataFrame): DataFrame =
-    docs
+  /** q72 over a caller-supplied (doc_id, text) corpus. The posting
+    * sample is rank-bounded BEFORE any collect_list — aggregating the
+    * full list and slicing after would buffer a stopword's entire
+    * posting list (corpus-sized) in one group; here no aggregation
+    * buffer ever holds more than [[PostingSample]] ids. */
+  def invertedIndexOn(docs: DataFrame): DataFrame = {
+    val tfs = docs
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .groupBy(col("term"))
+      .localCheckpoint() // feeds the stats aggregate AND the sample rank
+    val stats = tfs.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"),
-        sum(col("tf")).as("total_tf"),
-        array_join(
-          slice(sort_array(collect_list(col("doc_id"))), 1, PostingSample),
-          ",").as("postings"))
+        sum(col("tf")).as("total_tf"))
+    val sample = tfs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= PostingSample)
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+    stats.join(sample, "term")
+      .select(col("term"), col("df"), col("total_tf"), col("postings"))
       .orderBy(col("term"))
+  }
 
   val invertedIndexSql: String =
     s"""WITH e AS (SELECT doc_id, unnest($toksSqlExpr) AS term
