@@ -291,13 +291,18 @@ object VectorSimilarity {
     val lists = pts.join(assign, "vec_id")
       .select(col("vec_id"), col("vd"), col("cluster").as("list_id"))
       .localCheckpoint()
-    // centroids table for probe selection
-    val cents = lists.groupBy(col("list_id"))
-      .agg(expr("aggregate(collect_list(vd), " +
-        "array_repeat(0D, 64), (acc, v) -> zip_with(acc, v, (a, b) -> a + b), " +
-        "acc -> acc)").as("csum"), count(lit(1)).as("n"))
-      .select(col("list_id"),
-        expr("transform(csum, x -> x / n)").as("centroid"))
+    // centroids table for probe selection — per-(list, component)
+    // means, the same bounded-state shape as KMeans.lloydOn: a
+    // collect_list(vd) per list would buffer a whole IVF list
+    // (corpus/nlist vectors) in ONE aggregation buffer; here no
+    // buffer exceeds d elements
+    val cents = lists
+      .select(col("list_id"), posexplode(col("vd")).as(Seq("pos", "v")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "x -> x.m)").as("centroid"))
     val base = lists.withColumn("nrm",
       expr("sqrt(aggregate(vd, 0D, (a, x) -> a + x * x))"))
     val q = base.filter(expr(QueryPred))
