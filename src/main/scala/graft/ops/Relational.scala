@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -517,7 +517,56 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Salt count for the q73 skew-proof join. */
+  val JoinSalts = 8
+
+  /** Skew-proof equi-join via key salting — the join-side counterpart
+    * of q49's two-stage aggregation. The probe side gets a
+    * deterministic salt in [0, n) (hash of a row-unique column, so
+    * replays are identical); the build side is exploded once per salt
+    * and the join runs on (key, salt) — one hot key spreads over n
+    * reducers instead of stalling one. Results are bit-identical to
+    * the plain join, which is exactly what the q73 oracle replays.
+    * Use when the build side is too large to broadcast AND the probe
+    * side's key histogram is skewed; AQE's skew split covers the
+    * merely-uneven cases, salting covers the pathological ones. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltSrc: Column, n: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(graft.functions.Hashing.h60(saltSrc), lit(n.toLong)).cast("int"))
+    val exploded = small.withColumn("_salt",
+      explode(typedLit((0 until n).toArray)))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** q73: per-brand revenue computed THROUGH the salted join — the
+    * oracle is the plain lineitem⋈part join, proving salting changes
+    * the plan, never the answer. Decimal-cast terms make the sum
+    * order-independent across engines and salt layouts. */
+  def saltedJoinRevenue(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).select(col("l_partkey").as("pk"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)").as("rev"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rid"))
+    val small = part(s, d)
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    saltedJoin(big, small, "pk", col("rid"), JoinSalts)
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val saltedJoinRevenueSql: String =
+    s"""SELECT p_brand,
+       |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+       |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_salted_join" -> (saltedJoinRevenue _),
     "q52_pivot_daily" -> (pivotDaily _),
     "q53_setops" -> (setOps _),
     "q54_running_totals" -> (runningTotals _),
@@ -553,6 +602,7 @@ object Relational {
     "q54_running_totals" -> runningTotalsSql,
     "q56_stats_agg" -> statsAggSql,
     "q51_hash_sample" -> hashSampleSql,
+    "q73_salted_join" -> saltedJoinRevenueSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,

@@ -115,4 +115,21 @@ class RelationalSpec extends AnyFunSuite {
       assert(g.map(_.getAs[Long]("cnt")).toSet.size == 1)
     }
   }
+
+  test("salted join neither drops nor duplicates rows vs the plain join") {
+    import org.apache.spark.sql.functions._
+    val big = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rid"))
+    val small = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    val plain = big.join(small, "pk")
+      .select(col("rid"), col("p_brand")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    val salted = graft.ops.Relational
+      .saltedJoin(big, small, "pk", col("rid"), graft.ops.Relational.JoinSalts)
+      .select(col("rid"), col("p_brand")).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
 }
