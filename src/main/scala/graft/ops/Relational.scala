@@ -565,8 +565,76 @@ object Relational {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bin count for the q74 histogram. */
+  val HistBins = 20
+
+  /** q74: equi-width histogram of events.value — the distributed
+    * two-pass shape (scalar min/max aggregate broadcast into a
+    * map-side binning pass, then a bin-keyed count). The binning
+    * expression is written identically on both engines so the IEEE
+    * result — and therefore the bin of every edge-riding value — is
+    * bit-identical. Bins are histogram-sized regardless of scale. */
+  def valueHistogram(s: SparkSession, d: String): DataFrame = {
+    val stats = events(s, d)
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    events(s, d).select(col("value"))
+      .crossJoin(broadcast(stats)) // 1-row scalar frame
+      .select(least(lit(HistBins - 1),
+        floor((col("value") - col("mn")) * HistBins /
+          (col("mx") - col("mn"))).cast("int")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val valueHistogramSql: String =
+    s"""WITH stats AS (SELECT min(value) AS mn, max(value) AS mx
+       |               FROM events)
+       |SELECT least($HistBins - 1,
+       |    CAST(floor((value - mn) * $HistBins / (mx - mn)) AS INT))
+       |  AS bucket, count(*) AS n
+       |FROM events CROSS JOIN stats
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q75: column profiler over lineitem's numeric measures — row
+    * count, null count, exact distinct count, min/max/mean per
+    * column, one output row per column (the dataset-card profiling
+    * pass). One aggregate per column over a shared scan; at scale the
+    * exact ndv is the only heavy term (swap for approx_count_distinct
+    * when a 2% estimate is acceptable — the sketch path is q30). */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = lineitem(s, d).select(cols.map(col): _*).localCheckpoint()
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        round(min(col(c)), 4).as("min_v"),
+        round(max(col(c)), 4).as("max_v"),
+        (floor(sum(col(c).cast("decimal(24,6)")).cast("double") /
+          count(lit(1)) * 1e4 + 0.5) / 1e4).as("mean_v"))
+    }.reduce(_ unionByName _).orderBy(col("column"))
+  }
+
+  val columnProfileSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  count(DISTINCT $c) AS ndv,
+         |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+         |  floor(CAST(sum(CAST($c AS DECIMAL(24,6))) AS DOUBLE)
+         |    / count(*) * 1e4 + 0.5) / 1e4 AS mean_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_salted_join" -> (saltedJoinRevenue _),
+    "q74_value_histogram" -> (valueHistogram _),
+    "q75_column_profile" -> (columnProfile _),
     "q52_pivot_daily" -> (pivotDaily _),
     "q53_setops" -> (setOps _),
     "q54_running_totals" -> (runningTotals _),
@@ -603,6 +671,8 @@ object Relational {
     "q56_stats_agg" -> statsAggSql,
     "q51_hash_sample" -> hashSampleSql,
     "q73_salted_join" -> saltedJoinRevenueSql,
+    "q74_value_histogram" -> valueHistogramSql,
+    "q75_column_profile" -> columnProfileSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,
