@@ -319,6 +319,20 @@ object SetSimilarity {
     * signature lookups run on the much smaller distinct-pair set —
     * broadcast joins here (the sig table is corpus-sized, not
     * pair-sized; at larger scale Catalyst falls back to shuffle join). */
+  /** The banded h60 keys of a signature column as one explodable
+    * array expression — shared by the batch LSH self-join and the
+    * streaming screen. */
+  private def bandStructsExpr(nBands: Int, nRows: Int): String = {
+    val structs = (1 to nBands).map { i =>
+      val elems = (1 to nRows)
+        .map(r => s"CAST(element_at(sig, ${(i - 1) * nRows + r}) AS STRING)")
+        .mkString(", ")
+      s"named_struct('band', $i, 'key', " +
+        s"${Hashing.h60SparkSql(s"concat_ws(',', $elems)")})"
+    }.mkString(", ")
+    s"array($structs)"
+  }
+
   private def lshCandidates(sigTable: DataFrame, nBands: Int, nRows: Int,
       minMatches: Int): DataFrame = {
     // band key = h60 of the comma-joined row values, not an r-long
@@ -328,15 +342,9 @@ object SetSimilarity {
     // CANDIDATES only, which the agreement filter + exact verify
     // remove; the oracle applies the same hash, so both engines see
     // identical buckets at every scale.
-    val bandStructs = (1 to nBands).map { i =>
-      val elems = (1 to nRows)
-        .map(r => s"CAST(element_at(sig, ${(i - 1) * nRows + r}) AS STRING)")
-        .mkString(", ")
-      s"named_struct('band', $i, 'key', " +
-        s"${Hashing.h60SparkSql(s"concat_ws(',', $elems)")})"
-    }.mkString(", ")
     val bands = sigTable
-      .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("b"))
+      .select(col("doc_id"),
+        explode(expr(bandStructsExpr(nBands, nRows))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
     val cand0 = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -526,6 +534,63 @@ object SetSimilarity {
       lshCandidates(sigTable, ShingleBands, ShingleRows,
         ShingleMinSigMatches),
       sh, ShingleTau)
+  }
+
+  /** Ingest-time near-dup screen: flag each INCOMING document whose
+    * shingle-Jaccard against some REFERENCE-corpus document reaches
+    * [[ShingleTau]] — the production shape of dedup-at-ingest (batch
+    * q58 remains the periodic full self-join). `incoming` may be a
+    * STREAM: every step is stateless — the incoming side's features
+    * (shingles + signature) are computed map-side and carried THROUGH
+    * the band explode, so candidate verification never re-joins the
+    * stream with itself (which would be a stateful stream-stream
+    * join); the index side is a static checkpointed table, so the
+    * band-bucket match and nothing else is a stream-static join.
+    * Multi-band hits are deduped within the watermark when `incoming`
+    * is a stream (needs a `ts` column), or exactly in batch.
+    * Output: (doc_a incoming, dup_of reference, jaccard). */
+  def screenAgainstIndex(incoming: DataFrame, corpus: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val idxSh = shingleSetsOf(corpus).localCheckpoint()
+    val idxBands = idxSh
+      .withColumn("xs",
+        expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
+      .withColumn("sig", expr("graft_minhash(xs)"))
+      .select(col("doc_id").as("dup_of"), col("ts").as("sh_b"),
+        col("sig").as("sig_b"),
+        explode(expr(bandStructsExpr(ShingleBands, ShingleRows))).as("b"))
+      .select(col("dup_of"), col("sh_b"), col("sig_b"),
+        col("b.band").as("band"), col("b.key").as("key"))
+      .localCheckpoint()
+    val hasTs = incoming.columns.contains("ts")
+    val tsCols = if (hasTs) Seq(col("ts")) else Seq.empty
+    val inFeat = incoming
+      .select(Seq(col("doc_id"),
+        sort_array(expr(s"array_distinct(${graft.ops.Text.ngramExpr(
+          s"filter(split(text, ' ', -1), x -> x != '')", 3)})")).as("sh_a"))
+        ++ tsCols: _*)
+      .filter(size(col("sh_a")) > 0)
+      .withColumn("xs",
+        expr(s"transform(sh_a, t -> ${Hashing.h31SparkSql("t")})"))
+      .withColumn("sig", expr("graft_minhash(xs)"))
+      .withColumn("b", explode(expr(bandStructsExpr(ShingleBands, ShingleRows))))
+      .select(Seq(col("doc_id").as("doc_a"), col("sh_a"),
+        col("sig").as("sig_a"), col("b.band").as("band"),
+        col("b.key").as("key")) ++ tsCols: _*)
+    val hits = inFeat.join(idxBands, Seq("band", "key"))
+      .filter(col("doc_a") =!= col("dup_of"))
+      .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $ShingleMinSigMatches"))
+      .withColumn("inter", expr("graft_isize(sh_a, sh_b)"))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("j") >= ShingleTau)
+      .select(Seq(col("doc_a"), col("dup_of"),
+        round(col("j"), 4).as("jaccard")) ++ tsCols: _*)
+    if (incoming.isStreaming)
+      hits.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("doc_a", "dup_of")
+    else hits.dropDuplicates("doc_a", "dup_of")
+      .orderBy(col("doc_a"), col("dup_of"))
   }
 
   val shingleNeardupSql: String = {

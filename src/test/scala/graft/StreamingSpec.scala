@@ -224,6 +224,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Map(1L -> "ok", 2L -> "too_short"))
   }
 
+  test("streaming near-dup screen flags incoming dups against the static index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over a lazy dog while the calm " +
+      "river flows past a quiet village and the evening light settles " +
+      "softly over the distant hills beyond the old stone bridge"
+    val corpus = Seq(100L -> base,
+      101L -> "completely different reference text with nothing shared here at all beyond length")
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[TestDoc]
+    val q = graft.mining.SetSimilarity.screenAgainstIndex(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("screen_out")
+      .outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1700000000000L)
+      mem.addData(
+        TestDoc(1, base.replace("quick", "swift"), t0), // near-dup of 100
+        TestDoc(2, "totally novel incoming content about unrelated things entirely", t0))
+      q.processAllAvailable()
+      // append-mode dedup state flushes at the watermark; advance it
+      mem.addData(TestDoc(3, "more novel filler to advance time",
+        new Timestamp(t0.getTime + 7200L * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("screen_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L)), s"expected only the planted dup, got $got")
+    } finally q.stop()
+    // batch parity: same operator, same verdicts
+    val batch = graft.mining.SetSimilarity.screenAgainstIndex(
+      Seq(1L -> base.replace("quick", "swift"), 2L -> "novel stuff")
+        .toDF("doc_id", "text"), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batch.toSeq == Seq(1L -> 100L))
+  }
+
   test("streaming session windows match the batch sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
