@@ -56,6 +56,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame features feed the embedding near-dup path (cross-modal)") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.Multimodal
+    def md5(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    // identical frame bytes → identical features → cosine exactly 1;
+    // md5 is fixed, so the whole test is deterministic
+    val frames = Seq(
+      Multimodal.Frame(1L, 0, md5("same-content")),
+      Multimodal.Frame(2L, 0, md5("same-content")),
+      Multimodal.Frame(3L, 0, md5("other-content"))).toDS()
+    val feats = Multimodal.extractFeatures(frames)
+      .select((col("doc_id") * 100 + col("frame_idx")).as("vec_id"),
+        expr("concat(transform(features, x -> CAST(x AS DOUBLE)), " +
+          "array_repeat(0D, 56))").as("vd")) // pad to the embedding dim
+    val pairs = graft.mining.VectorSimilarity
+      .nearDupPairsBucketedOn(feats, 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 200L)),
+      s"only the identical frames pair at cosine ≥ 0.999: $pairs")
+  }
+
   test("resize bounds every frame to w*h bytes, deterministically") {
     import SparkTestSession._
     val M = graft.multimodal.Multimodal
