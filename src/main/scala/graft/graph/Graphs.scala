@@ -275,6 +275,7 @@ object Graphs {
       ue.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
     var e = undir(edges).localCheckpoint()
+    var eCnt = e.count()
     var done = false
     var iter = 0
     while (!done && iter < 60) {
@@ -292,12 +293,14 @@ object Graphs {
         .unionByName(nm.select(col("src"), col("m").as("dst")))
       val e2 = small.filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint()
-      // fixpoint: the star edge set stops changing (scalar counts +
-      // symmetric difference — edge-sized, but each is one cheap job
-      // over a shrinking set)
-      done = e2.count() == e.count() &&
-        e2.exceptAll(e).isEmpty
+      // fixpoint: the star edge set stops changing. Counts first (the
+      // previous round's is carried, so this is ONE cheap job); the
+      // edge-sized symmetric difference runs only when counts agree —
+      // typically just the final round
+      val e2Cnt = e2.count()
+      done = e2Cnt == eCnt && e2.exceptAll(e).isEmpty
       e = e2
+      eCnt = e2Cnt
       iter += 1
     }
     // 60 rounds is far past O(log n) convergence for any real graph;
