@@ -53,6 +53,68 @@ object Sources {
     s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .format(format).load(dir)
 
+  /** Incremental manifest-based ingest — the batch Auto-Loader shape:
+    * scan `dir`, process only files NOT yet recorded in the manifest,
+    * and append the newly-seen file names on commit. At 100 TB the
+    * directory holds millions of files; the manifest is file-NAMES
+    * (metadata-sized), the listing comes from the filesystem, and the
+    * returned frame reads only the delta. Returns (newData,
+    * commit-thunk): the caller processes the frame, then invokes the
+    * thunk to mark those files done — crash before commit means
+    * reprocessing, never loss (at-least-once, the standard contract).
+    */
+  def incrementalScan(s: SparkSession, dir: String, manifestPath: String,
+      format: String = "parquet"): (DataFrame, () => Unit) = {
+    import scala.jdk.CollectionConverters._
+    val mf = java.nio.file.Paths.get(manifestPath)
+    val seen: Set[String] =
+      if (java.nio.file.Files.exists(mf))
+        java.nio.file.Files.readAllLines(mf).asScala.toSet
+      else Set.empty
+    val all = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).sorted
+    val fresh = all.filterNot(seen)
+    val df =
+      if (fresh.isEmpty)
+        s.read.format(format).load(dir).limit(0)
+      else s.read.format(format).load(fresh: _*)
+    val commit = () => {
+      java.nio.file.Files.write(mf,
+        (seen ++ fresh).toSeq.sorted.asJava,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      ()
+    }
+    (df, commit)
+  }
+
+  /** Small-file compaction — the maintenance pass every long-running
+    * ingest needs: rewrite a directory of many small files into
+    * ⌈bytes/target⌉ files of ≈`targetBytes` each. Reads once, writes
+    * once to a temp sibling, atomically swaps. Row content is
+    * preserved; file count is the only thing that changes. */
+  def compact(s: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val src = new java.io.File(dir)
+    val bytes = src.listFiles().filter(_.isFile)
+      .filterNot(_.getName.startsWith("_")).map(_.length()).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = dir.stripSuffix("/") + "._compact_tmp"
+    s.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    val dst = src.toPath
+    val tmpP = java.nio.file.Paths.get(tmp)
+    // swap: remove originals, move compacted files in
+    src.listFiles().foreach(f => f.delete())
+    java.nio.file.Files.list(tmpP).iterator().forEachRemaining { p =>
+      java.nio.file.Files.move(p, dst.resolve(p.getFileName.toString))
+    }
+    java.nio.file.Files.delete(tmpP)
+    nOut.toLong
+  }
+
   /** S5: socket text stream (the reference's socketTextStream,
     * Assignment6/task2.py:88) — test rig only, not fault tolerant. */
   def socketLines(s: SparkSession, host: String, port: Int): DataFrame =

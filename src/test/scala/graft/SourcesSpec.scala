@@ -186,4 +186,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet ==
       Set(1L, 3L))
   }
+
+  test("incremental scan reads each file exactly once across commits") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    val manifest = dir + "/.manifest" // dot-prefixed: ignored by listing
+    Seq(1L, 2L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/batch1")
+    // flatten: incremental scan watches one flat dir of files
+    val flat = java.nio.file.Files.createTempDirectory("inc_flat").toString
+    def drop(src: String, name: String): Unit = {
+      val f = new java.io.File(src).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(flat, name))
+    }
+    drop(dir + "/batch1", "a.parquet")
+    val (d1, commit1) = Sources.incrementalScan(spark, flat, manifest)
+    assert(d1.count() == 2)
+    commit1()
+    // nothing new → empty delta
+    val (d2, _) = Sources.incrementalScan(spark, flat, manifest)
+    assert(d2.count() == 0)
+    // a new file arrives → only it is read
+    Seq(3L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/batch2")
+    drop(dir + "/batch2", "b.parquet")
+    val (d3, commit3) = Sources.incrementalScan(spark, flat, manifest)
+    assert(d3.collect().map(_.getLong(0)).toSet == Set(3L))
+    commit3()
+    val (d4, _) = Sources.incrementalScan(spark, flat, manifest)
+    assert(d4.count() == 0)
+  }
+
+  test("compaction shrinks file count and preserves every row") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    (1L to 100L).toDF("v").repartition(20)
+      .write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 10, s"fixture starts fragmented: $before files")
+    val n = Sources.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1L)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"one compacted file, got $after")
+    assert(spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 100L))
+  }
 }
