@@ -631,7 +631,39 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** q76: left-outer join with null-aware aggregation — per market
+    * segment: customer count, customers with NO orders (the rows only
+    * an outer join can see), and total orders. Completes the join
+    * matrix (inner/semi/anti/as-of/outer); `count(col)` skipping
+    * nulls is the semantic under test. Two hash aggregates over the
+    * join — the first keyed by customer, so the null-detection never
+    * materializes more than one row per customer. */
+  def outerOrderStats(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_ord"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum((col("n_ord") === 0).cast("long")).as("n_inactive"),
+        sum(col("n_ord")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val outerOrderStatsSql: String =
+    s"""WITH per AS (
+       |  SELECT c.c_custkey, c.c_mktsegment,
+       |    count(o.o_orderkey) AS n_ord
+       |  FROM customer c LEFT JOIN orders o
+       |    ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2)
+       |SELECT c_mktsegment, count(*) AS n_customers,
+       |  sum(CASE WHEN n_ord = 0 THEN 1 ELSE 0 END) AS n_inactive,
+       |  sum(n_ord) AS n_orders
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_outer_join" -> (outerOrderStats _),
     "q73_salted_join" -> (saltedJoinRevenue _),
     "q74_value_histogram" -> (valueHistogram _),
     "q75_column_profile" -> (columnProfile _),
@@ -673,6 +705,7 @@ object Relational {
     "q73_salted_join" -> saltedJoinRevenueSql,
     "q74_value_histogram" -> valueHistogramSql,
     "q75_column_profile" -> columnProfileSql,
+    "q76_outer_join" -> outerOrderStatsSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,
