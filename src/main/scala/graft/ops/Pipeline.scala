@@ -273,27 +273,77 @@ object Pipeline {
   /** q69: data-mixture selection — give every source an equal token
     * quota and fill it with the source's best documents (quality desc,
     * doc_id tiebreak), the mixing step that stops one giant source
-    * from dominating the training set. One window partitioned by
-    * `source` (bounded cardinality, so no skewed single task) over the
-    * quality signals; a doc is admitted while its source's running
-    * token count is still under quota. */
+    * from dominating the training set. A doc is admitted while its
+    * source's running token count (over that order) is under quota. */
   def sourceMixture(s: SparkSession, d: String): DataFrame =
     sourceMixtureOn(documents(s, d), SourceTokenQuota)
 
-  /** q69 over a caller-supplied (doc_id, source, text) corpus. */
+  /** q69 over a caller-supplied (doc_id, source, text) corpus.
+    *
+    * NOT the naive `sum() OVER (PARTITION BY source ORDER BY ...)` —
+    * that window sorts an ENTIRE source in one task (a 10⁹-doc source
+    * at 100 TB stalls the stage). Instead, two-phase: quality is
+    * 4-dp-rounded, so per-(source, quality-level) token sums are a
+    * BOUNDED relation (≤ sources × ~25k levels); the per-source level
+    * cumsum runs on the driver over that summary, classifying every
+    * level as fully-admitted, fully-rejected, or THE one boundary
+    * level per source. Only boundary-level docs — one quality value in
+    * one source — need doc-level ordering, and their window partitions
+    * on (source) restricted to that sliver. Output is exactly the
+    * windowed form's (same order, same crossing-doc semantics), which
+    * the unchanged window-replay oracle verifies. */
   def sourceMixtureOn(docs: DataFrame, quota: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("source"))
+    val s = docs.sparkSession
+    val sig = docs.select(col("doc_id"), col("source"))
       .join(Text.docQualityOn(docs)
-        .select(col("doc_id"), col("n_tokens"), col("quality")), "doc_id")
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .filter(col("cum_before") < quota)
-      .select(col("doc_id"), col("source"),
-        col("n_tokens").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality")), "doc_id")
+      .localCheckpoint() // feeds level stats + both admission branches
+    // phase 1: bounded level summary → driver cumsum per source
+    val levels = sig.groupBy(col("source"), col("quality"))
+      .agg(sum(col("n_tokens")).as("lt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    // (source, quality) → cum tokens BEFORE the level, in admission
+    // order (quality desc; doc_id order only matters inside a level)
+    val cuts = levels.toSeq.flatMap { case (src, ls) =>
+      var cum = 0L
+      ls.sortBy(-_._2).map { case (_, q, lt0) =>
+        val before = cum; cum += lt0; ((src, q), before)
+      }.toSeq
+    }
+    import s.implicits._
+    // full: C + lt < quota guarantees every member's cum_before <
+    // quota (conservative: a level ending exactly AT quota resolves
+    // doc-level below with identical semantics). boundary: the ≤ one
+    // level per source where the quota crosses — C < quota ≤ C + lt.
+    val lt = levels.map { case (src, ls) =>
+      (src, ls.map(l => l._2 -> l._3).toMap) }
+    val fullKeys = cuts.toSeq.collect {
+      case ((src, q), c) if c + lt(src)(q) < quota => (src, q)
+    }.toDF("source", "quality")
+    val bndKeys = cuts.toSeq.collect {
+      case ((src, q), c) if c < quota && c + lt(src)(q) >= quota =>
+        (src, q, c)
+    }.toDF("source", "quality", "cum_level")
+    val fullDocs = sig
+      .join(broadcast(fullKeys), Seq("source", "quality"), "left_semi")
+    // phase 2: doc-level order only within each source's single
+    // boundary level — the window partition is that sliver, never the
+    // whole source
+    val bw = Window.partitionBy(col("source"), col("quality"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bndDocs = sig
+      .join(broadcast(bndKeys), Seq("source", "quality"))
+      .withColumn("cum_in",
+        coalesce(sum(col("n_tokens")).over(bw), lit(0L)))
+      .filter(col("cum_in") + col("cum_level") < quota)
+    fullDocs.select(col("doc_id"), col("source"), col("n_tokens"))
+      .unionByName(
+        bndDocs.select(col("doc_id"), col("source"), col("n_tokens")))
       .orderBy(col("doc_id"))
   }
 
