@@ -432,10 +432,14 @@ object Text {
     val sig = signalChainOn(docs)
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         col("repetitive"))
-    val firstOfDupGroup = docs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("first_id",
-        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    // groupBy+join, not min() OVER (PARTITION BY h): the window form
+    // buffers a whole hash group in one task (a corpus of identical
+    // docs = one giant partition); the aggregate partial-combines
+    // map-side and the join redistributes normally
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val firstOfDupGroup = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("first_id")),
+        "h")
       .select(col("doc_id"), col("first_id"))
     sig.join(firstOfDupGroup, "doc_id")
       .withColumn("reason",
