@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded k-smallest aggregate over a Long column — O(k) state that
+  * partial-combines map-side, the primitive a bounded "sample of the
+  * posting list / group" needs at scale (a window rank over the group
+  * would buffer and sort the whole group in one task; collect_list
+  * would hold it in one aggregation buffer). Buffer is an ascending
+  * array of ≤ k elements; merge keeps the k smallest of both sides. */
+class BoundedMinK(k: Int)
+  extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  def zero: Array[Long] = Array.empty
+
+  def reduce(b: Array[Long], x: Long): Array[Long] =
+    if (b.length < k) {
+      val out = java.util.Arrays.copyOf(b, b.length + 1)
+      out(b.length) = x
+      java.util.Arrays.sort(out)
+      out
+    } else if (x < b(k - 1)) {
+      val out = b.clone()
+      out(k - 1) = x
+      java.util.Arrays.sort(out)
+      out
+    } else b
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val both = a ++ b
+    java.util.Arrays.sort(both)
+    both.take(k)
+  }
+
+  def finish(r: Array[Long]): Array[Long] = r
+
+  // Catalyst-native array<long> encoder: buffer ser/de is a primitive
+  // array copy per partial merge, not a Java serialization stream
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -563,28 +563,22 @@ object Text {
     invertedIndexOn(documents(s, d))
 
   /** q72 over a caller-supplied (doc_id, text) corpus. The posting
-    * sample is rank-bounded BEFORE any collect_list — aggregating the
-    * full list and slicing after would buffer a stopword's entire
-    * posting list (corpus-sized) in one group; here no aggregation
-    * buffer ever holds more than [[PostingSample]] ids. */
+    * sample comes from a bounded k-smallest Aggregator
+    * ([[graft.functions.BoundedMinK]]) — O(k) state that
+    * partial-combines map-side, so neither an aggregation buffer nor a
+    * window task ever holds a stopword's corpus-sized posting list;
+    * stats and sample ride ONE term-keyed aggregate. */
   def invertedIndexOn(docs: DataFrame): DataFrame = {
-    val tfs = docs
+    val minK = udaf(new graft.functions.BoundedMinK(PostingSample))
+    docs
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds the stats aggregate AND the sample rank
-    val stats = tfs.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        sum(col("tf")).as("total_tf"))
-    val sample = tfs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= PostingSample)
       .groupBy(col("term"))
-      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
-        .as("postings"))
-    stats.join(sample, "term")
-      .select(col("term"), col("df"), col("total_tf"), col("postings"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(minK(col("doc_id")).cast("array<string>"), ",")
+          .as("postings"))
       .orderBy(col("term"))
   }
 

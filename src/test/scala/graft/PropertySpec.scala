@@ -130,4 +130,17 @@ class PropertySpec extends AnyFunSuite {
       got == a.toSet.intersect(b.toSet).size
     })
   }
+
+  test("BoundedMinK over any reduce/merge split == sorted.take(k)") {
+    val xsGen = Gen.listOf(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    val kGen = Gen.chooseNum(1, 12)
+    check(Prop.forAll(xsGen, xsGen, kGen) { (a, b, k) =>
+      val agg = new graft.functions.BoundedMinK(k)
+      // arbitrary partitioning: reduce each side, then merge
+      val left = a.foldLeft(agg.zero)(agg.reduce)
+      val right = b.foldLeft(agg.zero)(agg.reduce)
+      val got = agg.finish(agg.merge(left, right)).toSeq
+      got == (a ++ b).sorted.take(k)
+    })
+  }
 }
