@@ -145,13 +145,17 @@ object Streams {
     else {
       // batch parity: dropDuplicates keeps an ARBITRARY row per key —
       // pin first-occurrence (earliest ts, doc_id tie-break) so batch
-      // and streaming agree on which document survives
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("content_hash"))
-        .orderBy(col("ts").asc, col("doc_id").asc)
-      hashed.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "content_hash")
+      // and streaming agree on which document survives. min(struct)
+      // aggregate + join, not row_number over a hash partition: the
+      // window form buffers a whole dup group in one task (a corpus of
+      // identical docs = one giant partition); the aggregate
+      // partial-combines map-side
+      val firsts = hashed.groupBy(col("content_hash"))
+        .agg(min(struct(col("ts"), col("doc_id"))).as("_f"))
+      hashed.join(firsts, "content_hash")
+        .filter(col("ts") === col("_f.ts") &&
+          col("doc_id") === col("_f.doc_id"))
+        .drop("_f", "content_hash")
     }
   }
 
