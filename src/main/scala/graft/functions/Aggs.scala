@@ -42,3 +42,30 @@ class BoundedMinK(k: Int)
   def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
+
+/** Bounded top-k (count desc, label asc) over (count, label) rows —
+  * O(k) state with map-side combine, replacing a rank window whose
+  * partition would otherwise buffer and sort every candidate of a
+  * group in one task. Ties follow the engine-wide deterministic rule
+  * (higher count first, then lexicographic label). */
+class BoundedTopByCount(k: Int)
+  extends Aggregator[(Long, String), Seq[(Long, String)],
+    Seq[(Long, String)]] {
+
+  private val ord: Ordering[(Long, String)] =
+    Ordering.by { case (c, w) => (-c, w) }
+
+  def zero: Seq[(Long, String)] = Seq.empty
+  def reduce(b: Seq[(Long, String)], x: (Long, String)): Seq[(Long, String)] =
+    (b :+ x).sorted(ord).take(k)
+  def merge(a: Seq[(Long, String)], b: Seq[(Long, String)])
+  : Seq[(Long, String)] = (a ++ b).sorted(ord).take(k)
+  def finish(r: Seq[(Long, String)]): Seq[(Long, String)] = r
+
+  def bufferEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[(Long, String)]]()
+  def outputEncoder: Encoder[Seq[(Long, String)]] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[(Long, String)]]()
+}

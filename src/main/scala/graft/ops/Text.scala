@@ -514,24 +514,27 @@ object Text {
   def bigramLm(s: SparkSession, d: String): DataFrame =
     bigramLmOn(documents(s, d))
 
-  /** q71 over a caller-supplied (doc_id, text) corpus. */
+  /** q71 over a caller-supplied (doc_id, text) corpus. Top-k and the
+    * context total ride ONE w1-keyed aggregate through the bounded
+    * top-k Aggregator ([[graft.functions.BoundedTopByCount]]) — no
+    * rank window, so no task ever sorts a prolific context word's
+    * full continuation set. */
   def bigramLmOn(docs: DataFrame): DataFrame = {
-    val pairs = docs
+    val topk = udaf(new graft.functions.BoundedTopByCount(BigramTopK))
+    docs
       .select(expr(toksExpr).as("toks"))
       .select(explode(expr(ngramExpr("toks", 2))).as("g"))
       .select(split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("w1"))
-    pairs
-      .withColumn("total", sum(col("c")).over(w))
-      .withColumn("rk", row_number().over(
-        w.orderBy(col("c").desc, col("w2").asc)))
-      .filter(col("rk") <= BigramTopK)
-      .select(col("w1"), col("w2"), col("c"),
-        (floor(col("c").cast("double") / col("total") * 1e4 + 0.5) / 1e4)
-          .as("p"))
+      .groupBy(col("w1"))
+      .agg(sum(col("c")).as("total"),
+        topk(col("c"), col("w2")).as("tops"))
+      .select(col("w1"), col("total"), explode(col("tops")).as("t"))
+      .select(col("w1"), col("t._2").as("w2"), col("t._1").as("c"),
+        (floor(col("t._1").cast("double") / col("total") * 1e4 + 0.5)
+          / 1e4).as("p"))
       .orderBy(col("w1"), col("c").desc, col("w2"))
   }
 

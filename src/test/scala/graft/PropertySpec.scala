@@ -143,4 +143,18 @@ class PropertySpec extends AnyFunSuite {
       got == (a ++ b).sorted.take(k)
     })
   }
+
+  test("BoundedTopByCount over any split == global (count desc, label asc) top-k") {
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 50L),
+      Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    val xsGen = Gen.listOf(rowGen)
+    val kGen = Gen.chooseNum(1, 5)
+    check(Prop.forAll(xsGen, xsGen, kGen) { (a, b, k) =>
+      val agg = new graft.functions.BoundedTopByCount(k)
+      val got = agg.finish(agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)))
+      got == (a ++ b).sortBy { case (c, w) => (-c, w) }.take(k)
+    })
+  }
 }
