@@ -662,7 +662,79 @@ object Relational {
        |  sum(n_ord) AS n_orders
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rows kept per stratum in the q77 fixed-n sample. */
+  val StratumN = 5
+
+  /** q77: fixed-n-per-stratum sampling — exactly [[StratumN]] events
+    * per event_type, chosen by smallest h60(event_id) (deterministic,
+    * replayable, uniform over the stratum). The pick runs through the
+    * bounded k-smallest Aggregator — O(n) state per stratum with
+    * map-side combine — NOT a rank window, which would sort a whole
+    * stratum (corpus-sized at 5 event types) in one task; the picked
+    * hash keys broadcast back for the row lookup. A 60-bit hash tie
+    * between two event_ids could over-select; at 2⁻⁶⁰ per pair the
+    * oracle compare would surface it long before it matters. */
+  def stratifiedFixedN(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.Hashing.h60SparkSql("event_id")
+    val minK = udaf(new graft.functions.BoundedMinK(StratumN))
+    val keyed = events(s, d)
+      .select(col("event_type"), col("event_id"), expr(h).as("hk"))
+    val picks = keyed.groupBy(col("event_type"))
+      .agg(minK(col("hk")).as("ks"))
+    keyed.join(broadcast(picks), "event_type")
+      .filter(array_contains(col("ks"), col("hk")))
+      .select(col("event_type"), col("event_id"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val stratifiedFixedNSql: String = {
+    val h = graft.functions.Hashing.h60Sql("event_id")
+    s"""SELECT event_type, event_id FROM (
+       |  SELECT event_type, event_id,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY $h, event_id) AS rn
+       |  FROM events)
+       |WHERE rn <= $StratumN ORDER BY event_type, event_id""".stripMargin
+  }
+
+  /** q78: view→purchase conversion funnel — per user: first view, the
+    * first purchase strictly after it, conversion flag and delay;
+    * rolled up to one summary row. Pure aggregates and one user-keyed
+    * join (no per-user window): each stage partial-aggregates, so no
+    * task ever holds a power-user's full event history. */
+  def conversionFunnel(s: SparkSession, d: String): DataFrame = {
+    // exact integer epoch-micros on BOTH engines (unix_micros here,
+    // epoch_us in the oracle) — a seconds cast would truncate
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsl"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsl")).as("v_ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("tsl") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("tsl")).as("p_ts"))
+    firstView.join(conv, Seq("user_id"), "left_outer")
+      .agg(count(lit(1)).as("n_viewers"),
+        count(col("p_ts")).as("n_converted"),
+        (floor(avg(col("p_ts") - col("v_ts")) * 1e4 + 0.5) / 1e4)
+          .as("avg_delay"))
+  }
+
+  val conversionFunnelSql: String =
+    s"""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_ts
+       |           FROM events WHERE event_type = 'view' GROUP BY 1),
+       |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts
+       |      FROM events e JOIN v ON v.user_id = e.user_id
+       |      WHERE e.event_type = 'purchase'
+       |        AND epoch_us(e.ts) > v.v_ts
+       |      GROUP BY 1)
+       |SELECT count(*) AS n_viewers, count(p.p_ts) AS n_converted,
+       |  floor(avg(p.p_ts - v.v_ts) * 1e4 + 0.5) / 1e4 AS avg_delay
+       |FROM v LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_stratified_fixed" -> (stratifiedFixedN _),
+    "q78_conversion_funnel" -> (conversionFunnel _),
     "q76_outer_join" -> (outerOrderStats _),
     "q73_salted_join" -> (saltedJoinRevenue _),
     "q74_value_histogram" -> (valueHistogram _),
@@ -706,6 +778,8 @@ object Relational {
     "q74_value_histogram" -> valueHistogramSql,
     "q75_column_profile" -> columnProfileSql,
     "q76_outer_join" -> outerOrderStatsSql,
+    "q77_stratified_fixed" -> stratifiedFixedNSql,
+    "q78_conversion_funnel" -> conversionFunnelSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
     "q47_rollup_revenue" -> rollupRevenueSql,
