@@ -732,7 +732,44 @@ object Relational {
        |  floor(avg(p.p_ts - v.v_ts) * 1e4 + 0.5) / 1e4 AS avg_delay
        |FROM v LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
 
+  /** q79: cohort retention — users grouped by first-signup day, then
+    * the count still active at each day offset (the retention matrix
+    * every product-analytics stack computes). Three aggregates and one
+    * user-keyed broadcast-ish join: cohorts = min signup per user;
+    * activity = distinct (user, day); matrix keyed by (cohort_day,
+    * offset). Every shuffle key is user- or day-bounded — no per-user
+    * event-history window. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val activity = ev.select(col("user_id"), col("day")).distinct()
+    activity.join(cohorts, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+       |            FROM events),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM ev
+       |      WHERE event_type = 'signup' GROUP BY 1),
+       |a AS (SELECT DISTINCT user_id, day FROM ev)
+       |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       |  CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+       |  count(DISTINCT a.user_id) AS n_active
+       |FROM a JOIN c ON c.user_id = a.user_id
+       |WHERE a.day >= c.cohort_day
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_cohort_retention" -> (cohortRetention _),
     "q77_stratified_fixed" -> (stratifiedFixedN _),
     "q78_conversion_funnel" -> (conversionFunnel _),
     "q76_outer_join" -> (outerOrderStats _),
@@ -779,6 +816,7 @@ object Relational {
     "q75_column_profile" -> columnProfileSql,
     "q76_outer_join" -> outerOrderStatsSql,
     "q77_stratified_fixed" -> stratifiedFixedNSql,
+    "q79_cohort_retention" -> cohortRetentionSql,
     "q78_conversion_funnel" -> conversionFunnelSql,
     "q44_json_props" -> jsonPropsSql,
     "q46_asof_purchase" -> asofPurchaseSql,
