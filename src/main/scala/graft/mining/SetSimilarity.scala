@@ -544,22 +544,28 @@ object SetSimilarity {
     * (shingles + signature) are computed map-side and carried THROUGH
     * the band explode, so candidate verification never re-joins the
     * stream with itself (which would be a stateful stream-stream
-    * join); the index side is a static checkpointed table, so the
-    * band-bucket match and nothing else is a stream-static join.
+    * join); the index sides are static checkpointed tables, so the
+    * band-bucket match and the post-filter shingle lookup are both
+    * stateless stream-static joins.
     * Multi-band hits are deduped within the watermark when `incoming`
     * is a stream (needs a `ts` column), or exactly in batch.
     * Output: (doc_a incoming, dup_of reference, jaccard). */
   def screenAgainstIndex(incoming: DataFrame, corpus: DataFrame,
       watermark: String = "1 hour"): DataFrame = {
-    val idxSh = shingleSetsOf(corpus).localCheckpoint()
-    val idxBands = idxSh
+    // the band table carries only the 32-long signature through the ×8
+    // explode; the (heavy) shingle arrays stay in a separate static
+    // table joined AFTER the sig-agreement filter — an 8× storage
+    // amplification of the whole reference index otherwise
+    val idxSh = shingleSetsOf(corpus)
+      .select(col("doc_id").as("dup_of"), col("ts").as("sh_b"))
+      .localCheckpoint()
+    val idxBands = shingleSetsOf(corpus)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .withColumn("sig", expr("graft_minhash(xs)"))
-      .select(col("doc_id").as("dup_of"), col("ts").as("sh_b"),
-        col("sig").as("sig_b"),
+      .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"),
         explode(expr(bandStructsExpr(ShingleBands, ShingleRows))).as("b"))
-      .select(col("dup_of"), col("sh_b"), col("sig_b"),
+      .select(col("dup_of"), col("sig_b"),
         col("b.band").as("band"), col("b.key").as("key"))
       .localCheckpoint()
     val hasTs = incoming.columns.contains("ts")
@@ -580,6 +586,7 @@ object SetSimilarity {
     val hits = inFeat.join(idxBands, Seq("band", "key"))
       .filter(col("doc_a") =!= col("dup_of"))
       .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $ShingleMinSigMatches"))
+      .join(idxSh, "dup_of") // static lookup, post-filter row set only
       .withColumn("inter", expr("graft_isize(sh_a, sh_b)"))
       .withColumn("j", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
