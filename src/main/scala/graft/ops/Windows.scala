@@ -26,8 +26,14 @@ object Windows {
         // Sum in DECIMAL so the aggregate is order-independent — float
         // summation order differs across engines and can flip the
         // rounding boundary (it did, at 4 decimals, on this data).
-        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 4).as("avg_value"))
+        // floor-half-up on the SCALED double, not round(): Spark
+        // rounds the exact binary value HALF_UP while DuckDB rounds
+        // the scaled double, and at sf0.1 one window's mean lands
+        // exactly on a .xxxx5 boundary where the two disagree; the
+        // scaled double is bit-identical in both engines, so floor on
+        // it is too.
+        (floor((sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))) * 1e4 + 0.5) / 1e4).as("avg_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("n_users"), col("avg_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -36,8 +42,8 @@ object Windows {
     """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
       |  event_type, count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
-      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-      |        / count(*), 4) AS avg_value
+      |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(*) * 1e4 + 0.5) / 1e4 AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q32: sliding windows, 30 s length / 10 s slide (reference window
