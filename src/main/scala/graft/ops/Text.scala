@@ -75,8 +75,9 @@ object Text {
         size(array_distinct(col("toks"))).as("n_uniq"),
         size(expr(s"regexp_extract_all(text, '$subtokRe', 0)"))
           .as("n_subtokens"),
-        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
-          .cast("double") / size(col("toks")), 4).as("avg_tok_len"))
+        (floor(expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+          .cast("double") / size(col("toks")) * 1e4 + 0.5) / 1e4)
+          .as("avg_tok_len"))
       .orderBy(col("doc_id"))
 
   val tokenStatsSql: String =
@@ -86,8 +87,8 @@ object Text {
        |  len(toks) AS n_tokens,
        |  len(list_distinct(toks)) AS n_uniq,
        |  len(regexp_extract_all(text, '$subtokRe')) AS n_subtokens,
-       |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-       |        / len(toks), 4) AS avg_tok_len
+       |  floor(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |        / len(toks) * 1e4 + 0.5) / 1e4 AS avg_tok_len
        |FROM t ORDER BY doc_id""".stripMargin
 
   /** Stopword list for quality scoring / lang-ID (english function
@@ -124,22 +125,31 @@ object Text {
         col("stop_cnt"), col("punct_cnt"), col("n_chars"),
         size(col("g")).cast("long").as("n_grams"),
         expr(maxRunExpr("g")).as("top_cnt"))
+      // floor-half-up at 4 dp (scaled double), not round(): Spark
+      // rounds the exact binary value HALF_UP, DuckDB rounds the
+      // scaled double, and they disagree on exact .xxxx5 boundaries —
+      // which real data hits (q31 did at sf0.1). The scaled double is
+      // bit-identical in both engines, so floor on it is too.
       .withColumn("stop_ratio",
-        round(col("stop_cnt").cast("double") / col("n_tokens"), 4))
+        floor(col("stop_cnt").cast("double") / col("n_tokens") * 1e4
+          + 0.5) / 1e4)
       .withColumn("quality",
-        round(
+        floor((
           least(lit(1.0), col("n_tokens").cast("double") / 40.0) * 0.5 +
           least(lit(1.0),
             col("stop_cnt").cast("double") / col("n_tokens") * 8.0) * 0.5 -
-          col("punct_cnt").cast("double") / col("n_chars"), 4))
+          col("punct_cnt").cast("double") / col("n_chars")) * 1e4
+          + 0.5) / 1e4)
       .withColumn("dup_token_frac",
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(lit(1.0) -
-            col("n_uniq").cast("double") / col("n_tokens"), 4)))
+          .otherwise(floor((lit(1.0) -
+            col("n_uniq").cast("double") / col("n_tokens")) * 1e4
+            + 0.5) / 1e4))
       .withColumn("top_bigram_frac",
         when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
-          .otherwise(round(
-            col("top_cnt").cast("double") / col("n_grams"), 4)))
+          .otherwise(floor(
+            col("top_cnt").cast("double") / col("n_grams") * 1e4
+            + 0.5) / 1e4))
       .withColumn("repetitive",
         (col("dup_token_frac") > 0.5 || col("top_bigram_frac") > 0.2)
           .cast("boolean"))
@@ -164,13 +174,16 @@ object Text {
        |  len(text) AS n_chars
        |FROM t)
        |SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
-       |  round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
+       |  floor(CAST(stop_cnt AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4
+       |    AS stop_ratio,
+       |  floor((least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
        |        least(1.0, CAST(stop_cnt AS DOUBLE) / n_tokens * 8.0) * 0.5 -
-       |        CAST(punct_cnt AS DOUBLE) / n_chars, 4) AS quality,
-       |  (round(least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
+       |        CAST(punct_cnt AS DOUBLE) / n_chars) * 1e4 + 0.5) / 1e4
+       |    AS quality,
+       |  (floor((least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
        |        least(1.0, CAST(stop_cnt AS DOUBLE) / n_tokens * 8.0) * 0.5 -
-       |        CAST(punct_cnt AS DOUBLE) / n_chars, 4) >= 0.5) AS keep
+       |        CAST(punct_cnt AS DOUBLE) / n_chars) * 1e4 + 0.5) / 1e4
+       |    >= 0.5) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -337,10 +350,12 @@ object Text {
        |        len(list_distinct(toks)) AS n_uniq FROM t),
        |f AS (SELECT m.doc_id, m.n_tokens,
        |        CASE WHEN m.n_tokens = 0 THEN 0.0
-       |             ELSE round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4)
+       |             ELSE floor((1.0 - CAST(n_uniq AS DOUBLE) / n_tokens)
+       |                    * 1e4 + 0.5) / 1e4
        |        END AS dup_token_frac,
        |        CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
-       |             ELSE round(CAST(top_cnt AS DOUBLE) / n_grams, 4)
+       |             ELSE floor(CAST(top_cnt AS DOUBLE) / n_grams
+       |                    * 1e4 + 0.5) / 1e4
        |        END AS top_bigram_frac
        |      FROM m LEFT JOIN top ON m.doc_id = top.doc_id)
        |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
@@ -388,7 +403,7 @@ object Text {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TfidfTopK)
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
-        round(col("score"), 4).as("tfidf"))
+        (floor(col("score") * 1e4 + 0.5) / 1e4).as("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
@@ -404,7 +419,8 @@ object Text {
        |           ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC,
        |             term ASC) AS rk
        |       FROM tf JOIN df USING (term) CROSS JOIN n)
-       |SELECT doc_id, rk, term, tf, df, round(score, 4) AS tfidf
+       |SELECT doc_id, rk, term, tf, df,
+       |  floor(score * 1e4 + 0.5) / 1e4 AS tfidf
        |FROM sc WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
 
   /** Minimum tokens before a document is even considered. */
@@ -463,9 +479,10 @@ object Text {
        |  len(text) AS n_chars
        |FROM t),
        |q AS (SELECT doc_id,
-       |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
+       |  floor((least(1.0, CAST(n_tokens AS DOUBLE) / 40.0) * 0.5 +
        |        least(1.0, CAST(stop_cnt AS DOUBLE) / n_tokens * 8.0) * 0.5 -
-       |        CAST(punct_cnt AS DOUBLE) / n_chars, 4) AS quality
+       |        CAST(punct_cnt AS DOUBLE) / n_chars) * 1e4 + 0.5) / 1e4
+       |    AS quality
        |FROM qm),
        |g AS (SELECT doc_id,
        |        unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -478,10 +495,12 @@ object Text {
        |        len(list_distinct(toks)) AS n_uniq FROM t),
        |rep AS (SELECT m.doc_id, m.n_tokens,
        |        (CASE WHEN m.n_tokens = 0 THEN 0.0
-       |              ELSE round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 4)
+       |              ELSE floor((1.0 - CAST(n_uniq AS DOUBLE) / n_tokens)
+       |                     * 1e4 + 0.5) / 1e4
        |         END > 0.5 OR
        |         CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
-       |              ELSE round(CAST(top_cnt AS DOUBLE) / n_grams, 4)
+       |              ELSE floor(CAST(top_cnt AS DOUBLE) / n_grams
+       |                     * 1e4 + 0.5) / 1e4
        |         END > 0.2) AS repetitive
        |      FROM m LEFT JOIN top ON m.doc_id = top.doc_id),
        |dup AS (SELECT doc_id,
