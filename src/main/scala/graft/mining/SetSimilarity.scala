@@ -73,7 +73,11 @@ object SetSimilarity {
       .withColumn("j", col("inter").cast("double") /
         (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
       .filter(col("j") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      // floor-half-up on the scaled double (identical in both engines;
+      // round() diverges at exact .xxxx5 — integer-ratio jaccards land
+      // there routinely)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("j") * 1e4 + 0.5) / 1e4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   // ---------------------------------------------------------------- q22
@@ -172,7 +176,7 @@ object SetSimilarity {
        |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
        |      FROM t a JOIN t b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       |  floor(CAST(inter AS DOUBLE) / uni * 1e4 + 0.5) / 1e4 AS jaccard
        |FROM p WHERE CAST(inter AS DOUBLE) / uni >= $JaccardTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -394,7 +398,8 @@ object SetSimilarity {
        |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
        |      FROM cand JOIN t a ON a.doc_id = doc_a
        |                JOIN t b ON b.doc_id = doc_b)
-       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       |SELECT doc_a, doc_b,
+       |  floor(CAST(inter AS DOUBLE) / uni * 1e4 + 0.5) / 1e4 AS jaccard
        |FROM v WHERE CAST(inter AS DOUBLE) / uni >= $LshVerifyTau
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -592,7 +597,7 @@ object SetSimilarity {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("j") >= ShingleTau)
       .select(Seq(col("doc_a"), col("dup_of"),
-        round(col("j"), 4).as("jaccard")) ++ tsCols: _*)
+        (floor(col("j") * 1e4 + 0.5) / 1e4).as("jaccard")) ++ tsCols: _*)
     if (incoming.isStreaming)
       hits.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("doc_a", "dup_of")
@@ -626,7 +631,8 @@ object SetSimilarity {
        |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
        |      FROM cand JOIN t a ON a.doc_id = doc_a
        |                JOIN t b ON b.doc_id = doc_b)
-       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+       |SELECT doc_a, doc_b,
+       |  floor(CAST(inter AS DOUBLE) / uni * 1e4 + 0.5) / 1e4 AS jaccard
        |FROM v WHERE CAST(inter AS DOUBLE) / uni >= $ShingleTau
        |ORDER BY doc_a, doc_b""".stripMargin
   }
