@@ -37,9 +37,16 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        // decimal sums (order-independent across engines) + scaled
+        // floor-half-up (mode-independent at exact boundaries) — the
+        // cross-engine parity idiom; quantities are whole numbers so
+        // their double sum is already exact
+        (floor(sum(col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("double") * 1e2 + 0.5) / 1e2).as("sum_base_price"),
+        (floor(sum(col("l_quantity")) / count(lit(1)) * 1e4 + 0.5) / 1e4)
+          .as("avg_qty"),
+        (floor(sum(col("l_discount").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) * 1e4 + 0.5) / 1e4).as("avg_disc"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -64,7 +71,9 @@ object Relational {
     lineitem(s, d)
       .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
-      .agg(round(avg("l_extendedprice"), 4).as("avg_price"),
+      .agg((floor(sum(col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)) * 1e4 + 0.5) / 1e4)
+          .as("avg_price"),
         count(lit(1)).as("cnt"))
       .orderBy(col("avg_price").desc, col("p_type").asc)
 
@@ -826,9 +835,11 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |    AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+        |  floor(sum(l_quantity) / count(*) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem WHERE l_quantity > 0
         |GROUP BY l_returnflag, l_linestatus
@@ -837,7 +848,9 @@ object Relational {
       """SELECT user_id, count(*) AS cnt FROM events
         |GROUP BY user_id ORDER BY cnt DESC, user_id DESC LIMIT 10""".stripMargin,
     "q03_category_avg" ->
-      """SELECT p_type, round(avg(l_extendedprice), 4) AS avg_price,
+      """SELECT p_type,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS avg_price,
         |  count(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type ORDER BY avg_price DESC, p_type ASC""".stripMargin,
