@@ -65,26 +65,37 @@ object Sources {
     */
   def incrementalScan(s: SparkSession, dir: String, manifestPath: String,
       format: String = "parquet"): (DataFrame, () => Unit) = {
-    import scala.jdk.CollectionConverters._
-    val mf = java.nio.file.Paths.get(manifestPath)
+    // Hadoop FileSystem API, not java.io: the listing and the manifest
+    // work identically on file://, hdfs:// and s3a:// — at 100 TB the
+    // directory is an object-store prefix, never a local disk
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val mf = new Path(manifestPath)
+    val mfs = mf.getFileSystem(conf)
     val seen: Set[String] =
-      if (java.nio.file.Files.exists(mf))
-        java.nio.file.Files.readAllLines(mf).asScala.toSet
-      else Set.empty
-    val all = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith(".")
-        && !f.getName.startsWith("_"))
-      .map(_.getAbsolutePath).sorted
+      if (mfs.exists(mf)) {
+        val in = mfs.open(mf)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toSet
+        finally in.close()
+      } else Set.empty
+    val all = fs.listStatus(dirPath)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".")
+        && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).sorted
     val fresh = all.filterNot(seen)
     val df =
       if (fresh.isEmpty)
         s.read.format(format).load(dir).limit(0)
       else s.read.format(format).load(fresh: _*)
     val commit = () => {
-      java.nio.file.Files.write(mf,
-        (seen ++ fresh).toSeq.sorted.asJava,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      val out = mfs.create(mf, true)
+      try out.write(
+        (seen ++ fresh).toSeq.sorted.mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
       ()
     }
     (df, commit)
@@ -97,21 +108,24 @@ object Sources {
     * preserved; file count is the only thing that changes. */
   def compact(s: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val src = new java.io.File(dir)
-    val bytes = src.listFiles().filter(_.isFile)
-      .filterNot(_.getName.startsWith("_")).map(_.length()).sum
+    // Hadoop FileSystem throughout — same code path on local, HDFS,
+    // and object stores
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dirPath).filter(_.isFile)
+    val bytes = files
+      .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = dir.stripSuffix("/") + "._compact_tmp"
+    val tmp = new Path(dir.stripSuffix("/") + "._compact_tmp")
     s.read.parquet(dir).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp)
-    val dst = src.toPath
-    val tmpP = java.nio.file.Paths.get(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
     // swap: remove originals, move compacted files in
-    src.listFiles().foreach(f => f.delete())
-    java.nio.file.Files.list(tmpP).iterator().forEachRemaining { p =>
-      java.nio.file.Files.move(p, dst.resolve(p.getFileName.toString))
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp).foreach { st =>
+      fs.rename(st.getPath, new Path(dirPath, st.getPath.getName))
     }
-    java.nio.file.Files.delete(tmpP)
+    fs.delete(tmp, true)
     nOut.toLong
   }
 
