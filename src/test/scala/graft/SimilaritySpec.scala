@@ -257,4 +257,93 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(ann(k) - bf(k)) < 1e-9)
     }
   }
+
+  // Aggregate-recall property for q58's banded MinHash-LSH, mirroring
+  // the reference's recall-≥0.8 grading (Assignment3 description §4.1.4):
+  // over ≥100 ScalaCheck-generated corpora with planted near-duplicates,
+  // the pairs LSH recovers must cover ≥0.8 of the brute-force
+  // shingle-Jaccard-≥τ truth. At τ = 0.8 with 8 bands × 4 rows the
+  // published catch probability is 1−(1−τ⁴)⁸ ≈ 0.985 (times the ≥20/32
+  // agreement pre-filter's P ≈ 0.99 at the threshold), so 0.8 leaves
+  // honest slack without being vacuous. All 100 corpora ride in ONE
+  // DataFrame (disjoint doc_id blocks) so the whole property is a
+  // single Spark pass, not 100 sessions.
+  test("q58 recall ≥ 0.8 over 100 scalacheck corpora with planted near-dups") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+
+    val vocab = (0 until 60).map(i => s"w$i")
+    // a corpus: 3 (base, near-dup) families + 6 unrelated docs. A dup is
+    // the base with 0–2 single-token substitutions: one substitution on
+    // ~30 tokens perturbs ≤3 of ~28 shingles (J ≳ 0.8); two usually land
+    // below τ, exercising the reject side of the verify.
+    val docGen: Gen[Vector[String]] = for {
+      n <- Gen.chooseNum(26, 38)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ts.toVector
+    val familyGen: Gen[(Vector[String], Vector[String])] = for {
+      base <- docGen
+      k <- Gen.chooseNum(0, 2)
+      pos <- Gen.listOfN(k, Gen.chooseNum(0, 1000))
+      sub <- Gen.listOfN(k, Gen.oneOf(vocab))
+    } yield {
+      val dup = pos.zip(sub).foldLeft(base) { case (d, (p, w)) =>
+        d.updated(p % d.length, w)
+      }
+      (base, dup)
+    }
+    val corpusGen: Gen[(Seq[Vector[String]], Seq[Vector[String]])] = for {
+      fams <- Gen.listOfN(3, familyGen)
+      noise <- Gen.listOfN(6, docGen)
+    } yield (fams.flatMap { case (b, d) => Seq(b, d) }, noise)
+
+    val corpora = Gen.listOfN(100, corpusGen)
+      .apply(Gen.Parameters.default, Seed(20260813L))
+      .getOrElse(sys.error("scalacheck generation failed"))
+
+    val rows = corpora.zipWithIndex.flatMap { case ((fams, noise), c) =>
+      (fams ++ noise).zipWithIndex.map { case (toks, i) =>
+        (c * 1000L + i, toks.mkString(" "))
+      }
+    }
+    val docs = rows.toDF("doc_id", "text")
+
+    // brute-force truth, independent local reimplementation of the
+    // word-3-shingle Jaccard (tokens have no spaces, so text round-trips
+    // the production tokenizer exactly)
+    def shingles(toks: Vector[String]): Set[String] =
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val shMap = rows.map { case (id, text) =>
+      id -> shingles(text.split(" ").toVector)
+    }.toMap
+    val truth = corpora.indices.flatMap { c =>
+      val ids = rows.map(_._1).filter(id => id / 1000 == c)
+      for {
+        a <- ids; b <- ids if a < b
+        sa = shMap(a); sb = shMap(b)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= SetSimilarity.ShingleTau
+      } yield (a, b)
+    }.toSet
+
+    val found = SetSimilarity.shingleNeardupOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // precision is exact by construction (the verify step recomputes J
+    // on the real shingle sets) — check it against the independent truth
+    found.foreach { case (a, b) =>
+      val sa = shMap(a); val sb = shMap(b)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= SetSimilarity.ShingleTau - 1e-12,
+        s"($a,$b) emitted at J=$j < tau")
+    }
+    assert(truth.size >= 100,
+      s"property vacuous: only ${truth.size} planted true pairs")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8,
+      s"aggregate LSH recall $recall over ${truth.size} true pairs (bar 0.8)")
+  }
 }
