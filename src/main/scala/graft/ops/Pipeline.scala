@@ -360,7 +360,215 @@ object Pipeline {
        |FROM j WHERE cum_before < $SourceTokenQuota
        |ORDER BY doc_id""".stripMargin
 
+  /** Split-hash modulus / train share for q80: h60(canon) mod 10 < 8
+    * → train (80/20). Same literals in the oracle. */
+  val SplitMod = 10L
+  val SplitTrain = 8L
+
+  /** q80: leakage-safe train/validation split — the assignment every
+    * eval pipeline needs: hash documents into train/val BY NEAR-DUP
+    * GROUP, not by doc_id, so a document and its near-duplicates can
+    * never straddle the boundary (doc-level hashing leaks val content
+    * into train through paraphrases — the classic contamination bug).
+    * Group = q65's transitive dup cluster (singletons are their own
+    * group); split = h60(canon) mod [[SplitMod]] < [[SplitTrain]].
+    * The report carries a `cross_pairs` audit column COMPUTED from the
+    * pair list (not assumed zero): any near-dup pair whose endpoints
+    * disagree on split counts here, so the invariant is visible in the
+    * oracle comparison itself. Shuffle keys are pair-list-sized (CC
+    * rounds) or `split` (2 groups after doc-keyed partials). */
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    leakageSplitOn(documents(s, d))
+
+  /** q80 over a caller-supplied (doc_id, text) corpus. */
+  def leakageSplitOn(docs: DataFrame): DataFrame = {
+    // pair list feeds both the contraction and the violation audit
+    val pairs = SetSimilarity.shingleNeardupOn(docs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val tagged = docs
+      .select(col("doc_id"),
+        size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
+      .join(dupClustersFrom(pairs), Seq("doc_id"), "left_outer")
+      .withColumn("canon", coalesce(col("canon_id"), col("doc_id")))
+      .withColumn("split", expr(
+        s"CASE WHEN ${graft.functions.Hashing.h60SparkSql("canon")} " +
+          s"% $SplitMod < $SplitTrain THEN 'train' ELSE 'val' END"))
+      .localCheckpoint() // feeds the report + both sides of the audit
+    val sp = tagged.select(col("doc_id"), col("split"))
+    val viol = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+        lit(0L)).as("cross_pairs"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("canon")).as("n_groups"))
+      .crossJoin(broadcast(viol)) // 1-row scalar audit
+      .orderBy(col("split"))
+  }
+
+  val leakageSplitSql: String =
+    s"""WITH RECURSIVE
+       |nd AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${SetSimilarity.shingleNeardupSql})),
+       |ue AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+       |       UNION ALL SELECT doc_b, doc_a FROM nd),
+       |r AS (
+       |  SELECT src AS node, src AS lbl FROM ue
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM r JOIN ue e ON e.dst = r.node),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS canon_id
+       |       FROM r GROUP BY 1),
+       |t AS (SELECT doc_id,
+       |        CAST(len(${Text.toksSqlExpr}) AS BIGINT) AS n_tokens
+       |      FROM documents),
+       |g AS (SELECT t.doc_id, t.n_tokens,
+       |        coalesce(cl.canon_id, t.doc_id) AS canon
+       |      FROM t LEFT JOIN cl ON cl.doc_id = t.doc_id),
+       |s AS (SELECT doc_id, n_tokens, canon,
+       |        CASE WHEN ${graft.functions.Hashing.h60Sql("canon")}
+       |          % $SplitMod < $SplitTrain THEN 'train' ELSE 'val' END
+       |          AS split
+       |      FROM g),
+       |v AS (SELECT coalesce(CAST(sum(
+       |        CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+       |        AS BIGINT), 0) AS cross_pairs
+       |      FROM nd
+       |      JOIN s sa ON sa.doc_id = nd.doc_a
+       |      JOIN s sb ON sb.doc_id = nd.doc_b)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT canon) AS n_groups,
+       |  (SELECT cross_pairs FROM v) AS cross_pairs
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** q81: length-staged curriculum — bucket documents into 4 training
+    * stages by token-count quartile (short → long, the classic length
+    * curriculum). TWO-PHASE, not `ntile() OVER (ORDER BY ...)` (a
+    * global ntile sorts the corpus in ONE task): an exact-percentile
+    * aggregate computes the 3 boundaries (Spark's exact `percentile`
+    * buffers per DISTINCT value — doc lengths, bounded — not per row),
+    * broadcast to a map-side stage assignment, then a 4-group
+    * aggregate. The 0.25/0.5/0.75 quantiles are dyadic, so linear
+    * interpolation is EXACT in both engines and the boundary
+    * comparison is parity-safe; avg(quality) sums 4-dp doubles in
+    * engine-specific order → the ulp-slack floor-half-up idiom. */
+  def lengthCurriculum(s: SparkSession, d: String): DataFrame =
+    lengthCurriculumOn(documents(s, d))
+
+  /** q81 over a caller-supplied (doc_id, text) corpus. */
+  def lengthCurriculumOn(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"),
+        size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
+      .join(Text.docQualityOn(docs).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .localCheckpoint() // feeds the boundary agg + the staging pass
+    val b = t.agg(
+      expr("percentile(n_tokens, 0.25D)").as("b1"),
+      expr("percentile(n_tokens, 0.5D)").as("b2"),
+      expr("percentile(n_tokens, 0.75D)").as("b3"))
+    t.crossJoin(broadcast(b)) // 1-row boundary frame
+      .withColumn("stage",
+        (lit(1) + (col("n_tokens") > col("b1")).cast("int")
+          + (col("n_tokens") > col("b2")).cast("int")
+          + (col("n_tokens") > col("b3")).cast("int")).cast("long"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("floor(avg(quality) * 1e4 + 0.5 + 1e-9) / 1e4")
+          .as("avg_quality"))
+      .orderBy(col("stage"))
+  }
+
+  val lengthCurriculumSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${Text.docQualitySql})),
+       |t AS (SELECT d.doc_id,
+       |        CAST(len(${Text.toksSqlExpr}) AS BIGINT) AS n_tokens,
+       |        q.quality
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |b AS (SELECT quantile_cont(n_tokens, 0.25) AS b1,
+       |        quantile_cont(n_tokens, 0.5) AS b2,
+       |        quantile_cont(n_tokens, 0.75) AS b3 FROM t)
+       |SELECT CAST(1 + (n_tokens > b1)::int + (n_tokens > b2)::int
+       |         + (n_tokens > b3)::int AS BIGINT) AS stage,
+       |  count(*) AS n_docs, min(n_tokens) AS min_tokens,
+       |  max(n_tokens) AS max_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  floor(avg(quality) * 1e4 + 0.5 + 1e-9) / 1e4 AS avg_quality
+       |FROM t, b GROUP BY 1 ORDER BY stage""".stripMargin
+
+  /** Token budget the q83 temperature mixture allocates. */
+  val MixtureAlloc = 100000L
+
+  /** q83: temperature-based mixture weights — the sampling-weight
+    * table pipelines feed the trainer: per-source token share
+    * s_i = t_i/T flattened with temperature α = 0.5, i.e.
+    * w_i = √t_i / Σ_j √t_j (identical to s_i^α/Σ s_j^α — T cancels —
+    * and √ is IEEE-correctly-rounded in both engines, unlike pow),
+    * then a [[MixtureAlloc]]-token allocation and the implied epochs
+    * (repeat factor) per source. Everything after the source-keyed
+    * partial-aggregate scan is arithmetic over a #sources-row frame.
+    * Σ√t_j sums doubles in engine order → ulp-slack rounding; the
+    * allocation derives from the ROUNDED weight so both engines floor
+    * the same product; share and epochs are integer ratios (plain
+    * floor-half-up). */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame =
+    mixtureWeightsOn(documents(s, d), MixtureAlloc)
+
+  /** q83 over a caller-supplied (doc_id, source, text) corpus. */
+  def mixtureWeightsOn(docs: DataFrame, budget: Long): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint() // #sources rows; feeds totals + the weight row
+    val tot = per.agg(sum(col("n_tokens")).as("tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("denom"))
+    per.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .withColumn("share",
+        expr("floor(CAST(n_tokens AS DOUBLE) / tot * 1e6 + 0.5) / 1e6"))
+      .withColumn("weight", expr(
+        "floor(sqrt(CAST(n_tokens AS DOUBLE)) / denom * 1e6 + 0.5 + 1e-9)" +
+          " / 1e6"))
+      .withColumn("alloc_tokens",
+        expr(s"CAST(floor(weight * $budget + 0.5) AS BIGINT)"))
+      .withColumn("epochs", expr(
+        "floor(CAST(alloc_tokens AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4"))
+      .select(col("source"), col("n_tokens"), col("share"), col("weight"),
+        col("alloc_tokens"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH per AS (SELECT source,
+       |        CAST(sum(len(${Text.toksSqlExpr})) AS BIGINT) AS n_tokens
+       |      FROM documents GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+       |        sum(sqrt(CAST(n_tokens AS DOUBLE))) AS denom FROM per),
+       |w AS (SELECT source, n_tokens,
+       |        floor(CAST(n_tokens AS DOUBLE) / tot * 1e6 + 0.5) / 1e6
+       |          AS share,
+       |        floor(sqrt(CAST(n_tokens AS DOUBLE)) / denom * 1e6
+       |          + 0.5 + 1e-9) / 1e6 AS weight
+       |      FROM per, tt)
+       |SELECT source, n_tokens, share, weight,
+       |  CAST(floor(weight * $MixtureAlloc + 0.5) AS BIGINT)
+       |    AS alloc_tokens,
+       |  floor(CAST(CAST(floor(weight * $MixtureAlloc + 0.5) AS BIGINT)
+       |    AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 AS epochs
+       |FROM w ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_leakage_split" -> (leakageSplit _),
+    "q81_curriculum" -> (lengthCurriculum _),
+    "q83_mixture_weights" -> (mixtureWeights _),
     "q61_corpus_prep" -> (corpusPrep _),
     "q62_source_report" -> (sourceReport _),
     "q65_dup_clusters" -> (dupClusters _),
@@ -370,6 +578,9 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q80_leakage_split" -> leakageSplitSql,
+    "q81_curriculum" -> lengthCurriculumSql,
+    "q83_mixture_weights" -> mixtureWeightsSql,
     "q61_corpus_prep" -> corpusPrepSql,
     "q62_source_report" -> sourceReportSql,
     "q65_dup_clusters" -> dupClustersSql,

@@ -613,9 +613,57 @@ object Text {
        |    AS postings
        |FROM tfs GROUP BY term ORDER BY term""".stripMargin
 
+  /** q82: n-gram novelty scoring — for each document, the fraction of
+    * its distinct word 3-grams that occur in NO other document
+    * (global df = 1). The inverse-boilerplate signal: template/spam
+    * text scores near 0 (all its grams are shared), original text near
+    * 1 — pipelines threshold it alongside q18 quality and q55
+    * repetition. Two gram-keyed shuffles (per-doc distinct grams →
+    * global df → join back) and a doc-keyed aggregate; the gram table
+    * is checkpointed once because both the df count and the join
+    * consume it. novelty = n_unique/n_grams is an integer ratio, so
+    * plain floor-half-up 4-dp needs no ulp slack. Docs with < 3 tokens
+    * have no grams and are excluded (both engines). */
+  def novelty(s: SparkSession, d: String): DataFrame =
+    noveltyOn(documents(s, d))
+
+  /** q82 over a caller-supplied (doc_id, text) corpus. */
+  def noveltyOn(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${ngramExpr("toks", 3)})")).as("gram"))
+      .localCheckpoint()
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        expr("floor(CAST(n_unique AS DOUBLE) / n_grams * 1e4 + 0.5) / 1e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        generate_series(1, len(toks) - 2),
+       |        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))))
+       |        AS gram
+       |      FROM t),
+       |d AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unique,
+       |  floor(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*) * 1e4 + 0.5) / 1e4 AS novelty
+       |FROM g JOIN d USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_bigram_lm" -> (bigramLm _),
     "q72_inverted_index" -> (invertedIndex _),
+    "q82_novelty" -> (novelty _),
     "q59_curation" -> (curation _),
     "q57_tfidf" -> (tfidfTopTerms _),
     "q55_repetition" -> (repetitionSignals _),
@@ -628,6 +676,7 @@ object Text {
   val oracle: Map[String, String] = Map(
     "q71_bigram_lm" -> bigramLmSql,
     "q72_inverted_index" -> invertedIndexSql,
+    "q82_novelty" -> noveltySql,
     "q59_curation" -> curationSql,
     "q57_tfidf" -> tfidfTopTermsSql,
     "q55_repetition" -> repetitionSignalsSql,

@@ -137,6 +137,71 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSplitOn keeps every near-dup group on one side of the split") {
+    val rows = Pipeline.leakageSplitOn(corpus).collect()
+    // the audit column is computed from the pair list, not assumed
+    assert(rows.forall(_.getAs[Long]("cross_pairs") == 0L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 6L)
+    // groups: {1,2,3} (near-dup cluster), {4}, {5}, {6}. A group
+    // straddling the split would be counted by BOTH sides'
+    // countDistinct, pushing the sum above 4.
+    assert(rows.map(_.getAs[Long]("n_groups")).sum == 4L)
+  }
+
+  test("lengthCurriculumOn stages partition the corpus by token count") {
+    val rows = Pipeline.lengthCurriculumOn(corpus).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(rows.map(_.getAs[Long]("stage")).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // stages are contiguous, non-overlapping length bands
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Long]("max_tokens") <= hi.getAs[Long]("min_tokens"))
+      case _ =>
+    }
+  }
+
+  test("noveltyOn matches brute-force unique-3-gram fractions") {
+    import spark.implicits._
+    val docs = Map(
+      1L -> "a b c d e",   // shares every gram with doc 2
+      2L -> "a b c d e",
+      3L -> "x y z w v",   // fully original
+      4L -> "a b c q r")   // grams: {abc (shared), bcq, cqr}
+    val grams = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet }
+    val dfc = grams.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val expect = grams.map { case (id, gs) =>
+      val uniq = gs.count(dfc(_) == 1)
+      (id, gs.size.toLong, uniq.toLong,
+        math.floor(uniq.toDouble / gs.size * 1e4 + 0.5) / 1e4)
+    }.toSet
+    val got = Text.noveltyOn(docs.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect)
+  }
+
+  test("mixtureWeightsOn flattens shares at temperature 0.5") {
+    import spark.implicits._
+    // token counts 1 / 4 / 16 → √ = 1 / 2 / 4, denominator 7
+    val docs = Seq(
+      (1L, "s1", "a"),
+      (2L, "s2", "a b c d"),
+      (3L, "s3", (1 to 16).map(_ => "t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val rows = Pipeline.mixtureWeightsOn(docs, 7000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"),
+          r.getAs[Long]("alloc_tokens"))).toMap
+    assert(rows("s1") == ((1L, 0.142857, 1000L)))
+    assert(rows("s2") == ((4L, 0.285714, 2000L)))
+    assert(rows("s3") == ((16L, 0.571429, 4000L)))
+    // temperature flattens: the small source's weight exceeds its raw
+    // share (1/21 ≈ 0.048), the big one's shrinks (16/21 ≈ 0.76)
+    assert(rows("s1")._2 > 1.0 / 21 && rows("s3")._2 < 16.0 / 21)
+  }
+
   test("every *On operator returns an empty result on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
@@ -150,9 +215,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.decontaminateOn(empty, empty).count() == 0)
     assert(Pipeline.tokenShardsOn(empty, 100L).count() == 0)
     assert(Pipeline.qualitySampleOn(empty).count() == 0)
+    assert(Pipeline.leakageSplitOn(empty).count() == 0)
+    assert(Pipeline.lengthCurriculumOn(empty).count() == 0)
+    assert(Text.noveltyOn(empty).count() == 0)
     val emptySrc = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "source", "text")
     assert(Pipeline.sourceMixtureOn(emptySrc, 100L).count() == 0)
+    assert(Pipeline.mixtureWeightsOn(emptySrc, 100L).count() == 0)
   }
 
   test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
