@@ -103,16 +103,18 @@ object Pipeline {
   /** q65 over a caller-supplied (doc_id, text) corpus. */
   def dupClustersOn(docs: DataFrame): DataFrame =
     dupClustersFrom(SetSimilarity.shingleNeardupOn(docs))
+      .orderBy(col("doc_id"))
 
   /** The q65 canonicalization over an ALREADY-COMPUTED near-dup pair
     * list (doc_a, doc_b) — any of the q22/q24/q25/q45/q58 detectors
     * feeds this directly, so a pipeline that has its pairs pays only
-    * the contraction rounds. */
+    * the contraction rounds. UNORDERED: consumers that join it (q80's
+    * split assignment) must not inherit a useless global sort — the
+    * ordered public form is [[dupClustersOn]]. */
   def dupClustersFrom(pairs: DataFrame): DataFrame =
     graft.graph.Graphs.componentsLargeStar(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("node").as("doc_id"), col("component").as("canon_id"))
-      .orderBy(col("doc_id"))
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE

@@ -202,6 +202,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("s1")._2 > 1.0 / 21 && rows("s3")._2 < 16.0 / 21)
   }
 
+  // Generated-corpora integrity property for the q80 split: over a
+  // union of scalacheck corpora with planted near-dup families (one
+  // Spark pass, disjoint doc_id blocks), the report's pair-derived
+  // audit must count zero cross-split pairs AND the per-split distinct
+  // group counts must sum to the brute-force union-find group total —
+  // a group straddling the boundary is counted by BOTH sides'
+  // countDistinct, pushing the sum above the truth.
+  test("leakageSplitOn group integrity over 40 scalacheck corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val vocab = (0 until 60).map(i => s"w$i")
+    val docGen: Gen[Vector[String]] = for {
+      n <- Gen.chooseNum(26, 38)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ts.toVector
+    val familyGen: Gen[(Vector[String], Vector[String])] = for {
+      base <- docGen
+      k <- Gen.chooseNum(0, 2)
+      pos <- Gen.listOfN(k, Gen.chooseNum(0, 1000))
+      sub <- Gen.listOfN(k, Gen.oneOf(vocab))
+    } yield (base, pos.zip(sub).foldLeft(base) { case (d, (p, w)) =>
+      d.updated(p % d.length, w)
+    })
+    val corpusGen = for {
+      fams <- Gen.listOfN(3, familyGen)
+      noise <- Gen.listOfN(4, docGen)
+    } yield fams.flatMap { case (b, d) => Seq(b, d) } ++ noise
+    val corpora = Gen.listOfN(40, corpusGen)
+      .apply(Gen.Parameters.default, Seed(20260806L))
+      .getOrElse(sys.error("scalacheck generation failed"))
+    val rows = corpora.zipWithIndex.flatMap { case (ds, c) =>
+      ds.zipWithIndex.map { case (toks, i) =>
+        (c * 1000L + i, toks.mkString(" "))
+      }
+    }
+    val docs = rows.toDF("doc_id", "text")
+
+    // brute-force group total: union-find over the detector's own pair
+    // list (the split must respect whatever the detector found)
+    val pairs = SetSimilarity.shingleNeardupOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val groups = rows.map(r => find(r._1)).distinct.size
+
+    val report = Pipeline.leakageSplitOn(docs).collect()
+    assert(report.forall(_.getAs[Long]("cross_pairs") == 0L))
+    assert(report.map(_.getAs[Long]("n_docs")).sum == rows.size.toLong)
+    assert(report.map(_.getAs[Long]("n_groups")).sum == groups.toLong)
+  }
+
   test("every *On operator returns an empty result on an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
