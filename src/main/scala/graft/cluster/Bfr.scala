@@ -230,17 +230,22 @@ object Bfr {
           if (csBest._1 < thresh) (id, p, csBest._2) else (id, p, -1)
         }
       }.localCheckpoint()
-      // Stats deltas via the typed Aggregator — one shuffle.
-      val deltas = tagged.filter(_._3 >= 0)
+      // Stats deltas via the typed Aggregator — one shuffle. The −1
+      // (unassigned) group rides along so its N doubles as the RS
+      // overflow count: one job instead of a stats pass PLUS a
+      // separate newUn.count().
+      val deltas = tagged
         .map { case (_, p, c) => (c, p) }
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(StatsAgg.toColumn.name("st"))
         .collect()
-      deltas.foreach { case (c, st) =>
+      deltas.filter(_._1 >= 0).foreach { case (c, st) =>
         if (c >= CsIdOffset) cs = cs.updated(c, cs(c).merge(st))
         else ds = ds.updated(c, ds(c).merge(st))
       }
+      val unCount = deltas.collectFirst {
+        case (-1, st) => st.n }.getOrElse(0L)
       assignments = assignments.unionByName(
         tagged.filter(_._3 >= 0).map { case (id, _, c) => (id, c) }
           .toDF("vec_id", "cluster"))
@@ -254,7 +259,8 @@ object Bfr {
       val newUn = tagged.filter(_._3 == -1)
         .map { case (id, p, _) => (id, p) }
       val budget = rsCap - rs.size
-      if (newUn.count() <= budget)
+      if (unCount == 0L) ()
+      else if (unCount <= budget)
         rs = rs ++ newUn.collect().toSeq
       else {
         val kept =
@@ -301,7 +307,12 @@ object Bfr {
           case None => ()
         }
       }
-      assignments = assignments.localCheckpoint()
+      // no per-chunk checkpoint: assignments is a LINEAR accumulation
+      // (single consumer, never re-read inside the loop) whose union
+      // arms are all checkpointed `tagged` derivatives, so the plan is
+      // bounded by NumChunks and the one final evaluation reads
+      // checkpoint blocks — checkpointing here only added a job per
+      // chunk.
       rounds += roundStats(chunk + 1, ds, cs, rs)
     }
     intermediateOut.foreach { path =>
