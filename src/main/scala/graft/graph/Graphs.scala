@@ -265,7 +265,18 @@ object Graphs {
     *   large-star: for v ∈ N(u) with v > u, emit (v, m)
     *   small-star: for v ∈ N(u) with v ≤ u, emit (v, m), plus (u, m)
     */
-  def componentsLargeStar(edges: DataFrame): DataFrame = {
+  /** Edge-count bound for the small-graph fast path in
+    * [[componentsLargeStar]]: at or below it the contraction runs as a
+    * single-pass driver union-find (a BOUNDED collect — ≤ 2·10⁵ longs
+    * ≈ 3 MB — never input-proportional: the count gates it), because
+    * near-dup pair lists are output-sized and the per-round job
+    * overhead dominates tiny graphs. Above it, the distributed
+    * O(log n) rounds. Same dispatcher shape as q45's embedding
+    * near-dup (threshold routes to the scale path). */
+  val LocalCcMaxEdges = 100000L
+
+  def componentsLargeStar(edges: DataFrame,
+      localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     val s = edges.sparkSession
     def undir(e: DataFrame): DataFrame =
       e.select(col("src"), col("dst"))
@@ -276,6 +287,23 @@ object Graphs {
         .select(col("src"), least(col("mn"), col("src")).as("m"))
     var e = undir(edges).localCheckpoint()
     var eCnt = e.count()
+    if (eCnt <= localMaxEdges) {
+      import s.implicits._
+      val es = e.select(col("src"), col("dst"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      return nodes.map(n => (n, find(n))).toSeq
+        .toDF("node", "component").orderBy(col("node"))
+    }
     var done = false
     var iter = 0
     while (!done && iter < 60) {
@@ -321,9 +349,12 @@ object Graphs {
   /** q64: the same bounded-subgraph component census as q36, computed
     * by the O(log n) star-contraction path — the designated 100-TB
     * variant, hash-verified against the identical recursive-CTE
-    * oracle rather than only property-tested. */
+    * oracle rather than only property-tested. Pins localMaxEdges = 0
+    * so the DISTRIBUTED rounds are what the oracle certifies (the
+    * small-graph union-find shortcut would otherwise capture this
+    * bounded subgraph). */
   def componentsStar(s: SparkSession, d: String): DataFrame =
-    componentsLargeStar(edges(s, d, Some(SubNations), SubThreshold))
+    componentsLargeStar(edges(s, d, Some(SubNations), SubThreshold), 0L)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("csize"))
       .orderBy(col("component"))

@@ -46,8 +46,10 @@ class GraphSpec extends AnyFunSuite {
         .map(_ => (next(n).toLong, next(n).toLong))
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // localMaxEdges = 0 pins the DISTRIBUTED rounds (the small-graph
+      // union-find shortcut would capture every generated graph)
       val got = graft.graph.Graphs
-        .componentsLargeStar(es.toDF("src", "dst")).collect()
+        .componentsLargeStar(es.toDF("src", "dst"), 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(n, es)
       // only nodes with at least one edge are emitted
@@ -56,12 +58,17 @@ class GraphSpec extends AnyFunSuite {
       touched.foreach { v =>
         assert(got(v) == want(v), s"trial $trial node $v")
       }
+      // the small-graph fast path must agree with the distributed rounds
+      val local = graft.graph.Graphs
+        .componentsLargeStar(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == got, s"trial $trial local/distributed agreement")
     }
     // long path: label propagation would need ~500 rounds; star
     // contraction must finish inside the 60-round cap
     val path = (0L until 499L).map(i => (i, i + 1))
     val labels = graft.graph.Graphs
-      .componentsLargeStar(path.toDF("src", "dst")).collect()
+      .componentsLargeStar(path.toDF("src", "dst"), 0L).collect()
     assert(labels.length == 500 && labels.forall(_.getLong(1) == 0L),
       "path collapses to component 0")
   }
