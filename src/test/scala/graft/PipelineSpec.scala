@@ -202,6 +202,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("s1")._2 > 1.0 / 21 && rows("s3")._2 < 16.0 / 21)
   }
 
+  test("q80-q83 outputs are partitioning-invariant") {
+    import org.apache.spark.sql.DataFrame
+    val reparted = corpus.repartition(7)
+    def same(f: DataFrame => DataFrame): Unit = {
+      val a = f(corpus).collect().map(_.toString).toSeq
+      val b = f(reparted).collect().map(_.toString).toSeq
+      assert(a == b)
+    }
+    same(Pipeline.leakageSplitOn)
+    same(Pipeline.lengthCurriculumOn)
+    same(Text.noveltyOn)
+    import spark.implicits._
+    val srcd = Seq(
+      (1L, "s1", good), (2L, "s2", good + " extra tail tokens here"),
+      (3L, "s1", "short doc one"), (4L, "s3", good.take(80)))
+      .toDF("doc_id", "source", "text")
+    val w1 = Pipeline.mixtureWeightsOn(srcd, 5000L)
+      .collect().map(_.toString).toSeq
+    val w2 = Pipeline.mixtureWeightsOn(srcd.repartition(5), 5000L)
+      .collect().map(_.toString).toSeq
+    assert(w1 == w2)
+  }
+
   // Generated-corpora integrity property for the q80 split: over a
   // union of scalacheck corpora with planted near-dup families (one
   // Spark pass, disjoint doc_id blocks), the report's pair-derived
