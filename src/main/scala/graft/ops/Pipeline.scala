@@ -567,7 +567,84 @@ object Pipeline {
        |    AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 AS epochs
        |FROM w ORDER BY source""".stripMargin
 
+  /** q84: training-shard manifest — the artifact a trainer actually
+    * consumes alongside q67's packing: per shard, doc/token counts,
+    * the doc_id range, and an order-independent content checksum
+    * (XOR of per-doc h60(text) — XOR is commutative/associative with
+    * no overflow, so Spark's partial aggregation order and DuckDB's
+    * agree bit-for-bit, unlike a sum that wraps int64 in Spark but
+    * widens to int128 in DuckDB). Detects dropped/duplicated/mutated
+    * docs between pipeline runs with one manifest diff. One doc-keyed
+    * join + a shard-keyed aggregate. */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    shardManifestOn(documents(s, d), TokenShardBudget)
+
+  /** q84 over a caller-supplied (doc_id, text) corpus. */
+  def shardManifestOn(docs: DataFrame, budget: Long): DataFrame =
+    tokenShardsOn(docs, budget)
+      .join(docs.select(col("doc_id"),
+        expr(graft.functions.Hashing.h60SparkSql("text")).as("h")),
+        "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("shard"))
+
+  val shardManifestSql: String =
+    s"""WITH sh AS (SELECT * FROM ($tokenShardsSql)),
+       |h AS (SELECT doc_id, ${graft.functions.Hashing.h60Sql("text")} AS h
+       |      FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(sh.n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(sh.doc_id) AS min_doc, max(sh.doc_id) AS max_doc,
+       |  bit_xor(h.h) AS checksum
+       |FROM sh JOIN h ON h.doc_id = sh.doc_id
+       |GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** q85: exact pairwise source gram overlap — the contamination
+    * matrix q70 estimates from merged MinHash sketches, computed
+    * exactly: for each source pair, the count of distinct
+    * [[DecontamN]]-grams both emit. The (source, gram) distinct set is
+    * checkpointed once and self-joined on gram; per-gram fan-out is
+    * bounded by #sources² (not corpus size), and the second join side
+    * reuses the first's hash exchange. Pairs sharing nothing are
+    * omitted (inner join). */
+  def sourceGramOverlap(s: SparkSession, d: String): DataFrame =
+    sourceGramOverlapOn(documents(s, d))
+
+  /** q85 over a caller-supplied (doc_id, source, text) corpus. */
+  def sourceGramOverlapOn(docs: DataFrame): DataFrame = {
+    val sg = docs
+      .select(col("source"), expr(Text.toksExpr).as("toks"))
+      .select(col("source"),
+        explode(expr(Text.ngramExpr("toks", DecontamN))).as("g"))
+      .distinct()
+      .localCheckpoint() // both sides of the self-join
+    sg.select(col("source").as("src_a"), col("g"))
+      .join(sg.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceGramOverlapSql: String =
+    s"""WITH t AS (SELECT source, ${Text.toksSqlExpr} AS toks
+       |           FROM documents),
+       |sg AS (SELECT DISTINCT source, g FROM (
+       |  SELECT source, unnest(${Text.ngramSqlExpr("toks", DecontamN)})
+       |    AS g FROM t))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS shared_grams
+       |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_shard_manifest" -> (shardManifest _),
+    "q85_source_gram_overlap" -> (sourceGramOverlap _),
     "q80_leakage_split" -> (leakageSplit _),
     "q81_curriculum" -> (lengthCurriculum _),
     "q83_mixture_weights" -> (mixtureWeights _),
@@ -580,6 +657,8 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q84_shard_manifest" -> shardManifestSql,
+    "q85_source_gram_overlap" -> sourceGramOverlapSql,
     "q80_leakage_split" -> leakageSplitSql,
     "q81_curriculum" -> lengthCurriculumSql,
     "q83_mixture_weights" -> mixtureWeightsSql,

@@ -202,6 +202,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("s1")._2 > 1.0 / 21 && rows("s3")._2 < 16.0 / 21)
   }
 
+  test("shardManifestOn checksum pins content: one mutated doc flips exactly its shard") {
+    import spark.implicits._
+    val base = Pipeline.shardManifestOn(corpus, 60L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("checksum")).toMap
+    // token counts (and thus shard layout) unchanged; text mutated
+    val mutated = corpus.withColumn("text",
+      org.apache.spark.sql.functions.expr(
+        "CASE WHEN doc_id = 4 THEN 'too shorx' ELSE text END"))
+    val got = Pipeline.shardManifestOn(mutated, 60L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("checksum")).toMap
+    assert(base.keySet == got.keySet)
+    val changed = base.keySet.filter(k => base(k) != got(k))
+    // doc 4 lives in exactly one shard; only that checksum moves
+    assert(changed.size == 1)
+  }
+
+  test("sourceGramOverlapOn matches brute-force pairwise gram intersection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d e f"), (2L, "s2", "a b c d e x"),
+      (3L, "s3", "p q r s t u"), (4L, "s2", "p q r s y z"))
+      .toDF("doc_id", "source", "text")
+    def grams(t: String) =
+      t.split(" ").sliding(Pipeline.DecontamN.toInt).map(_.mkString(" ")).toSet
+    val bySrc = Map(
+      "s1" -> grams("a b c d e f"),
+      "s2" -> (grams("a b c d e x") ++ grams("p q r s y z")),
+      "s3" -> grams("p q r s t u"))
+    val expect = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      n = bySrc(a).intersect(bySrc(b)).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    val got = Pipeline.sourceGramOverlapOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("q80-q83 outputs are partitioning-invariant") {
     import org.apache.spark.sql.DataFrame
     val reparted = corpus.repartition(7)
@@ -300,10 +337,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.leakageSplitOn(empty).count() == 0)
     assert(Pipeline.lengthCurriculumOn(empty).count() == 0)
     assert(Text.noveltyOn(empty).count() == 0)
+    assert(Pipeline.shardManifestOn(empty, 100L).count() == 0)
     val emptySrc = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "source", "text")
     assert(Pipeline.sourceMixtureOn(emptySrc, 100L).count() == 0)
     assert(Pipeline.mixtureWeightsOn(emptySrc, 100L).count() == 0)
+    assert(Pipeline.sourceGramOverlapOn(emptySrc).count() == 0)
   }
 
   test("neardupJaccardOn and neardupLshOn agree on the planted dups") {
