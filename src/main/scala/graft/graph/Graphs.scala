@@ -292,9 +292,15 @@ object Graphs {
       val es = e.select(col("src"), col("dst"))
         .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find + path compression: the max-under-min union
+      // rule has no rank balancing, so an adversarial edge order can
+      // chain 10⁵ parent hops — recursion would overflow the stack
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
