@@ -250,6 +250,7 @@ class PipelineSpec extends AnyFunSuite {
     same(Pipeline.leakageSplitOn)
     same(Pipeline.lengthCurriculumOn)
     same(Text.noveltyOn)
+    same(Pipeline.shardManifestOn(_, 60L))
     import spark.implicits._
     val srcd = Seq(
       (1L, "s1", good), (2L, "s2", good + " extra tail tokens here"),
@@ -260,6 +261,11 @@ class PipelineSpec extends AnyFunSuite {
     val w2 = Pipeline.mixtureWeightsOn(srcd.repartition(5), 5000L)
       .collect().map(_.toString).toSeq
     assert(w1 == w2)
+    val o1 = Pipeline.sourceGramOverlapOn(srcd)
+      .collect().map(_.toString).toSeq
+    val o2 = Pipeline.sourceGramOverlapOn(srcd.repartition(5))
+      .collect().map(_.toString).toSeq
+    assert(o1 == o2)
   }
 
   // Generated-corpora integrity property for the q80 split: over a
