@@ -112,15 +112,28 @@ object Bench {
     }.toMap
     // ms precision — sub-ms digits are noise and the per-query map must
     // fit the caller's 2000-char output-tail window (round 5's 9-dp
-    // line overflowed it and the driver recorded parsed: null)
-    def r3(v: Double): String = f"$v%.3f"
+    // line overflowed it and the driver recorded parsed: null).
+    // Locale.ROOT: the f-interpolator honors the JVM default locale and
+    // a comma-decimal locale would emit invalid JSON (ADVICE r6).
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":${round - 1},"agg":"min","interleaved":true,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":${round - 1},"agg":"min","interleaved":true,"sf":"$sfDir"}"""
+    // The driver's tail capture clipped the FRONT of the full line in
+    // round 6 (17 of 85 per-query timings lost) — persist the complete
+    // per-query map as its own artifact so it survives any stdout
+    // truncation.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_queries.json write failed: $e") }
+    println(full)
     // compact duplicate LAST: even if the full line above is clipped by
     // a bounded tail capture, this one always parses
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"compact duplicate of the full line above","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in bench_queries.json","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

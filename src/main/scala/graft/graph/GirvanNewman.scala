@@ -198,7 +198,10 @@ object GirvanNewman {
 
   /** Deepest BFS level the oracle unrolls — must exceed the subgraph
     * diameter (11 at sf0.01; levels past the diameter are empty CTEs
-    * and cost nothing). */
+    * and cost nothing). The oracle self-checks: a `guard` CTE calls
+    * DuckDB `error()` if any shortest path reaches this cap, so a
+    * larger-diameter subgraph at a bigger SF fails loudly instead of
+    * silently dropping nodes from the σ/δ passes (ADVICE r6). */
   val BrandesMaxLevel = 16
 
   /** Unrolled-SQL Brandes over the GN subgraph: a capped recursive BFS
@@ -262,10 +265,15 @@ object GirvanNewman {
        |  FROM pc
        |  JOIN sig sw ON sw.root = pc.root AND sw.node = pc.w
        |  JOIN sig sc ON sc.root = pc.root AND sc.node = pc.c
-       |  JOIN dall dd ON dd.root = pc.root AND dd.node = pc.c)
+       |  JOIN dall dd ON dd.root = pc.root AND dd.node = pc.c),
+       |guard AS (
+       |  SELECT CASE WHEN max(dist) >= $l THEN error(
+       |    'q37 oracle: BFS reached BrandesMaxLevel=$l — diameter '
+       |    || 'exceeds the unroll cap, raise BrandesMaxLevel')
+       |    ELSE 0 END AS ok FROM sp)
        |SELECT src, dst,
        |  floor(sum(credit) / 2.0 * 1e4 + 0.5 + 1e-9) / 1e4 AS betweenness
-       |FROM cred GROUP BY 1, 2
+       |FROM cred CROSS JOIN guard GROUP BY 1, 2
        |ORDER BY 3 DESC, 1 ASC, 2 ASC LIMIT 20""".stripMargin
   }
 

@@ -78,7 +78,8 @@ object Pipeline {
        |q AS (SELECT * FROM (${Text.docQualitySql}))
        |SELECT d.source,
        |  count(*) AS n_docs,
-       |  sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS n_keep,
+       |  CAST(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
        |  floor(CAST(sum(CASE WHEN cur.keep THEN 1 ELSE 0 END) AS DOUBLE)
        |    / count(*) * 1e4 + 0.5) / 1e4 AS keep_frac,
        |  floor(avg(q.quality) * 1e4 + 0.5) / 1e4 AS avg_quality,

@@ -561,15 +561,19 @@ object Relational {
       .select(col("p_partkey").as("pk"), col("p_brand"))
     saltedJoin(big, small, "pk", col("rid"), JoinSalts)
       .groupBy(col("p_brand"))
-      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+      // floor-half-up, not round(x, 2): Spark rounds HALF_UP on the
+      // exact binary value, DuckDB rounds the scaled double — 4-decimal
+      // revenue sums land on .xx50 routinely (ADVICE r6).
+      .agg((floor(sum(col("rev")).cast("double") * 1e2 + 0.5) / 1e2)
+        .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
   }
 
   val saltedJoinRevenueSql: String =
     s"""SELECT p_brand,
-       |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-       |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+       |  floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+       |    AS DECIMAL(18,6))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
        |  count(*) AS n_items
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -631,7 +635,8 @@ object Relational {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     cols.map { c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
          |  count(DISTINCT $c) AS ndv,
          |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
          |  floor(CAST(sum(CAST($c AS DECIMAL(24,6))) AS DOUBLE)
@@ -667,8 +672,9 @@ object Relational {
        |    ON o.o_custkey = c.c_custkey
        |  GROUP BY 1, 2)
        |SELECT c_mktsegment, count(*) AS n_customers,
-       |  sum(CASE WHEN n_ord = 0 THEN 1 ELSE 0 END) AS n_inactive,
-       |  sum(n_ord) AS n_orders
+       |  CAST(sum(CASE WHEN n_ord = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_inactive,
+       |  CAST(sum(n_ord) AS BIGINT) AS n_orders
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Rows kept per stratum in the q77 fixed-n sample. */

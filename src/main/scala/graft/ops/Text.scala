@@ -608,7 +608,8 @@ object Text {
     s"""WITH e AS (SELECT doc_id, unnest($toksSqlExpr) AS term
        |           FROM documents),
        |tfs AS (SELECT term, doc_id, count(*) AS tf FROM e GROUP BY 1, 2)
-       |SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS total_tf,
+       |SELECT term, count(DISTINCT doc_id) AS df,
+       |  CAST(sum(tf) AS BIGINT) AS total_tf,
        |  array_to_string(list_sort(list(doc_id))[1:$PostingSample], ',')
        |    AS postings
        |FROM tfs GROUP BY term ORDER BY term""".stripMargin

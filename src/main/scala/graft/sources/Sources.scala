@@ -104,8 +104,17 @@ object Sources {
   /** Small-file compaction — the maintenance pass every long-running
     * ingest needs: rewrite a directory of many small files into
     * ⌈bytes/target⌉ files of ≈`targetBytes` each. Reads once, writes
-    * once to a temp sibling, atomically swaps. Row content is
-    * preserved; file count is the only thing that changes. */
+    * once to a temp sibling, then swaps. The swap is crash-SAFE, not
+    * atomic (no multi-file rename is, least of all on object stores):
+    * originals are parked in a `._compact_bak` sibling first, the
+    * compacted files renamed in, and the backup deleted only after
+    * every rename succeeded — so a crash at any point leaves either
+    * the originals (recoverable from the backup dir) or the full
+    * compacted set on disk, never neither. Concurrent readers should
+    * be fenced by the caller (e.g. manifest-gated discovery, as
+    * [[manifestIngest]] provides); a reader listing mid-swap can see a
+    * partial set. Row content is preserved; file count is the only
+    * thing that changes. */
   def compact(s: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     // Hadoop FileSystem throughout — same code path on local, HDFS,
@@ -120,12 +129,22 @@ object Sources {
     val tmp = new Path(dir.stripSuffix("/") + "._compact_tmp")
     s.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: remove originals, move compacted files in
-    files.foreach(f => fs.delete(f.getPath, false))
-    fs.listStatus(tmp).foreach { st =>
-      fs.rename(st.getPath, new Path(dirPath, st.getPath.getName))
+    // swap, originals-last: park originals in a backup sibling, move
+    // compacted files in, delete the backup only once all renames
+    // succeeded. A failed rename aborts with the data still on disk.
+    val bak = new Path(dir.stripSuffix("/") + "._compact_bak")
+    fs.delete(bak, true)
+    require(fs.mkdirs(bak), s"compact: cannot create backup dir $bak")
+    files.foreach { f =>
+      require(fs.rename(f.getPath, new Path(bak, f.getPath.getName)),
+        s"compact: failed to park ${f.getPath} — aborting, no data lost")
+    }
+    fs.listStatus(tmp).filter(_.isFile).foreach { st =>
+      require(fs.rename(st.getPath, new Path(dirPath, st.getPath.getName)),
+        s"compact: failed to move ${st.getPath} in — originals in $bak")
     }
     fs.delete(tmp, true)
+    fs.delete(bak, true)
     nOut.toLong
   }
 

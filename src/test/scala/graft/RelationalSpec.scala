@@ -44,6 +44,61 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without query impl: $missing")
   }
 
+  /** Unguarded-sum arguments that are provably safe: sums over DOUBLE
+    * expressions (DuckDB sum(double) = double = Spark) or sums in
+    * intermediate CTEs whose consumers cast/divide to double before the
+    * final projection. Every entry is (query, first chars of the sum
+    * argument). New unguarded sums must be added HERE consciously or
+    * wrapped in CAST(... AS BIGINT) — DuckDB's uncast sum(<integer>) is
+    * decimal128 where Spark emits int64, and the driver's typed hash
+    * fails on it (the round-6 q62/q72/q75/q76 incident). */
+  private val safeUnguardedOracleSums: Set[(String, String)] = Set(
+    // sum over a DOUBLE parquet column — sum(double)=double both engines
+    ("q01_pricing_summary", "l_quantity) AS sum_qty"),
+    // Brandes σ/credit are seeded CAST(1 AS DOUBLE); all sums double
+    ("q37_betweenness", "p.sigma) AS sigma"),
+    ("q37_betweenness", "sw.sigma / sc.sigma * "),
+    // intermediate windowed session counter — consumed as a group key,
+    // never projected; final schema typed-gate-green
+    ("q50_sessionize", "new_sess) OVER (PARTIT"),
+    // intermediate `top` CTE; consumers divide to double
+    ("q55_repetition", "c) AS n_grams"),
+    ("q59_curation", "c) AS n_grams"),
+    ("q61_corpus_prep", "c) AS n_grams"),
+    ("q62_source_report", "c) AS n_grams"),
+    // PageRank inflow: sum over pr/deg doubles
+    ("q63_pagerank", "p.pr / p.deg) AS inflo"),
+    // intermediate running token sum; final cols CAST AS BIGINT
+    ("q69_source_mixture", "q.n_tokens) OVER (PART"),
+    // intermediate per-w1 total; consumer divides to double
+    ("q71_bigram_lm", "c) OVER (PARTITION BY "),
+    // sum over sqrt(double)
+    ("q83_mixture_weights", "sqrt(CAST(n_tokens AS "))
+
+  test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
+    // guarded = wrapped by CAST( / floor( / round( (possibly through
+    // extra parens, e.g. CAST(floor((sum(...)), the idioms that pin the
+    // result type identically in both engines
+    val sumRe = "(?i)(?<!list_)sum\\s*\\(".r
+    val guardRe = "(?i)(cast|floor|round)\\s*\\(\\s*\\(*$".r
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        sumRe.findAllMatchIn(sql).flatMap { m =>
+          val before = sql.substring(0, m.start).replaceAll("\\s+$", "")
+          val guarded = guardRe.findFirstIn(before).isDefined
+          val argHead = sql.substring(m.end).take(22)
+          val allowed = safeUnguardedOracleSums.exists { case (n, pfx) =>
+            n == name && argHead.startsWith(pfx)
+          }
+          if (guarded || allowed) None
+          else Some(s"$name: sum($argHead…")
+        }
+    }
+    assert(bad.isEmpty,
+      s"unguarded sum() in oracle SQL — CAST AS BIGINT or allowlist:\n  " +
+        bad.distinct.mkString("\n  "))
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
