@@ -196,12 +196,20 @@ object Pipeline {
     tokenShardsOn(documents(s, d), TokenShardBudget)
 
   /** q67 over a caller-supplied (doc_id, text) corpus. */
-  def tokenShardsOn(docs: DataFrame, budget: Long): DataFrame = {
-    val s = docs.sparkSession
+  def tokenShardsOn(docs: DataFrame, budget: Long): DataFrame =
+    tokenShardsFrom(
+      docs.select(col("doc_id"),
+        size(expr(Text.toksExpr)).cast("long").as("n_tokens")),
+      budget)
+
+  /** The q67 packing over PRE-COMPUTED per-doc token counts (doc_id,
+    * n_tokens) — a pipeline that already has the counts (q86 reuses
+    * one signal-chain pass) skips the tokenize scan. */
+  def tokenShardsFrom(tok: DataFrame, budget: Long): DataFrame = {
+    val s = tok.sparkSession
     import s.implicits._
-    val toks = docs
-      .select(col("doc_id"),
-        size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
+    val toks = tok
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
@@ -295,13 +303,23 @@ object Pipeline {
     * on (source) restricted to that sliver. Output is exactly the
     * windowed form's (same order, same crossing-doc semantics), which
     * the unchanged window-replay oracle verifies. */
-  def sourceMixtureOn(docs: DataFrame, quota: Long): DataFrame = {
+  def sourceMixtureOn(docs: DataFrame, quota: Long): DataFrame =
+    sourceMixtureFrom(
+      docs.select(col("doc_id"), col("source"))
+        .join(Text.docQualityOn(docs)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality")), "doc_id"),
+      quota)
+
+  /** The q69 quota admission over a PRE-COMPUTED signal frame (doc_id,
+    * source, n_tokens, quality) — q86 feeds its shared signal-chain
+    * checkpoint here instead of re-deriving quality. */
+  def sourceMixtureFrom(sigIn: DataFrame, quota: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = docs.sparkSession
-    val sig = docs.select(col("doc_id"), col("source"))
-      .join(Text.docQualityOn(docs)
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          col("quality")), "doc_id")
+    val s = sigIn.sparkSession
+    val sig = sigIn
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality"))
       .localCheckpoint() // feeds level stats + both admission branches
     // phase 1: bounded level summary → driver cumsum per source
     val levels = sig.groupBy(col("source"), col("quality"))
@@ -582,10 +600,15 @@ object Pipeline {
 
   /** q84 over a caller-supplied (doc_id, text) corpus. */
   def shardManifestOn(docs: DataFrame, budget: Long): DataFrame =
-    tokenShardsOn(docs, budget)
-      .join(docs.select(col("doc_id"),
-        expr(graft.functions.Hashing.h60SparkSql("text")).as("h")),
-        "doc_id")
+    shardManifestFrom(tokenShardsOn(docs, budget),
+      docs.select(col("doc_id"),
+        expr(graft.functions.Hashing.h60SparkSql("text")).as("h")))
+
+  /** The q84 manifest aggregate over a PRE-COMPUTED shard assignment
+    * (doc_id, n_tokens, shard) and per-doc content hashes (doc_id, h). */
+  def shardManifestFrom(shards: DataFrame, hashed: DataFrame): DataFrame =
+    shards
+      .join(hashed, "doc_id")
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
@@ -643,7 +666,128 @@ object Pipeline {
        |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q86: the END-TO-END training-data pipeline — every preparation
+    * stage composed as ONE DataFrame DAG over one corpus:
+    * curation (q59's first-failing-rule cascade) → shingle near-dup
+    * pairs on the kept set (q58) → transitive dup clusters, keeping
+    * each cluster's canonical doc (q65) → leakage-safe train split
+    * (q80's canon-hash rule; a surviving doc IS its cluster's canon,
+    * so the hash key is its own id and near-dups can never straddle
+    * the boundary) → per-source token-quota mixture (q69) →
+    * token-budget sharding (q67) → shard manifest with content
+    * checksums (q84). Output: the manifest a trainer would mount.
+    *
+    * REUSE is the point of the composition (the q61 lesson — its
+    * subtree-reuse fix was worth 2×): ONE signal-chain pass
+    * (checkpointed) feeds the curation verdict, the mixture's quality
+    * ordering, and the shard token counts; the curated corpus
+    * (checkpointed) feeds pair detection, the mixture's source column,
+    * and the manifest hash. No stage recomputes another's subtree —
+    * PLANS.md's q86 dump shows the stage boundaries as ExistingRDD
+    * scans. Any drift anywhere in the chain (a doc wrongly kept, a
+    * cluster mis-canonicalized, one token miscounted) moves a shard
+    * boundary or a checksum, so the oracle compare gates the whole
+    * DAG, not just the last stage. */
+  def trainPipeline(s: SparkSession, d: String): DataFrame =
+    trainPipelineOn(documents(s, d))
+
+  /** q86 over a caller-supplied (doc_id, source, text) corpus. */
+  def trainPipelineOn(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("source"), col("text"))
+    // one signal pass: curation verdict + mixture quality + shard tokens
+    val sig = Text.signalChainOn(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), col("repetitive"))
+      .localCheckpoint()
+    val kept = Text.curationFrom(sig, docs)
+      .filter(col("keep")).select(col("doc_id"))
+    // curated corpus: feeds pair detection + source lookup + manifest hash
+    val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val pairs = SetSimilarity.shingleNeardupOn(keptDocs)
+      .select(col("doc_a"), col("doc_b"))
+    val canon = dupClustersFrom(pairs)
+    val trainIds = kept
+      .join(canon, Seq("doc_id"), "left_outer")
+      .filter(coalesce(col("canon_id"), col("doc_id")) === col("doc_id"))
+      .filter(expr(
+        s"${graft.functions.Hashing.h60SparkSql("doc_id")} " +
+          s"% $SplitMod < $SplitTrain"))
+      .select(col("doc_id"))
+    val trainSig = sig
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .join(keptDocs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    val admitted = sourceMixtureFrom(trainSig, SourceTokenQuota)
+    val shards = tokenShardsFrom(
+      admitted.select(col("doc_id"), col("n_tokens")), TokenShardBudget)
+    shardManifestFrom(shards,
+      keptDocs.select(col("doc_id"),
+        expr(graft.functions.Hashing.h60SparkSql("text")).as("h")))
+  }
+
+  /** The q86 oracle replays the whole chain: curation → pair list
+    * RESTRICTED to kept endpoints (pair detection is per-pair, so
+    * restricting q58's full-corpus pairs equals re-running it on the
+    * kept corpus) → recursive-CTE components → canon/split filter →
+    * the q69 window replay → the q67 running-sum replay → the q84
+    * manifest aggregate. */
+  val trainPipelineSql: String =
+    s"""WITH RECURSIVE
+       |cur AS MATERIALIZED (
+       |  SELECT doc_id FROM (${Text.curationSql}) WHERE keep),
+       |nd AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${SetSimilarity.shingleNeardupSql})
+       |  WHERE doc_a IN (SELECT doc_id FROM cur)
+       |    AND doc_b IN (SELECT doc_id FROM cur)),
+       |ue AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+       |       UNION ALL SELECT doc_b, doc_a FROM nd),
+       |r AS (
+       |  SELECT src AS node, src AS lbl FROM ue
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM r JOIN ue e ON e.dst = r.node),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS canon_id
+       |       FROM r GROUP BY 1),
+       |train AS (
+       |  SELECT c.doc_id FROM cur c
+       |  LEFT JOIN cl ON cl.doc_id = c.doc_id
+       |  WHERE coalesce(cl.canon_id, c.doc_id) = c.doc_id
+       |    AND ${graft.functions.Hashing.h60Sql("c.doc_id")}
+       |      % $SplitMod < $SplitTrain),
+       |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+       |      FROM (${Text.docQualitySql})),
+       |tsig AS (
+       |  SELECT d.doc_id, d.source, q.n_tokens, q.quality
+       |  FROM documents d
+       |  JOIN train t ON t.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id),
+       |adm AS (
+       |  SELECT doc_id, n_tokens FROM (
+       |    SELECT doc_id, n_tokens,
+       |      coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |        ORDER BY quality DESC, doc_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cum_before
+       |    FROM tsig) j
+       |  WHERE cum_before < $SourceTokenQuota),
+       |sh AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard
+       |  FROM adm),
+       |h AS (SELECT doc_id, ${graft.functions.Hashing.h60Sql("text")} AS h
+       |      FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(sh.n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(sh.doc_id) AS min_doc, max(sh.doc_id) AS max_doc,
+       |  bit_xor(h.h) AS checksum
+       |FROM sh JOIN h ON h.doc_id = sh.doc_id
+       |GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_train_pipeline" -> (trainPipeline _),
     "q84_shard_manifest" -> (shardManifest _),
     "q85_source_gram_overlap" -> (sourceGramOverlap _),
     "q80_leakage_split" -> (leakageSplit _),
@@ -658,6 +802,7 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q86_train_pipeline" -> trainPipelineSql,
     "q84_shard_manifest" -> shardManifestSql,
     "q85_source_gram_overlap" -> sourceGramOverlapSql,
     "q80_leakage_split" -> leakageSplitSql,

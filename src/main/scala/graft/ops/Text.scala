@@ -444,8 +444,17 @@ object Text {
     * signals ride one [[signalChainOn]] projection (no quality⋈
     * repetition join); the single join is the one the semantics force
     * — the exact-dup survivor rule needs cross-row state (md5 window). */
-  def curationOn(docs: DataFrame): DataFrame = {
-    val sig = signalChainOn(docs)
+  def curationOn(docs: DataFrame): DataFrame =
+    curationFrom(signalChainOn(docs), docs).orderBy(col("doc_id"))
+
+  /** The q59 verdict over a PRE-COMPUTED signal frame (any frame with
+    * doc_id, n_tokens, quality, repetitive — usually a checkpointed
+    * [[signalChainOn]]) plus the raw docs for the exact-dup rule.
+    * Lets a pipeline that already ran the signal chain (q86) reuse it
+    * instead of recomputing the whole projection. UNORDERED — the
+    * ordered public form is [[curationOn]]. */
+  def curationFrom(sigIn: DataFrame, docs: DataFrame): DataFrame = {
+    val sig = sigIn
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         col("repetitive"))
     // groupBy+join, not min() OVER (PARTITION BY h): the window form
@@ -466,7 +475,6 @@ object Text {
           .otherwise("ok"))
       .select(col("doc_id"), col("reason"),
         (col("reason") === "ok").cast("boolean").as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   val curationSql: String = {

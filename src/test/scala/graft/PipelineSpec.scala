@@ -73,6 +73,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("q86 reuse composition matches the naive public-op composition") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    // naive: every stage through its public On form, each recomputing
+    // its own signals — the reuse DAG must be bit-identical to it
+    val kept = Text.curationOn(docs).filter(col("keep")).select("doc_id")
+    val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
+    val canon = Pipeline.dupClustersOn(keptDocs)
+    val trainDocs = keptDocs
+      .join(canon.withColumnRenamed("canon_id", "cid"),
+        Seq("doc_id"), "left_outer")
+      .filter(coalesce(col("cid"), col("doc_id")) === col("doc_id"))
+      .filter(expr(
+        s"${graft.functions.Hashing.h60SparkSql("doc_id")} " +
+          s"% ${Pipeline.SplitMod} < ${Pipeline.SplitTrain}"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val admitted =
+      Pipeline.sourceMixtureOn(trainDocs, Pipeline.SourceTokenQuota)
+    val admittedDocs = trainDocs
+      .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+    val naive =
+      Pipeline.shardManifestOn(admittedDocs, Pipeline.TokenShardBudget)
+        .collect().toSeq
+    val reused = Pipeline.trainPipelineOn(docs).collect().toSeq
+    assert(reused.nonEmpty)
+    assert(reused == naive)
+  }
+
   test("decontaminateOn counts distinct shared n-grams against the eval set") {
     import spark.implicits._
     val evalSet = Seq(100L -> "alpha beta gamma delta epsilon zeta")

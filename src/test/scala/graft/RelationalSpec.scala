@@ -70,6 +70,9 @@ class RelationalSpec extends AnyFunSuite {
     ("q63_pagerank", "p.pr / p.deg) AS inflo"),
     // intermediate running token sum; final cols CAST AS BIGINT
     ("q69_source_mixture", "q.n_tokens) OVER (PART"),
+    // q86 embeds the q59 curation + q69 window replays verbatim
+    ("q86_train_pipeline", "c) AS n_grams"),
+    ("q86_train_pipeline", "n_tokens) OVER (PARTIT"),
     // intermediate per-w1 total; consumer divides to double
     ("q71_bigram_lm", "c) OVER (PARTITION BY "),
     // sum over sqrt(double)
