@@ -152,20 +152,33 @@ object GirvanNewman {
   /** Girvan–Newman: repeatedly remove the max-betweenness edge
     * (deterministic tie-break: smallest (src, dst)), recompute
     * betweenness from scratch (reference semantics, task2.py:185-215),
-    * keep the best-modularity partition. */
+    * keep the best-modularity partition.
+    *
+    * Both comparisons run on ROUNDED values (betweenness at 4 dp,
+    * modularity at 6 dp, the floor-half-up-with-ulp-slack idiom q37's
+    * oracle proved cross-engine-exact): credit and modularity sums
+    * accumulate in implementation-defined orders, and rounding before
+    * the max/argmax makes the whole loop a deterministic function of
+    * the edge SET — so an independent replay (tools/gn_golden.py, the
+    * q38 oracle's golden generator) reproduces every removal decision
+    * and the final partition bit-for-bit. Near-ties within 1e-4
+    * betweenness resolve by the smallest-(src, dst) rule in both. */
   def gnCommunities(edgeList: Seq[Edge]): (Double, Seq[Set[Long]]) = {
     val orig = edgeList.map(e => canon(e._1, e._2)).distinct
     val nodes = orig.flatMap(e => Seq(e._1, e._2)).toSet
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5 + 1e-9) / 1e6
     var current = orig
-    var best = (modularity(componentsLocal(nodes, current), orig),
+    var best = (q6(modularity(componentsLocal(nodes, current), orig)),
       componentsLocal(nodes, current))
     while (current.nonEmpty) {
-      val bt = edgeBetweennessLocal(current)
+      val bt = edgeBetweennessLocal(current).map { case (e, c) =>
+        e -> (math.floor(c * 1e4 + 0.5 + 1e-9) / 1e4)
+      }
       val maxC = bt.values.max
       val topEdge = bt.collect { case (e, c) if c == maxC => e }.min
       current = current.filterNot(_ == topEdge)
       val comps = componentsLocal(nodes, current)
-      val q = modularity(comps, orig)
+      val q = q6(modularity(comps, orig))
       if (q > best._1) best = (q, comps)
     }
     best
@@ -278,23 +291,79 @@ object GirvanNewman {
   }
 
   /** q38: Girvan–Newman best-modularity communities of the subgraph —
-    * (community = min member id, size, best_q). */
+    * (community = min member id, size, best_q). best_q re-rounds the
+    * loop's 6-dp modularity to 4 dp; the input double is identical in
+    * the golden replay, so plain floor-half-up matches. */
   def gnCommunitiesDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (q, comms) = gnCommunities(gnEdges(s, d))
     val rows = comms.map(c => (c.min, c.size.toLong,
-      math.round(q * 10000.0) / 10000.0))
+      math.floor(q * 1e4 + 0.5) / 1e4))
     s.createDataset(rows).toDF("community", "csize", "best_q")
       .orderBy(col("csize").desc, col("community").asc)
+  }
+
+  /** The q38 oracle: golden rows generated by an INDEPENDENT replay
+    * (tools/gn_golden.py — pure-Python Brandes + modularity + removal
+    * loop over the same edge list, which DuckDB builds from the input
+    * tables with the q37-verified edge SQL), committed as the
+    * `graft/gn_golden.txt` resource, and dispatched on the input's
+    * edge-set fingerprint (count + bit_xor of per-edge h60). An input
+    * whose fingerprint matches no golden errors loudly instead of
+    * diffing against the wrong constant (same posture as q37's
+    * BFS-cap guard); regenerate with the tool to admit a new SF. */
+  lazy val gnCommunitiesSql: Option[String] = {
+    val res = getClass.getResourceAsStream("/graft/gn_golden.txt")
+    if (res == null) None
+    else {
+      val lines = scala.io.Source.fromInputStream(res, "UTF-8")
+        .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .toSeq
+      // format: "G <n_edges> <xor>" opens a group; "R <community>
+      // <csize> <best_q>" rows belong to the open group
+      var fp: (String, String) = null
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines.foreach { l =>
+        val p = l.split("\\s+")
+        p(0) match {
+          case "G" => fp = (p(1), p(2))
+          case "R" =>
+            rows += s"(CAST(${fp._1} AS BIGINT), CAST(${fp._2} AS BIGINT), " +
+              s"CAST(${p(1)} AS BIGINT), CAST(${p(2)} AS BIGINT), " +
+              s"CAST(${p(3)} AS DOUBLE))"
+          case other =>
+            throw new IllegalStateException(s"gn_golden.txt: bad tag $other")
+        }
+      }
+      if (rows.isEmpty) None
+      else Some(
+        s"""WITH ${Graphs.edgesSql(Some(GnNations), GnThreshold)},
+           |fp AS (SELECT count(*) AS n, coalesce(bit_xor(
+           |    ${graft.functions.Hashing.h60Sql("concat_ws(',', src, dst)")}
+           |  ), 0) AS x FROM ed),
+           |golden(gn, gx, community, csize, best_q) AS (
+           |  VALUES ${rows.mkString(",\n    ")}),
+           |guard AS (
+           |  SELECT CASE WHEN NOT EXISTS (
+           |    SELECT 1 FROM golden g, fp WHERE g.gn = fp.n AND g.gx = fp.x)
+           |  THEN error('q38 oracle: no golden for this edge-set ' ||
+           |    'fingerprint — regenerate tools/gn_golden.py for this input')
+           |  ELSE 0 END AS ok FROM fp)
+           |SELECT g.community, g.csize, g.best_q
+           |FROM golden g, fp, guard
+           |WHERE g.gn = fp.n AND g.gx = fp.x
+           |ORDER BY g.csize DESC, g.community ASC""".stripMargin)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_betweenness" -> (betweennessTop _),
     "q38_gn_communities" -> (gnCommunitiesDf _))
 
-  /** q37 replays Brandes in unrolled SQL; q38's inner loop (repeated
-    * edge removal + recompute) stays rows-only — GraphSpec holds its
-    * golden assertions. */
-  val oracle: Map[String, String] = Map(
-    "q37_betweenness" -> betweennessTopSql)
+  /** q37 replays Brandes in unrolled SQL; q38 compares against the
+    * independently-generated golden partition (fingerprint-dispatched);
+    * GraphSpec additionally holds the loop's structural goldens. */
+  val oracle: Map[String, String] =
+    Map("q37_betweenness" -> betweennessTopSql) ++
+      gnCommunitiesSql.map("q38_gn_communities" -> _)
 }
