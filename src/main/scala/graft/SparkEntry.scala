@@ -9,7 +9,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Text.queries ++ ops.Pipeline.queries ++
       mining.SetSimilarity.queries ++ mining.VectorSimilarity.queries ++
-      mining.Son.queries ++ sketch.Sketches.queries ++ ops.Windows.queries ++
+      mining.Son.queries ++ mining.Recommend.queries ++
+      sketch.Sketches.queries ++ ops.Windows.queries ++
       graph.Graphs.queries ++ graph.GirvanNewman.queries ++
       cluster.KMeans.queries ++ cluster.Bfr.queries ++
       multimodal.Multimodal.queries
@@ -18,7 +19,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Text.oracle ++ ops.Pipeline.oracle ++
       mining.SetSimilarity.oracle ++ mining.VectorSimilarity.oracle ++
-      mining.Son.oracle ++ sketch.Sketches.oracle ++ ops.Windows.oracle ++
+      mining.Son.oracle ++ mining.Recommend.oracle ++
+      sketch.Sketches.oracle ++ ops.Windows.oracle ++
       graph.Graphs.oracle ++ graph.GirvanNewman.oracle ++
       cluster.KMeans.oracle ++ multimodal.Multimodal.oracle
 }

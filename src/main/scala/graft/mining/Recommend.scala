@@ -1,0 +1,161 @@
+package graft.mining
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Item-item collaborative-filtering recommendations — the recommender
+  * composition the reference's Assignment3 materials describe
+  * (`Assignment3/description(2).pdf` §4.2-4.3: build item similarity
+  * from the user-item matrix, score a user's candidates from their
+  * owned items' neighbors) over the co-purchase matrix this testdata
+  * actually has (customer × part via orders/lineitem). The classic
+  * MMDS ch.9 item-based CF: cosine over implicit binary interactions,
+  * sim(i, j) = |U_i ∩ U_j| / √(|U_i|·|U_j|).
+  *
+  * Scale shape, stage by stage (the 100 TB plan, tested at sf):
+  *  - the user-item matrix is corpus-sized; everything item-keyed after
+  *    it is DIMENSION-sized (items × top-M neighbors).
+  *  - power users are CAPPED out ([[UserItemCap]]) before the
+  *    co-occurrence self-join — the f² term is Σ_u n_u², so one
+  *    scrape-everything account otherwise dominates the shuffle (the
+  *    same df-cap move as the q33 graph build, and standard CF practice:
+  *    an own-everything user carries no preference signal). The cap is
+  *    mirrored in the oracle.
+  *  - item-item cosine is EXACT and cross-engine bit-identical: the
+  *    co-count and both degrees are exact ints, products stay under
+  *    2^53, √ is IEEE-correctly-rounded in both engines, one division —
+  *    then pinned to 6 dp (floor-half-up, no slack needed).
+  *  - each item keeps only its top-[[NeighborTopM]] neighbors
+  *    (sim desc, id asc ties) — the neighbor table is items × M,
+  *    broadcast into the scoring join so the corpus-sized user-item
+  *    side never reshuffles. The per-item rank window partitions on
+  *    item with ≤ |items| rows (a dimension, never the corpus).
+  *  - scoring: owned items × their neighbor lists (≤ cap × M
+  *    candidates per user), minus already-owned (anti-join on the
+  *    natural (user, item) key), summed per (user, item). The sum
+  *    accumulates in engine order → the 1e-9-ulp-slack floor idiom at
+  *    4 dp on both sides. Top-[[RecK]] per user by (score desc, item
+  *    asc) — the window partition is one user's candidate set, ≤
+  *    cap × M rows by construction.
+  */
+object Recommend {
+
+  /** Max distinct items per user admitted to CF (power-user df cap —
+    * bites the top ~5% at sf0.01, which keeps the cap's oracle mirror
+    * honest rather than vacuous). */
+  val UserItemCap = 64
+  /** Minimum co-users before an item pair gets a similarity (c ≥ 2:
+    * singleton co-occurrence is noise and the pair count is the f²
+    * term). */
+  val CoMinUsers = 2
+  /** Neighbors kept per item (the item-sim table is items × this). */
+  val NeighborTopM = 20
+  /** Recommendations emitted per user. */
+  val RecK = 3
+
+  /** q87: top-[[RecK]] item recommendations per customer. */
+  def itemCf(s: SparkSession, d: String): DataFrame =
+    itemCfOn(
+      lineitem(s, d).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("i"))
+        .join(orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_custkey").as("u")), "ok")
+        .select(col("u"), col("i")),
+      UserItemCap, CoMinUsers, NeighborTopM, RecK)
+
+  /** Item-CF over any (u, i) interaction frame (need not be distinct —
+    * the matrix build dedups). */
+  def itemCfOn(interactions: DataFrame, cap: Int, coMin: Int,
+      topM: Int, k: Int): DataFrame = {
+    val ui0 = interactions.select(col("u"), col("i")).distinct()
+    val keptUsers = ui0.groupBy(col("u"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select(col("u"))
+    // checkpointed: feeds degrees, both self-join sides, candidate
+    // generation, and the ownership anti-join — five consumers
+    val ui = ui0.join(keptUsers, Seq("u"), "left_semi").localCheckpoint()
+    val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
+    val pairs = ui.select(col("u"), col("i").as("ia"))
+      .join(ui.select(col("u"), col("i").as("ib")), "u")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= coMin)
+    val sims = pairs
+      .join(broadcast(ideg.select(col("i").as("ia"),
+        col("deg").as("da"))), "ia")
+      .join(broadcast(ideg.select(col("i").as("ib"),
+        col("deg").as("db"))), "ib")
+      .withColumn("sim", floor(col("c").cast("double") /
+        sqrt(col("da").cast("double") * col("db")) * 1e6 + 0.5) / 1e6)
+      .select(col("ia"), col("ib"), col("sim"))
+    val sym = sims.unionByName(sims.select(col("ib").as("ia"),
+      col("ia").as("ib"), col("sim")))
+    val nw = Window.partitionBy(col("ia"))
+      .orderBy(col("sim").desc, col("ib").asc)
+    val nbr = sym.withColumn("rn", row_number().over(nw))
+      .filter(col("rn") <= topM)
+      .select(col("ia").as("i"), col("ib").as("j"), col("sim"))
+    val cand = ui
+      .join(broadcast(nbr), "i") // neighbor table is items × M: broadcast
+      .select(col("u"), col("j"), col("sim"))
+      .join(ui.select(col("u"), col("i").as("j")),
+        Seq("u", "j"), "left_anti") // drop already-owned
+    val sc = cand.groupBy(col("u"), col("j"))
+      .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
+    val rw = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("j").asc)
+    sc.withColumn("rec_rank", row_number().over(rw).cast("long"))
+      .filter(col("rec_rank") <= k)
+      .select(col("u").as("custkey"), col("rec_rank"),
+        col("j").as("item"), col("score"))
+      .orderBy(col("custkey"), col("rec_rank"))
+  }
+
+  val itemCfSql: String =
+    s"""WITH ui0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+       |             FROM lineitem
+       |             JOIN orders ON l_orderkey = o_orderkey),
+       |ku AS (SELECT u FROM ui0 GROUP BY u
+       |       HAVING count(*) <= $UserItemCap),
+       |ui AS (SELECT ui0.u, ui0.i FROM ui0 JOIN ku ON ku.u = ui0.u),
+       |ideg AS (SELECT i, count(*) AS deg FROM ui GROUP BY 1),
+       |pr AS (SELECT a.i AS ia, b.i AS ib, count(*) AS c
+       |       FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+       |       GROUP BY 1, 2 HAVING count(*) >= $CoMinUsers),
+       |sims AS (SELECT ia, ib,
+       |    floor(CAST(c AS DOUBLE) /
+       |      sqrt(CAST(da.deg AS DOUBLE) * db.deg) * 1e6 + 0.5) / 1e6
+       |      AS sim
+       |  FROM pr
+       |  JOIN ideg da ON da.i = pr.ia
+       |  JOIN ideg db ON db.i = pr.ib),
+       |sym AS (SELECT ia, ib, sim FROM sims
+       |        UNION ALL SELECT ib, ia, sim FROM sims),
+       |nbr AS (SELECT ia AS i, ib AS j, sim FROM (
+       |    SELECT ia, ib, sim,
+       |      row_number() OVER (PARTITION BY ia
+       |        ORDER BY sim DESC, ib ASC) AS rn
+       |    FROM sym) t
+       |  WHERE rn <= $NeighborTopM),
+       |cand AS (SELECT ui.u, nbr.j, nbr.sim
+       |         FROM ui JOIN nbr ON nbr.i = ui.i
+       |         WHERE NOT EXISTS (SELECT 1 FROM ui o
+       |                           WHERE o.u = ui.u AND o.i = nbr.j)),
+       |sc AS (SELECT u, j AS item,
+       |         floor(sum(sim) * 1e4 + 0.5 + 1e-9) / 1e4 AS score
+       |       FROM cand GROUP BY 1, 2)
+       |SELECT custkey, rec_rank, item, score FROM (
+       |  SELECT u AS custkey, item, score,
+       |    CAST(row_number() OVER (PARTITION BY u
+       |      ORDER BY score DESC, item ASC) AS BIGINT) AS rec_rank
+       |  FROM sc) r
+       |WHERE rec_rank <= $RecK
+       |ORDER BY custkey, rec_rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_item_cf" -> (itemCf _))
+
+  val oracle: Map[String, String] = Map(
+    "q87_item_cf" -> itemCfSql)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.mining.Recommend
+
+/** Hand-computed goldens for the item-CF composition (q87) on a
+  * planted interaction matrix — the cosine arithmetic, the coMin
+  * pair filter, the ownership anti-join, and the power-user cap. */
+class RecommendSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ui(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("u", "i")
+  }
+
+  test("item-CF recommends the co-purchased neighbor, skips owned") {
+    // users 1,2 own {10,20}; user 3 owns {10,30}.
+    // deg: 10→3, 20→2, 30→1. Only (10,20) passes coMin=2:
+    // sim = 2/√(3·2) = 0.816497 (6 dp). User 3 gets item 20 via its
+    // owned 10; users 1,2 own both ends → no candidates.
+    val recs = Recommend.itemCfOn(
+        ui(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L,
+          3L -> 10L, 3L -> 30L),
+        cap = 64, coMin = 2, topM = 20, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(recs.toSeq == Seq((3L, 1L, 20L, 0.8165)))
+  }
+
+  test("scores sum across multiple owned neighbors") {
+    // user 4 owns {10, 20}; both co-occur with 30 (c=2 each, via users
+    // 1,2,3 owning {10,20,30}): score(30 for 4) = sim(10,30)+sim(20,30)
+    val m = ui(
+      1L -> 10L, 1L -> 20L, 1L -> 30L,
+      2L -> 10L, 2L -> 20L, 2L -> 30L,
+      3L -> 10L, 3L -> 20L, 3L -> 30L,
+      4L -> 10L, 4L -> 20L)
+    // deg: 10→4, 20→4, 30→3; sim(10,30)=3/√12=0.866025=sim(20,30)
+    val recs = Recommend.itemCfOn(m, 64, 2, 20, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val u4 = recs.filter(_._1 == 4L)
+    assert(u4 == Seq((4L, 1L, 30L, 1.7321)), s"got $u4")
+  }
+
+  test("power-user cap removes capped users from matrix and scoring") {
+    // cap=2: user 1 (3 items) is excluded everywhere — with only
+    // users 2,3 left no pair reaches coMin=2 co-users
+    val m = ui(1L -> 10L, 1L -> 20L, 1L -> 30L,
+      2L -> 10L, 2L -> 20L, 3L -> 10L, 3L -> 30L)
+    val capped = Recommend.itemCfOn(m, 2, 2, 20, 3).collect()
+    assert(capped.isEmpty)
+    // without the cap, pairs form and recommendations flow
+    val uncapped = Recommend.itemCfOn(m, 64, 2, 20, 3).collect()
+    assert(uncapped.nonEmpty)
+  }
+}
