@@ -89,6 +89,9 @@ object Recommend {
       .withColumn("sim", floor(col("c").cast("double") /
         sqrt(col("da").cast("double") * col("db")) * 1e6 + 0.5) / 1e6)
       .select(col("ia"), col("ib"), col("sim"))
+      // checkpointed: BOTH symmetrization arms read it — without this
+      // the whole f² pair build runs twice (it doubled q87's bench)
+      .localCheckpoint()
     val sym = sims.unionByName(sims.select(col("ib").as("ia"),
       col("ia").as("ib"), col("sim")))
     val nw = Window.partitionBy(col("ia"))
@@ -96,13 +99,20 @@ object Recommend {
     val nbr = sym.withColumn("rn", row_number().over(nw))
       .filter(col("rn") <= topM)
       .select(col("ia").as("i"), col("ib").as("j"), col("sim"))
-    val cand = ui
+    // score first, THEN drop owned: the (u, j) aggregate and the
+    // ownership anti-join share one hash partitioning, and the
+    // anti-join sorts the AGGREGATED candidate set instead of the raw
+    // cap×M-per-user candidate stream (owned items are ≤ cap of ≤
+    // cap×M candidates, so the wasted partial-agg work is ~5% while
+    // the shuffle+sort volume drops ~2×). Shuffle anti-join, not a
+    // broadcast: the user-item matrix is corpus-sized at 100 TB.
+    val sc = ui
       .join(broadcast(nbr), "i") // neighbor table is items × M: broadcast
       .select(col("u"), col("j"), col("sim"))
+      .groupBy(col("u"), col("j"))
+      .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
       .join(ui.select(col("u"), col("i").as("j")),
         Seq("u", "j"), "left_anti") // drop already-owned
-    val sc = cand.groupBy(col("u"), col("j"))
-      .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
     val rw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("j").asc)
     sc.withColumn("rec_rank", row_number().over(rw).cast("long"))
