@@ -65,16 +65,20 @@ object Recommend {
         .select(col("u"), col("i")),
       UserItemCap, CoMinUsers, NeighborTopM, RecK)
 
-  /** Item-CF over any (u, i) interaction frame (need not be distinct —
-    * the matrix build dedups). */
-  def itemCfOn(interactions: DataFrame, cap: Int, coMin: Int,
-      topM: Int, k: Int): DataFrame = {
+  /** The deduped, power-user-capped user-item matrix — checkpointed
+    * because every downstream stage reads it (degrees, both self-join
+    * sides, candidate generation, the ownership anti-join). */
+  private def uiMatrix(interactions: DataFrame, cap: Int): DataFrame = {
     val ui0 = interactions.select(col("u"), col("i")).distinct()
     val keptUsers = ui0.groupBy(col("u"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select(col("u"))
-    // checkpointed: feeds degrees, both self-join sides, candidate
-    // generation, and the ownership anti-join — five consumers
-    val ui = ui0.join(keptUsers, Seq("u"), "left_semi").localCheckpoint()
+    ui0.join(keptUsers, Seq("u"), "left_semi").localCheckpoint()
+  }
+
+  /** The item-similarity index: top-`topM` cosine neighbors per item
+    * as (i, j, sim) — the static artifact the batch recommender (q87)
+    * and the ingest-time path ([[recsForInteractions]]) both consume. */
+  def neighborTable(ui: DataFrame, coMin: Int, topM: Int): DataFrame = {
     val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
     val pairs = ui.select(col("u"), col("i").as("ia"))
       .join(ui.select(col("u"), col("i").as("ib")), "u")
@@ -96,9 +100,17 @@ object Recommend {
       col("ia").as("ib"), col("sim")))
     val nw = Window.partitionBy(col("ia"))
       .orderBy(col("sim").desc, col("ib").asc)
-    val nbr = sym.withColumn("rn", row_number().over(nw))
+    sym.withColumn("rn", row_number().over(nw))
       .filter(col("rn") <= topM)
       .select(col("ia").as("i"), col("ib").as("j"), col("sim"))
+  }
+
+  /** Item-CF over any (u, i) interaction frame (need not be distinct —
+    * the matrix build dedups). */
+  def itemCfOn(interactions: DataFrame, cap: Int, coMin: Int,
+      topM: Int, k: Int): DataFrame = {
+    val ui = uiMatrix(interactions, cap)
+    val nbr = neighborTable(ui, coMin, topM)
     // score first, THEN drop owned: the (u, j) aggregate and the
     // ownership anti-join share one hash partitioning, and the
     // anti-join sorts the AGGREGATED candidate set instead of the raw
@@ -120,6 +132,28 @@ object Recommend {
       .select(col("u").as("custkey"), col("rec_rank"),
         col("j").as("item"), col("score"))
       .orderBy(col("custkey"), col("rec_rank"))
+  }
+
+  /** Ingest-time recommendations — the streaming shape of q87: for
+    * each incoming interaction (u, i[, ts]), emit item i's top
+    * neighbors as ranked candidates ("customers who bought this also
+    * bought"), the production event-path recommender. STATELESS by
+    * construction: the neighbor table is a STATIC precomputed index
+    * (the periodic batch q87 build), so the stream side is one
+    * map-side broadcast join + projection — no stream state, no
+    * shuffle, no watermark needed. Ownership filtering belongs where
+    * user state lives (the batch job does it exactly); the event path
+    * trades that for zero-state latency, the same split as
+    * [[SetSimilarity.screenAgainstIndex]] vs batch q58. `incoming`
+    * may be a stream or a batch frame (parity-tested). */
+  def recsForInteractions(incoming: DataFrame, nbr: DataFrame)
+  : DataFrame = {
+    val extra = incoming.columns.filter(c => c != "u" && c != "i")
+      .map(col).toSeq
+    incoming
+      .join(broadcast(nbr), "i")
+      .select(Seq(col("u"), col("i"),
+        col("j").as("rec_item"), col("sim")) ++ extra: _*)
   }
 
   val itemCfSql: String =

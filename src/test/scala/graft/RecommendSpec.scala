@@ -44,6 +44,38 @@ class RecommendSpec extends AnyFunSuite {
     assert(u4 == Seq((4L, 1L, 30L, 1.7321)), s"got $u4")
   }
 
+  test("ingest-time recs are stateless on a stream and match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static neighbor index from the co-purchase history
+    val hist = ui(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L,
+      3L -> 10L, 3L -> 30L)
+    val nbr = Recommend.neighborTable(
+      hist.localCheckpoint(), coMin = 2, topM = 20).localCheckpoint()
+    // batch path
+    val batchIn = Seq((9L, 10L), (9L, 99L)).toDF("u", "i")
+    val batchOut = Recommend.recsForInteractions(batchIn, nbr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // item 10's only neighbor is 20; unknown item 99 emits nothing
+    assert(batchOut.toSeq == Seq((9L, 10L, 20L)))
+    // stream path: same operator, memory source, zero state operators
+    val mem = MemoryStream[(Long, Long)]
+    val q = Recommend.recsForInteractions(
+        mem.toDF().toDF("u", "i"), nbr)
+      .writeStream.format("memory").queryName("recs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, 10L), (9L, 99L))
+      q.processAllAvailable()
+      val got = spark.table("recs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == batchOut.toSeq)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ingest-time recommendation stream must carry no state operator")
+    } finally q.stop()
+  }
+
   test("power-user cap removes capped users from matrix and scoring") {
     // cap=2: user 1 (3 items) is excluded everywhere — with only
     // users 2,3 left no pair reaches coMin=2 co-users
