@@ -273,6 +273,97 @@ object VectorSimilarity {
        |SELECT vec_a, vec_b, round(cos, 6) AS cos
        |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Cosine threshold for SemDeDup — set at this corpus's own
+    * similarity scale (pairwise max ≈ 0.5, same rationale as q45's
+    * [[NearDupCos]]) so the keep/drop policy is exercised, not
+    * vacuous. */
+  val SemDedupCos = 0.4
+
+  /** q89: SemDeDup — semantic deduplication via cluster-then-pairwise
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): coarse-quantize the embedding
+    * space with k-means, compute exact pairwise cosine ONLY within a
+    * cluster, and keep one representative per near-duplicate
+    * neighborhood. The quantizer here is the q39 assignment kernel
+    * (one Lloyd step from the deterministic min-id init) — SemDeDup
+    * needs buckets, not a converged clustering, and the one-step form
+    * is what the SQL oracle can replay exactly. Keep policy: a vector
+    * is dropped iff a SAME-CLUSTER vector with a smaller id is within
+    * the threshold (the paper's keep-one-per-neighborhood with
+    * id-order determinism; transitive-closure grouping is q65's job,
+    * over text).
+    *
+    * Scale: the paper's k grows with the corpus so clusters stay
+    * bounded (they run k ≈ 10⁵ on LAION); the pairwise stage is
+    * Σ(cluster size)², never n². The self-join carries the vector
+    * payload INTO the join task — shuffle volume is 2× the corpus
+    * (cluster-keyed), and the (n/k)² candidate rows are generated and
+    * cosine-filtered inside the stage without ever being shuffled
+    * (ids-only would add two pair-keyed lookup shuffles for nothing:
+    * unlike q24's banded LSH there is no cross-table duplicate
+    * fan-out for a distinct() to collapse). */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOn(graft.cluster.KMeans.points(s, d),
+      graft.cluster.KMeans.K, SemDedupCos)
+
+  /** q89 over an arbitrary (vec_id, vd) frame: seeds are the k
+    * smallest vec_ids (the q39 init). */
+  def semDedupOn(ptsIn: DataFrame, k: Int, threshold: Double)
+  : DataFrame = {
+    val pts = ptsIn.localCheckpoint() // seed collect + assignment input
+    val cents = pts.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val asg = graft.cluster.KMeans.withAssign(pts, cents, "a")
+      .select(col("vec_id"), col("a.cid").cast("long").as("cluster"),
+        col("vd"))
+      .withColumn("nrm", expr("sqrt(graft_dot(vd, vd))"))
+      .localCheckpoint() // both pair-join sides + the verdict join
+    val pairs = asg.select(col("cluster"), col("vec_id").as("va"),
+        col("vd").as("xa"), col("nrm").as("na"))
+      .join(asg.select(col("cluster"), col("vec_id").as("vb"),
+        col("vd").as("xb"), col("nrm").as("nb")), Seq("cluster"))
+      .filter(col("va") < col("vb") &&
+        expr("graft_dot(xa, xb)") / (col("na") * col("nb"))
+          >= threshold)
+    val drops = pairs.select(col("vb").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    asg.join(drops, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        col("dropped").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupSql: String = {
+    val k = graft.cluster.KMeans.K
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, $vdSql AS vd FROM embeddings),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id AS cid, vd AS cv FROM e WHERE vec_id < $k),
+       |dist AS (SELECT e.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, $Dim),
+       |      i -> (e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i]))) AS dist2
+       |  FROM e CROSS JOIN c),
+       |a AS (SELECT vec_id, cid, row_number() OVER
+       |        (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+       |      FROM dist),
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(a.cid AS BIGINT) AS cluster, e.vd,
+       |    sqrt(list_sum(list_transform(e.vd, x -> x * x))) AS nrm
+       |  FROM e JOIN a ON a.vec_id = e.vec_id AND a.rn = 1),
+       |p AS (SELECT x.vec_id AS va, y.vec_id AS vb
+       |      FROM asg x JOIN asg y
+       |        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |      WHERE list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> x.vd[i] * y.vd[i])) / (x.nrm * y.nrm)
+       |        >= $SemDedupCos),
+       |drops AS (SELECT DISTINCT vb FROM p)
+       |SELECT asg.vec_id, asg.cluster, (drops.vb IS NULL) AS keep
+       |FROM asg LEFT JOIN drops ON drops.vb = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- IVF
   /** IVF (inverted-file) ANN — the other standard scale path: a coarse
     * quantizer (K-Means centroids) partitions the corpus into nlist

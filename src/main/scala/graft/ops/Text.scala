@@ -669,7 +669,100 @@ object Text {
        |FROM g JOIN d USING (gram)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q88: LM-based quality scoring — the CCNet shape (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): train a language model on a trusted high-quality
+    * slice, score EVERY document's fluency against it, flag the worst
+    * quartile. Here the LM is the corpus bigram model restricted to
+    * documents the q18 heuristic keeps (quality ≥ 0.5) — the same
+    * "reference-domain LM" role Wikipedia plays in CCNet — and the
+    * score is the average conditional log-probability ln P(w2|w1)
+    * over the document's bigrams, plus the fraction of its bigrams
+    * the LM has never seen (the OOV signal the avg can't carry
+    * because unseen bigrams have no finite log-prob).
+    *
+    * Scale: the LM is distinct-bigram-sized (vocabulary², shrinks
+    * relative to the corpus); the scoring join shuffles on bigram
+    * keys (NOT broadcast — a web-scale LM table outgrows an
+    * executor); the per-doc aggregate is doc-keyed. The quartile
+    * boundary rides Spark's exact `percentile` over lp_u6, an
+    * INTEGER-valued micro-log-prob — its state is one entry per
+    * distinct value, bounded by the 1e-6 grid times |ln p_min| ≈
+    * ln(corpus bigrams) (a few 1e7 at 100 TB — grid-bounded,
+    * corpus-independent), and dyadic interpolation over integers is
+    * bit-exact in both engines (the q81 idiom). Parity: ln of the
+    * identical c/total double may differ by an ulp across libms, but
+    * a finite nonzero sum of logs of rationals is never within 1e-9
+    * of a rounding boundary (the only exact case, all-ln(1) = 0, is
+    * exact in both), so the slack floor absorbs it. */
+  def lmQuality(s: SparkSession, d: String): DataFrame =
+    lmQualityOn(documents(s, d))
+
+  /** q88 over a caller-supplied (doc_id, text) corpus. Documents with
+    * fewer than 2 tokens have no bigrams and are excluded (both
+    * engines, same as q82's no-gram exclusion). */
+  def lmQualityOn(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(ngramExpr("toks", 2))).as("g"))
+      .select(col("doc_id"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .localCheckpoint() // the LM build AND the scoring join read it
+    val hq = docQualityOn(docs).filter(col("keep")).select(col("doc_id"))
+    val lmc = bg.join(hq, Seq("doc_id"), "left_semi")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // the context totals AND the logp join read it
+    val tot = lmc.groupBy(col("w1")).agg(sum(col("c")).as("total"))
+    val lm = lmc.join(tot, "w1")
+      .select(col("w1"), col("w2"),
+        log(col("c").cast("double") / col("total")).as("logp"))
+    val sc = bg.join(lm, Seq("w1", "w2"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("logp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        floor(avg(col("logp")) * 1e6 + 0.5 + 1e-9).as("lp_u6"))
+      .localCheckpoint() // the quartile agg AND the final flag read it
+    val p = sc.agg(expr("percentile(lp_u6, 0.25D)").as("p25"))
+    sc.crossJoin(broadcast(p)) // 1-row boundary frame
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_bigrams") * 1e4
+          + 0.5) / 1e4).as("oov_rate"),
+        (col("lp_u6") / 1e6).as("avg_logp"),
+        // all-OOV docs have no finite avg_logp — worst quality, flag
+        coalesce(col("lp_u6") < col("p25"), lit(true)).as("low_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+       |bg AS (SELECT doc_id, string_split(g, ' ')[1] AS w1,
+       |         string_split(g, ' ')[2] AS w2
+       |       FROM (SELECT doc_id, unnest(${ngramSqlExpr("toks", 2)}) AS g
+       |             FROM t)),
+       |hq AS (SELECT doc_id FROM ($docQualitySql) WHERE keep),
+       |lmc AS (SELECT w1, w2, count(*) AS c
+       |        FROM bg JOIN hq USING (doc_id) GROUP BY 1, 2),
+       |tot AS (SELECT w1, CAST(sum(c) AS BIGINT) AS total
+       |        FROM lmc GROUP BY 1),
+       |lm AS (SELECT w1, w2, ln(CAST(c AS DOUBLE) / total) AS logp
+       |       FROM lmc JOIN tot USING (w1)),
+       |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(CASE WHEN lm.logp IS NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_oov,
+       |         floor(avg(lm.logp) * 1e6 + 0.5 + 1e-9) AS lp_u6
+       |       FROM bg LEFT JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+       |       GROUP BY 1),
+       |p AS (SELECT quantile_cont(lp_u6, 0.25) AS p25 FROM sc)
+       |SELECT doc_id, n_bigrams, n_oov,
+       |  floor(CAST(n_oov AS DOUBLE) / n_bigrams * 1e4 + 0.5) / 1e4
+       |    AS oov_rate,
+       |  lp_u6 / 1e6 AS avg_logp,
+       |  coalesce(lp_u6 < (SELECT p25 FROM p), true) AS low_q
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_lm_quality" -> (lmQuality _),
     "q71_bigram_lm" -> (bigramLm _),
     "q72_inverted_index" -> (invertedIndex _),
     "q82_novelty" -> (novelty _),
@@ -683,6 +776,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q88_lm_quality" -> lmQualitySql,
     "q71_bigram_lm" -> bigramLmSql,
     "q72_inverted_index" -> invertedIndexSql,
     "q82_novelty" -> noveltySql,

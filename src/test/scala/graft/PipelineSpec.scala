@@ -211,6 +211,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("lmQualityOn matches the hand-computed bigram LM scores") {
+    import spark.implicits._
+    // keep-docs (stopword-heavy → quality ≥ 0.5): A, C, D; junk doc B
+    // (no stopwords → quality 0.05) stays OUT of the LM slice
+    val docs = Seq(
+      1L -> "the a the a the", // bigrams (the,a)×2 (a,the)×2
+      2L -> "zz qq zz qq",     // all bigrams OOV to the LM
+      3L -> "a the a",         // (a,the) (the,a)
+      4L -> "the a the b"      // (the,a) (a,the) (the,b)
+    ).toDF("doc_id", "text")
+    // LM counts: (the,a)=4 (a,the)=4 (the,b)=1; totals the=5, a=4
+    val lnPaGivenThe = math.log(4.0 / 5)
+    val lnPbGivenThe = math.log(1.0 / 5)
+    def u6(x: Double) = math.floor(x * 1e6 + 0.5 + 1e-9)
+    val expA = u6(lnPaGivenThe * 2 / 4) / 1e6
+    val expC = u6(lnPaGivenThe / 2) / 1e6
+    val expD = u6((lnPaGivenThe + lnPbGivenThe) / 3) / 1e6
+    val got = Text.lmQualityOn(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))
+    }.toMap
+    assert(got(1L) == ((4L, 0L, 0.0, Some(expA), false)))
+    assert(got(2L) == ((3L, 3L, 1.0, None, true))) // all-OOV → flagged
+    assert(got(3L) == ((2L, 0L, 0.0, Some(expC), false)))
+    // p25 of lp_u6 {-111572, -111572, -610860} = -361216: only D is under
+    assert(got(4L) == ((3L, 0L, 0.0, Some(expD), true)))
+  }
+
   test("mixtureWeightsOn flattens shares at temperature 0.5") {
     import spark.implicits._
     // token counts 1 / 4 / 16 → √ = 1 / 2 / 4, denominator 7
@@ -279,6 +309,7 @@ class PipelineSpec extends AnyFunSuite {
     same(Pipeline.leakageSplitOn)
     same(Pipeline.lengthCurriculumOn)
     same(Text.noveltyOn)
+    same(Text.lmQualityOn)
     same(Pipeline.shardManifestOn(_, 60L))
     import spark.implicits._
     val srcd = Seq(
