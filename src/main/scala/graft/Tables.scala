@@ -20,10 +20,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects by default. Read it as nanos-since-epoch (legacy
-    * conf, runtime-settable) and convert to a microsecond TimestampType
-    * column — same value DuckDB sees at µs precision. */
+  /** `events.ts` arrives in whatever parquet timestamp flavor the data
+    * generator used — TIMESTAMP(NANOS) (older drops, which Spark's
+    * vectorized reader only accepts as nanos-since-epoch via the legacy
+    * nanosAsLong conf) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (current drops, which Spark reads as TIMESTAMP_NTZ). Normalize
+    * every flavor to a microsecond TimestampType column so downstream
+    * queries (`unix_micros`, windows, sessionization) see one type —
+    * the same µs values DuckDB sees. NTZ→LTZ is a reinterpretation
+    * under the UTC session timezone that Verify/Bench/tests all pin. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Prefer setting this at session build (Verify/Bench/tests do); kept
     // here as a defensive fallback for externally-created sessions. Same
@@ -34,15 +39,19 @@ object Tables {
         .contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // Integer `div`, not floor(x / 1000): Long `/` promotes to Double and
     // epoch-nanos (~1.7e18) exceed a double's 2^53 mantissa, so floor()
     // could round up by 1µs at day/year boundaries — diverging from
     // DuckDB's integer truncation (ADVICE r01).
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

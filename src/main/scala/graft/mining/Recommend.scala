@@ -156,6 +156,150 @@ object Recommend {
         col("j").as("rec_item"), col("sim")) ++ extra: _*)
   }
 
+  /** Stopword-feature cap: features present in more than 3/20 (15%) of
+    * the catalog are dropped — a high-df feature partitions the catalog
+    * into huge buckets and carries almost no preference signal, and it
+    * is the fanout term in the profile×feature scoring join (per-user
+    * candidate volume ≤ [[ProfileTopF]] × cap·N). Expressed as the
+    * integer test `df*20 <= N*3` so both engines evaluate it exactly.
+    * Bites at every SF: drops 7/47 features at sf0.001, the 6
+    * catalog-sixth `type:` features at sf0.01. */
+  val FeatDfNum = 3
+  val FeatDfDen = 20
+  /** Features kept per user profile (by weight desc, feature asc) —
+    * truncated-profile cosine, the standard content-based move that
+    * bounds the scoring fanout independently of how many items a user
+    * owns. */
+  val ProfileTopF = 32
+
+  /** q89: top-[[RecK]] content-based recommendations per customer —
+    * the OTHER recommender the reference's Assignment3 materials
+    * describe (`Assignment3/description(2).pdf` §4.2: item content
+    * profiles + user profiles aggregated from owned items, cosine
+    * scoring), complementing q87's collaborative filter. Item content
+    * here is the part catalog's own attributes: name tokens, brand,
+    * type.
+    *
+    * Scale shape: the item-feature table is CATALOG-sized (≤5 features
+    * per item) → broadcast into both the profile build and the scoring
+    * join, so the corpus-sized user-item matrix never reshuffles on a
+    * hot feature key. Profiles are corpus-keyed but ≤[[ProfileTopF]]
+    * rows per user; un² and the dot product are exact integer sums
+    * (order-independent — no ulp slack needed), one √ of an exact
+    * sub-2^53 product, one division, floored to 6 dp on both sides. */
+  def contentRec(s: SparkSession, d: String): DataFrame =
+    contentRecOn(
+      lineitem(s, d).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("i"))
+        .join(orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_custkey").as("u")), "ok")
+        .select(col("u"), col("i")),
+      part(s, d), UserItemCap, ProfileTopF, RecK)
+
+  /** Content-based rec over any (u, i) interaction frame and any
+    * catalog frame with (p_partkey, p_name, p_brand, p_type). */
+  def contentRecOn(interactions: DataFrame, p: DataFrame, cap: Int,
+      profTopF: Int, k: Int): DataFrame = {
+    val ui = uiMatrix(interactions, cap)
+    // item-feature pairs: name tokens + brand + type, then the df cap.
+    val feats0 = p.select(col("p_partkey").as("i"),
+        explode(split(col("p_name"), " ")).as("tok"))
+      .select(col("i"), concat(lit("tok:"), col("tok")).as("f"))
+      .unionByName(p.select(col("p_partkey").as("i"),
+        concat(lit("type:"), col("p_type")).as("f")))
+      .unionByName(p.select(col("p_partkey").as("i"),
+        concat(lit("brand:"), col("p_brand")).as("f")))
+    val nParts = p.select(count(lit(1)).as("n"))
+    val dfTab = feats0.groupBy(col("f")).agg(count(lit(1)).as("df"))
+    val feats = feats0
+      .join(broadcast(dfTab), "f")
+      .crossJoin(broadcast(nParts))
+      .filter(col("df") * FeatDfDen <= col("n") * FeatDfNum)
+      .select(col("i"), col("f"))
+      // catalog-sized; read by nf, the profile build, and the scoring
+      // join — checkpoint so the df-cap subtree runs once.
+      .localCheckpoint()
+    val nf = feats.groupBy(col("i")).agg(count(lit(1)).as("nf"))
+    // user profile: weight = #owned items carrying the feature, then
+    // keep the top-F features (w desc, f asc). The window partitions on
+    // one user's features — ≤ UserItemCap×5 rows by construction.
+    val prof0 = ui.join(broadcast(feats), "i")
+      .groupBy(col("u"), col("f")).agg(count(lit(1)).as("w"))
+    val pw = Window.partitionBy(col("u"))
+      .orderBy(col("w").desc, col("f").asc)
+    val prof = prof0.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= profTopF)
+      .select(col("u"), col("f"), col("w"))
+      .localCheckpoint() // read by un2 AND the scoring join
+    val un2 = prof.groupBy(col("u")).agg(sum(col("w") * col("w")).as("un2"))
+    // score = dot / √(un²·nf): dot is an exact integer sum, the norm
+    // product is an exact long (< 2^53) — cross-engine bit-identical.
+    val sc = prof
+      .join(broadcast(feats.select(col("f"), col("i").as("cand"))), "f")
+      .groupBy(col("u"), col("cand")).agg(sum(col("w")).as("dot"))
+      .join(ui.select(col("u"), col("i").as("cand")),
+        Seq("u", "cand"), "left_anti") // drop already-owned
+      .join(broadcast(nf.select(col("i").as("cand"), col("nf"))), "cand")
+      .join(un2, "u")
+      .withColumn("score", floor(col("dot").cast("double") /
+        sqrt((col("un2") * col("nf")).cast("double")) * 1e6 + 0.5) / 1e6)
+    val rw = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("cand").asc)
+    sc.withColumn("rec_rank", row_number().over(rw).cast("long"))
+      .filter(col("rec_rank") <= k)
+      .select(col("u").as("custkey"), col("rec_rank"),
+        col("cand").as("item"), col("score"))
+      .orderBy(col("custkey"), col("rec_rank"))
+  }
+
+  val contentRecSql: String =
+    s"""WITH ui0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+       |             FROM lineitem
+       |             JOIN orders ON l_orderkey = o_orderkey),
+       |ku AS (SELECT u FROM ui0 GROUP BY u
+       |       HAVING count(*) <= $UserItemCap),
+       |ui AS (SELECT ui0.u, ui0.i FROM ui0 JOIN ku ON ku.u = ui0.u),
+       |np AS (SELECT count(*) AS n FROM part),
+       |f0 AS (
+       |  SELECT p_partkey AS i, 'tok:' || tok AS f FROM (
+       |    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+       |    FROM part)
+       |  UNION ALL SELECT p_partkey, 'type:' || p_type FROM part
+       |  UNION ALL SELECT p_partkey, 'brand:' || p_brand FROM part),
+       |dft AS (SELECT f, count(*) AS df FROM f0 GROUP BY 1),
+       |feats AS (SELECT f0.i, f0.f FROM f0
+       |          JOIN dft ON dft.f = f0.f, np
+       |          WHERE dft.df * $FeatDfDen <= np.n * $FeatDfNum),
+       |nf AS (SELECT i, count(*) AS nf FROM feats GROUP BY 1),
+       |prof0 AS (SELECT u, f, count(*) AS w
+       |          FROM ui JOIN feats ON feats.i = ui.i GROUP BY 1, 2),
+       |prof AS (SELECT u, f, w FROM (
+       |    SELECT u, f, w, row_number() OVER (PARTITION BY u
+       |      ORDER BY w DESC, f ASC) AS rn FROM prof0) t
+       |  WHERE rn <= $ProfileTopF),
+       |un2 AS (SELECT u, CAST(sum(w * w) AS BIGINT) AS un2
+       |        FROM prof GROUP BY 1),
+       |dot AS (SELECT prof.u, feats.i AS cand,
+       |          CAST(sum(prof.w) AS BIGINT) AS dot
+       |        FROM prof JOIN feats ON feats.f = prof.f
+       |        GROUP BY 1, 2),
+       |sc AS (SELECT dot.u, dot.cand,
+       |         floor(CAST(dot.dot AS DOUBLE) /
+       |           sqrt(CAST(un2.un2 * nf.nf AS DOUBLE)) * 1e6 + 0.5)
+       |           / 1e6 AS score
+       |       FROM dot
+       |       JOIN nf ON nf.i = dot.cand
+       |       JOIN un2 ON un2.u = dot.u
+       |       WHERE NOT EXISTS (SELECT 1 FROM ui o
+       |                         WHERE o.u = dot.u AND o.i = dot.cand))
+       |SELECT custkey, rec_rank, item, score FROM (
+       |  SELECT u AS custkey, cand AS item, score,
+       |    CAST(row_number() OVER (PARTITION BY u
+       |      ORDER BY score DESC, cand ASC) AS BIGINT) AS rec_rank
+       |  FROM sc) r
+       |WHERE rec_rank <= $RecK
+       |ORDER BY custkey, rec_rank""".stripMargin
+
   val itemCfSql: String =
     s"""WITH ui0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
        |             FROM lineitem
@@ -198,8 +342,10 @@ object Recommend {
        |ORDER BY custkey, rec_rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q87_item_cf" -> (itemCf _))
+    "q87_item_cf" -> (itemCf _),
+    "q89_content_rec" -> (contentRec _))
 
   val oracle: Map[String, String] = Map(
-    "q87_item_cf" -> itemCfSql)
+    "q87_item_cf" -> itemCfSql,
+    "q89_content_rec" -> contentRecSql)
 }

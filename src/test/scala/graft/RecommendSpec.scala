@@ -76,6 +76,31 @@ class RecommendSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("content-based rec: cosine over df-capped features, hand golden") {
+    import spark.implicits._
+    // catalog of 20: parts 1-17 share name "common widget" and type T
+    // (tok df 17, type df 20 — both over the 15% cap, dropped); parts
+    // 18-20 are "rare gem" (tok df 3 = exactly the 0.15·20 cap edge,
+    // kept); every brand is unique (df 1, kept).
+    val parts = ((1 to 17).map(i => (i.toLong, "common widget",
+        s"B$i", "T")) ++
+      (18 to 20).map(i => (i.toLong, "rare gem", s"B$i", "T")))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    // u1 owns {18,19}: profile rare:2 gem:2 B18:1 B19:1, un²=10.
+    //   candidate 20 via rare+gem: dot=4, nf(20)=3 → 4/√30 = 0.730297
+    // u2 owns {1,2}: every surviving feature is a unique brand → all
+    //   candidates are owned → nothing recommended (the cap at work).
+    // u3 owns {20}: 18 and 19 tie at 2/√(3·3) = 0.666667, item-asc.
+    val recs = Recommend.contentRecOn(
+        ui(1L -> 18L, 1L -> 19L, 2L -> 1L, 2L -> 2L, 3L -> 20L),
+        parts, cap = 64, profTopF = 32, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(recs == Seq(
+      (1L, 1L, 20L, 0.730297),
+      (3L, 1L, 18L, 0.666667), (3L, 2L, 19L, 0.666667)), s"got $recs")
+  }
+
   test("power-user cap removes capped users from matrix and scoring") {
     // cap=2: user 1 (3 items) is excluded everywhere — with only
     // users 2,3 left no pair reaches coMin=2 co-users
