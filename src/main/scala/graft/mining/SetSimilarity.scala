@@ -605,6 +605,68 @@ object SetSimilarity {
       .orderBy(col("doc_a"), col("dup_of"))
   }
 
+  /** The delta slice q90 screens against the rest of the corpus — one
+    * source plays "today's crawl batch", the others the standing
+    * corpus. */
+  val DeltaSource = "src0"
+
+  /** q90: incremental ingest dedup — [[screenAgainstIndex]] as a
+    * registered, oracle-gated batch query. A production pipeline never
+    * re-runs the full n² self-join per ingest: it screens only the
+    * DELTA batch against the standing corpus index (delta × corpus
+    * candidates through the same banded LSH, never delta × delta or
+    * corpus × corpus). Here the delta is the [[DeltaSource]] slice of
+    * `documents` and the index is everything else, so the asymmetric
+    * join, the sig-agreement pre-filter, and the exact verify all run
+    * under the driver's hash gate (the streaming form of the same
+    * operator is parity-tested in SimilaritySpec). */
+  def deltaScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    screenAgainstIndex(
+      docs.filter(col("source") === DeltaSource)
+        .select(col("doc_id"), col("text")),
+      docs.filter(col("source") =!= DeltaSource)
+        .select(col("doc_id"), col("text")))
+  }
+
+  val deltaScreenSql: String = {
+    val bandCols = (1 to ShingleRows)
+      .map(r => s"CAST(sig[(i - 1) * $ShingleRows + $r] AS VARCHAR)")
+      .mkString(", ")
+    val keyExpr = Hashing.h60Sql(s"concat_ws(',', $bandCols)")
+    s"""WITH t0 AS (SELECT doc_id, source, $toksSqlExpr AS toks
+       |            FROM documents),
+       |t AS (SELECT * FROM (
+       |        SELECT doc_id, source, $shinglesSqlExpr AS ts FROM t0)
+       |      WHERE len(ts) > 0),
+       |x AS (SELECT doc_id, source,
+       |        list_transform(ts, t -> ${Hashing.h31Sql("t")}) AS xs
+       |      FROM t),
+       |sigs AS (SELECT doc_id, source, $sigListSql AS sig FROM x),
+       |bands AS (SELECT doc_id, source, sig, i, $keyExpr AS key
+       |          FROM sigs CROSS JOIN
+       |            (SELECT unnest(generate_series(1, $ShingleBands)) AS i) g),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS dup_of
+       |         FROM bands a JOIN bands b
+       |           ON a.i = b.i AND a.key = b.key
+       |             AND a.doc_id <> b.doc_id
+       |         WHERE a.source = '$DeltaSource'
+       |           AND b.source <> '$DeltaSource'
+       |           AND len(list_filter(generate_series(1, $NumHashes),
+       |             j -> a.sig[j] = b.sig[j])) >= $ShingleMinSigMatches),
+       |v AS (SELECT doc_a, dup_of,
+       |        len(list_intersect(a.ts, b.ts)) AS inter,
+       |        len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+       |          AS uni
+       |      FROM cand JOIN t a ON a.doc_id = doc_a
+       |                JOIN t b ON b.doc_id = dup_of)
+       |SELECT doc_a, dup_of,
+       |  floor(CAST(inter AS DOUBLE) / uni * 1e4 + 0.5) / 1e4 AS jaccard
+       |FROM v WHERE CAST(inter AS DOUBLE) / uni >= $ShingleTau
+       |ORDER BY doc_a, dup_of""".stripMargin
+  }
+
   val shingleNeardupSql: String = {
     val bandCols = (1 to ShingleRows)
       .map(r => s"CAST(sig[(i - 1) * $ShingleRows + $r] AS VARCHAR)")
@@ -644,7 +706,8 @@ object SetSimilarity {
     "q24_neardup_lsh" -> (neardupLsh _),
     "q25_simhash" -> (simhash _),
     "q43_minhash_native" -> (minhashSigNative _),
-    "q70_source_overlap" -> (sourceOverlap _))
+    "q70_source_overlap" -> (sourceOverlap _),
+    "q90_delta_screen" -> (deltaScreen _))
 
   val oracle: Map[String, String] = Map(
     "q58_shingle_neardup" -> shingleNeardupSql,
@@ -653,5 +716,6 @@ object SetSimilarity {
     "q23_minhash_sig" -> minhashSigSql,
     "q24_neardup_lsh" -> neardupLshSql,
     "q25_simhash" -> simhashSql,
-    "q43_minhash_native" -> minhashSigSql)
+    "q43_minhash_native" -> minhashSigSql,
+    "q90_delta_screen" -> deltaScreenSql)
 }
