@@ -406,6 +406,90 @@ object Graphs {
     pr.select(col("node"), col("pr")).orderBy(col("node"))
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Seeds for personalized PageRank — the top-K hub items (degree
+    * desc, node asc ties), picked deterministically inside the query
+    * so both engines derive the same set. */
+  val PprSeedK = 5
+
+  /** q91: personalized PageRank — teleport mass restricted to a seed
+    * set instead of uniform (1−d)/N: ppr'(v) = (1−d)·s(v) + d·Σ_{u→v}
+    * ppr(u)/deg(u), s = 1/|S| on seeds, 0 elsewhere. This is the
+    * graph-proximity "related items" recommender (random walks with
+    * restart from the items of interest), the production complement to
+    * q87's co-occurrence CF and q89's content profiles. Same scale and
+    * parity machinery as q63: edge-sized join + node-keyed sum per
+    * iteration, 6-dp FP sync per round, teleport constants evaluated
+    * as the identical IEEE double on both engines (the seed-count
+    * division mirrors q63's (1−d)/N precedent; zero-mass nodes add
+    * exact 0.0 terms, which cannot perturb either engine's sum). */
+  def personalizedPagerank(s: SparkSession, d: String): DataFrame =
+    pprOn(undirected(edges(s, d, Some(SubNations), SubThreshold))
+      .localCheckpoint())
+
+  /** q91 over a caller-supplied both-direction (src, dst) edge list
+    * with no dangling nodes. */
+  def pprOn(ue: DataFrame): DataFrame = {
+    val deg = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val seeds = deg.orderBy(col("deg").desc, col("node").asc)
+      .limit(PprSeedK).select(col("node"), lit(1).as("is_seed"))
+    val k = seeds.count() // ≤ PprSeedK rows — a scalar driver sync
+    val degS = deg
+      .join(broadcast(seeds), Seq("node"), "left_outer")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(0)))
+      .localCheckpoint() // read every iteration + the seed indicator
+    var pr = degS.withColumn("pr",
+      when(col("is_seed") === 1, lit(1.0 / k)).otherwise(lit(0.0)))
+    for (_ <- 1 to PrIters) {
+      val contrib = ue
+        .join(pr.select(col("node").as("src"), col("pr"), col("deg")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+      pr = degS.join(contrib, Seq("node"))
+        .withColumn("pr", round(
+          when(col("is_seed") === 1, lit((1 - PrDamping) / k))
+            .otherwise(lit(0.0)) + lit(PrDamping) * col("inflow"), 6))
+        .select(col("node"), col("deg"), col("is_seed"), col("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), col("is_seed").cast("long").as("is_seed"),
+        col("pr").as("ppr"))
+      .orderBy(col("node"))
+  }
+
+  val pprSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      val prev = s"p${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT d.node, d.deg, d.is_seed,
+         |    round(CASE WHEN d.is_seed = 1
+         |        THEN ${1 - PrDamping} / sc.k ELSE 0.0 END
+         |      + $PrDamping * i.inflow, 6) AS pr
+         |  FROM ds d
+         |  JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
+         |        FROM ue e JOIN $prev p ON p.node = e.src
+         |        GROUP BY 1) i ON i.node = d.node
+         |  CROSS JOIN sc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM ue GROUP BY 1),
+       |seeds AS (SELECT node FROM deg
+       |          ORDER BY deg DESC, node LIMIT $PprSeedK),
+       |sc AS (SELECT count(*) AS k FROM seeds),
+       |ds AS (SELECT d.node, d.deg,
+       |         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+       |       FROM deg d LEFT JOIN seeds s ON s.node = d.node),
+       |p0 AS (SELECT node, deg, is_seed,
+       |         CASE WHEN is_seed = 1
+       |           THEN CAST(1 AS DOUBLE) / sc.k ELSE 0.0 END AS pr
+       |       FROM ds CROSS JOIN sc),
+       |$iters
+       |SELECT node, CAST(is_seed AS BIGINT) AS is_seed, pr AS ppr
+       |FROM p$PrIters ORDER BY node""".stripMargin
+  }
+
   val pagerankSql: String = {
     val iters = (1 to PrIters).map { k =>
       val prev = s"p${k - 1}"
@@ -432,7 +516,8 @@ object Graphs {
     "q35_lpa" -> (lpa _),
     "q36_components" -> (components _),
     "q63_pagerank" -> (pagerank _),
-    "q64_components_star" -> (componentsStar _))
+    "q64_components_star" -> (componentsStar _),
+    "q91_ppr" -> (personalizedPagerank _))
 
   val oracle: Map[String, String] = Map(
     "q33_degree_hist" -> degreeHistSql,
@@ -440,5 +525,6 @@ object Graphs {
     "q35_lpa" -> lpaSql,
     "q36_components" -> componentsSql,
     "q64_components_star" -> componentsSql,
-    "q63_pagerank" -> pagerankSql)
+    "q63_pagerank" -> pagerankSql,
+    "q91_ppr" -> pprSql)
 }

@@ -156,16 +156,15 @@ object Recommend {
         col("j").as("rec_item"), col("sim")) ++ extra: _*)
   }
 
-  /** Stopword-feature cap: features present in more than 3/20 (15%) of
-    * the catalog are dropped — a high-df feature partitions the catalog
-    * into huge buckets and carries almost no preference signal, and it
-    * is the fanout term in the profile×feature scoring join (per-user
-    * candidate volume ≤ [[ProfileTopF]] × cap·N). Expressed as the
-    * integer test `df*20 <= N*3` so both engines evaluate it exactly.
-    * Bites at every SF: drops 7/47 features at sf0.001, the 6
-    * catalog-sixth `type:` features at sf0.01. */
-  val FeatDfNum = 3
-  val FeatDfDen = 20
+  /** Stopword-feature cap: features present in more than 1/10 of the
+    * catalog are dropped — a high-df feature partitions the catalog
+    * into huge buckets and carries almost no preference signal, and df
+    * is the fanout term of everything downstream. Expressed as the
+    * integer test `df*10 <= N*1` so both engines evaluate it exactly.
+    * Bites at every SF: the catalog-sixth `type:` features (df = N/6)
+    * are dropped everywhere, `name:`/`brand:` (df ≈ N/49, N/25) stay. */
+  val FeatDfNum = 1
+  val FeatDfDen = 10
   /** Features kept per user profile (by weight desc, feature asc) —
     * truncated-profile cosine, the standard content-based move that
     * bounds the scoring fanout independently of how many items a user
@@ -177,16 +176,27 @@ object Recommend {
     * describe (`Assignment3/description(2).pdf` §4.2: item content
     * profiles + user profiles aggregated from owned items, cosine
     * scoring), complementing q87's collaborative filter. Item content
-    * here is the part catalog's own attributes: name tokens, brand,
-    * type.
+    * here is the part catalog's own attributes: name, brand, type.
     *
-    * Scale shape: the item-feature table is CATALOG-sized (≤5 features
-    * per item) → broadcast into both the profile build and the scoring
-    * join, so the corpus-sized user-item matrix never reshuffles on a
-    * hot feature key. Profiles are corpus-keyed but ≤[[ProfileTopF]]
-    * rows per user; un² and the dot product are exact integer sums
-    * (order-independent — no ulp slack needed), one √ of an exact
-    * sub-2^53 product, one division, floored to 6 dp on both sides. */
+    * Scale shape — the load-bearing move is scoring per ITEM-PROFILE
+    * EQUIVALENCE CLASS, not per item. Every feature in a dense catalog
+    * has df = Θ(N), so per-item scoring is O(users × N) however it is
+    * joined (a first cut of this query cost 325 s at sf0.1, 5× the
+    * whole rest of the bench). Items with the same kept-feature set
+    * score identically, and the number of DISTINCT feature sets is
+    * vocabulary-bounded — independent of catalog size — so:
+    * profile ⋈ class-features ⋈ class scoring is O(users × classes),
+    * constant in N. The exact per-item top-k is then recovered from
+    * two provably sufficient [[UserItemCap]]+k caps: per class only
+    * the (cap+k) smallest item ids can ever surface (any later item
+    * has ≥ k unowned same-score predecessors in its own class), and
+    * per user only the top (cap+k) classes by (score desc, min-item
+    * asc) can contribute (every class ranked above a contributing one
+    * either yields an earlier item or contains ≥1 of the ≤cap owned
+    * items). Both class tables live behind O(k) typed aggregates
+    * ([[graft.functions.BoundedMinK]]), never a class-sized window.
+    * un² and the dot are exact integer sums (order-independent — no
+    * ulp slack), one √ of a sub-2^53 product, floored to 6 dp. */
   def contentRec(s: SparkSession, d: String): DataFrame =
     contentRecOn(
       lineitem(s, d).select(col("l_orderkey").as("ok"),
@@ -201,10 +211,9 @@ object Recommend {
   def contentRecOn(interactions: DataFrame, p: DataFrame, cap: Int,
       profTopF: Int, k: Int): DataFrame = {
     val ui = uiMatrix(interactions, cap)
-    // item-feature pairs: name tokens + brand + type, then the df cap.
+    // item-feature pairs: whole name + brand + type, then the df cap.
     val feats0 = p.select(col("p_partkey").as("i"),
-        explode(split(col("p_name"), " ")).as("tok"))
-      .select(col("i"), concat(lit("tok:"), col("tok")).as("f"))
+        concat(lit("name:"), col("p_name")).as("f"))
       .unionByName(p.select(col("p_partkey").as("i"),
         concat(lit("type:"), col("p_type")).as("f")))
       .unionByName(p.select(col("p_partkey").as("i"),
@@ -216,13 +225,29 @@ object Recommend {
       .crossJoin(broadcast(nParts))
       .filter(col("df") * FeatDfDen <= col("n") * FeatDfNum)
       .select(col("i"), col("f"))
-      // catalog-sized; read by nf, the profile build, and the scoring
-      // join — checkpoint so the df-cap subtree runs once.
+      // catalog-sized (≤3 rows/item); read by the class build and the
+      // profile build — checkpoint so the df-cap subtree runs once.
       .localCheckpoint()
-    val nf = feats.groupBy(col("i")).agg(count(lit(1)).as("nf"))
+    // ---- item-profile equivalence classes: the canonical sorted
+    // feature set. Everything class-keyed from here is VOCABULARY-
+    // bounded (distinct feature combinations), not catalog-sized.
+    val itemClass = feats.groupBy(col("i"))
+      .agg(concat_ws("|", sort_array(collect_list(col("f")))).as("ck"))
+      .localCheckpoint() // read by classFeats AND classItems
+    val classFeats = feats.join(itemClass, "i")
+      .select(col("ck"), col("f")).distinct()
+    val nfc = classFeats.groupBy(col("ck")).agg(count(lit(1)).as("nf"))
+    // per class, only the (cap+k) smallest item ids can ever reach a
+    // user's top-k: any later item has ≥ k unowned same-score
+    // predecessors in its own class (a user owns ≤ cap items). O(k)
+    // typed aggregate — never a class-sized window or collect_list.
+    val minKItems = udaf(new graft.functions.BoundedMinK(cap + k))
+    val classItems = itemClass.groupBy(col("ck"))
+      .agg(minKItems(col("i")).as("items"))
+      .withColumn("min_item", col("items").getItem(0))
     // user profile: weight = #owned items carrying the feature, then
     // keep the top-F features (w desc, f asc). The window partitions on
-    // one user's features — ≤ UserItemCap×5 rows by construction.
+    // one user's features — ≤ UserItemCap×3 rows by construction.
     val prof0 = ui.join(broadcast(feats), "i")
       .groupBy(col("u"), col("f")).agg(count(lit(1)).as("w"))
     val pw = Window.partitionBy(col("u"))
@@ -232,20 +257,34 @@ object Recommend {
       .select(col("u"), col("f"), col("w"))
       .localCheckpoint() // read by un2 AND the scoring join
     val un2 = prof.groupBy(col("u")).agg(sum(col("w") * col("w")).as("un2"))
-    // score = dot / √(un²·nf): dot is an exact integer sum, the norm
-    // product is an exact long (< 2^53) — cross-engine bit-identical.
-    val sc = prof
-      .join(broadcast(feats.select(col("f"), col("i").as("cand"))), "f")
-      .groupBy(col("u"), col("cand")).agg(sum(col("w")).as("dot"))
-      .join(ui.select(col("u"), col("i").as("cand")),
-        Seq("u", "cand"), "left_anti") // drop already-owned
-      .join(broadcast(nf.select(col("i").as("cand"), col("nf"))), "cand")
+    // score per (user, class) = dot / √(un²·nf): dot is an exact
+    // integer sum, the norm product an exact long (< 2^53) —
+    // cross-engine bit-identical. Work here is users × matched
+    // classes, independent of catalog size.
+    val classScore = prof
+      .join(broadcast(classFeats), "f")
+      .groupBy(col("u"), col("ck")).agg(sum(col("w")).as("dot"))
+      .join(broadcast(nfc), "ck")
       .join(un2, "u")
       .withColumn("score", floor(col("dot").cast("double") /
         sqrt((col("un2") * col("nf")).cast("double")) * 1e6 + 0.5) / 1e6)
+    // per user, only the top (cap+k) classes by (score desc, min-item
+    // asc) can contribute to the top-k: every class ranked above a
+    // contributing class either yields a globally earlier unowned item
+    // or contains ≥1 of the user's ≤cap owned items. The window
+    // partition is one user's matched classes — vocabulary-bounded.
+    val cw = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("min_item").asc)
+    val cand = classScore
+      .join(broadcast(classItems), "ck")
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= cap + k)
+      .select(col("u"), col("score"), explode(col("items")).as("cand"))
+      .join(ui.select(col("u"), col("i").as("cand")),
+        Seq("u", "cand"), "left_anti") // drop already-owned
     val rw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("cand").asc)
-    sc.withColumn("rec_rank", row_number().over(rw).cast("long"))
+    cand.withColumn("rec_rank", row_number().over(rw).cast("long"))
       .filter(col("rec_rank") <= k)
       .select(col("u").as("custkey"), col("rec_rank"),
         col("cand").as("item"), col("score"))
@@ -261,9 +300,7 @@ object Recommend {
        |ui AS (SELECT ui0.u, ui0.i FROM ui0 JOIN ku ON ku.u = ui0.u),
        |np AS (SELECT count(*) AS n FROM part),
        |f0 AS (
-       |  SELECT p_partkey AS i, 'tok:' || tok AS f FROM (
-       |    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
-       |    FROM part)
+       |  SELECT p_partkey AS i, 'name:' || p_name AS f FROM part
        |  UNION ALL SELECT p_partkey, 'type:' || p_type FROM part
        |  UNION ALL SELECT p_partkey, 'brand:' || p_brand FROM part),
        |dft AS (SELECT f, count(*) AS df FROM f0 GROUP BY 1),

@@ -95,6 +95,27 @@ class GraphSpec extends AnyFunSuite {
     assert(pp(2L) > pp(1L), "middle dominates")
   }
 
+  test("personalized pagerank: seed teleport, mass conserved, symmetry") {
+    import spark.implicits._
+    // star K1,7: center 0, leaves 1..7. Seeds (top-5 by degree desc,
+    // node asc) = {0, 1, 2, 3, 4}: the center plus four seed leaves.
+    val star = (1L to 7L).map(l => (0L, l))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val pr = graft.graph.Graphs.pprOn(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val seeds = pr.filter(_._2 == 1L).map(_._1).toSet
+    assert(seeds == Set(0L, 1L, 2L, 3L, 4L), s"seeds $seeds")
+    val m = pr.map(r => r._1 -> r._3).toMap
+    // teleport only re-injects what damping removes → mass stays 1
+    assert(math.abs(m.values.sum - 1.0) < 1e-4, s"mass ${m.values.sum}")
+    assert(m(1L) == m(2L) && m(2L) == m(3L) && m(3L) == m(4L),
+      "seed leaves symmetric")
+    assert(m(5L) == m(6L) && m(6L) == m(7L), "non-seed leaves symmetric")
+    assert(m(1L) > m(5L), "seed leaves outrank non-seed leaves")
+    assert(m(0L) > m(1L), "hub seed dominates")
+  }
+
   test("brandes edge betweenness: path graph 1-2-3-4") {
     val b = GirvanNewman.edgeBetweenness(spark, Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     // pairs crossing each edge: (1,2)=3, (2,3)=4, (3,4)=3

@@ -78,27 +78,49 @@ class RecommendSpec extends AnyFunSuite {
 
   test("content-based rec: cosine over df-capped features, hand golden") {
     import spark.implicits._
-    // catalog of 20: parts 1-17 share name "common widget" and type T
-    // (tok df 17, type df 20 — both over the 15% cap, dropped); parts
-    // 18-20 are "rare gem" (tok df 3 = exactly the 0.15·20 cap edge,
-    // kept); every brand is unique (df 1, kept).
+    // catalog of 20, df cap = N/10 = 2: parts 1-17 share name "common
+    // widget" (df 17, dropped) and everyone shares type T (df 20,
+    // dropped); "rare gem" (18, 19) sits exactly on the cap edge
+    // (df 2, kept), "odd bolt" (20) and every unique brand are kept.
     val parts = ((1 to 17).map(i => (i.toLong, "common widget",
         s"B$i", "T")) ++
-      (18 to 20).map(i => (i.toLong, "rare gem", s"B$i", "T")))
+      Seq((18L, "rare gem", "B18", "T"), (19L, "rare gem", "B19", "T"),
+        (20L, "odd bolt", "B20", "T")))
       .toDF("p_partkey", "p_name", "p_brand", "p_type")
-    // u1 owns {18,19}: profile rare:2 gem:2 B18:1 B19:1, un²=10.
-    //   candidate 20 via rare+gem: dot=4, nf(20)=3 → 4/√30 = 0.730297
-    // u2 owns {1,2}: every surviving feature is a unique brand → all
-    //   candidates are owned → nothing recommended (the cap at work).
-    // u3 owns {20}: 18 and 19 tie at 2/√(3·3) = 0.666667, item-asc.
+    // u1 owns {18}: profile {rare gem:1, B18:1}, un²=2. Item 19 (class
+    //   {rare gem, B19}, nf=2) matches via the name: 1/√(2·2) = 0.5.
+    // u2 owns {1,2}: only unique brands survive the cap → every
+    //   candidate is already owned → no recs (the df cap at work).
+    // u3 owns {19,20}: un²=4; item 18 via rare gem: 1/√(4·2)=0.353553.
     val recs = Recommend.contentRecOn(
-        ui(1L -> 18L, 1L -> 19L, 2L -> 1L, 2L -> 2L, 3L -> 20L),
+        ui(1L -> 18L, 2L -> 1L, 2L -> 2L, 3L -> 19L, 3L -> 20L),
         parts, cap = 64, profTopF = 32, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSeq
     assert(recs == Seq(
-      (1L, 1L, 20L, 0.730297),
-      (3L, 1L, 18L, 0.666667), (3L, 2L, 19L, 0.666667)), s"got $recs")
+      (1L, 1L, 19L, 0.5),
+      (3L, 1L, 18L, 0.353553)), s"got $recs")
+  }
+
+  test("content-based rec: class item cap reproduces exact top-k") {
+    import spark.implicits._
+    // One class of 6 identical items (name "same part", brand BB —
+    // df 6 = exactly the N/10 cap with 54 unique-feature fillers,
+    // N=60). cap=2, k=2 → the per-class item list keeps only the 4
+    // smallest ids [11,12,13,14] of the 6-item class. u9 owns the two
+    // smallest — the exact top-2 must still be 13, 14 (ownership
+    // cannot starve the bounded list), proving the cap+k bound.
+    val parts = ((11 to 16).map(i => (i.toLong, "same part", "BB", "T"))
+      ++ (1 to 54).map(j => (100L + j, s"filler$j", s"F$j", "T")))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    // profile: {same part: 2, BB: 2}, un² = 8; class dot = 4, nf = 2
+    // → score = 4/√16 = 1.0 for every unowned class member.
+    val recs = Recommend.contentRecOn(
+        ui(9L -> 11L, 9L -> 12L), parts, cap = 2, profTopF = 32, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(recs == Seq((9L, 1L, 13L, 1.0), (9L, 2L, 14L, 1.0)),
+      s"got $recs")
   }
 
   test("power-user cap removes capped users from matrix and scoring") {
