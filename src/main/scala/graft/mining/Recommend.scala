@@ -275,11 +275,20 @@ object Recommend {
     // partition is one user's matched classes — vocabulary-bounded.
     val cw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("min_item").asc)
+    // rank the exploded candidates per user BEFORE the ownership
+    // anti-join: dropping the ≤cap owned items shifts ranks by ≤cap,
+    // so the exact top-k lies within the pre-ownership top (cap+k) —
+    // the anti-join then shuffles ~(cap+k) rows per user instead of
+    // every exploded candidate (WindowGroupLimit prunes map-side).
+    val iw = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("cand").asc)
     val cand = classScore
       .join(broadcast(classItems), "ck")
       .withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= cap + k)
       .select(col("u"), col("score"), explode(col("items")).as("cand"))
+      .withColumn("irn", row_number().over(iw))
+      .filter(col("irn") <= cap + k).drop("irn")
       .join(ui.select(col("u"), col("i").as("cand")),
         Seq("u", "cand"), "left_anti") // drop already-owned
     val rw = Window.partitionBy(col("u"))

@@ -68,6 +68,8 @@ class RelationalSpec extends AnyFunSuite {
     ("q62_source_report", "c) AS n_grams"),
     // PageRank inflow: sum over pr/deg doubles
     ("q63_pagerank", "p.pr / p.deg) AS inflo"),
+    // personalized PageRank: the identical double inflow sum
+    ("q91_ppr", "p.pr / p.deg) AS inflo"),
     // intermediate running token sum; final cols CAST AS BIGINT
     ("q69_source_mixture", "q.n_tokens) OVER (PART"),
     // q86 embeds the q59 curation + q69 window replays verbatim
