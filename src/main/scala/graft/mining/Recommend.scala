@@ -108,8 +108,13 @@ object Recommend {
   /** Item-CF over any (u, i) interaction frame (need not be distinct —
     * the matrix build dedups). */
   def itemCfOn(interactions: DataFrame, cap: Int, coMin: Int,
-      topM: Int, k: Int): DataFrame = {
-    val ui = uiMatrix(interactions, cap)
+      topM: Int, k: Int): DataFrame =
+    itemCfFromUi(uiMatrix(interactions, cap), coMin, topM, k)
+
+  /** q87's scoring over a PREBUILT (checkpointed) user-item matrix —
+    * the composition entry q92 uses so the matrix builds once. */
+  def itemCfFromUi(ui: DataFrame, coMin: Int, topM: Int, k: Int)
+  : DataFrame = {
     val nbr = neighborTable(ui, coMin, topM)
     // score first, THEN drop owned: the (u, j) aggregate and the
     // ownership anti-join share one hash partitioning, and the
@@ -133,6 +138,75 @@ object Recommend {
         col("j").as("item"), col("score"))
       .orderBy(col("custkey"), col("rec_rank"))
   }
+
+  /** CombSUM weights for the hybrid blend — powers of two, so the
+    * per-term scaling is an exact mantissa shift in both engines. */
+  val HybridWeightCf = 0.5
+  val HybridWeightCn = 0.5
+
+  /** q92: hybrid recommendations — weighted CombSUM rank fusion of the
+    * two registered recommenders: candidates are the union of q87's
+    * CF top-k and q89's content top-k per user, scored
+    * [[HybridWeightCf]]·cf + [[HybridWeightCn]]·content (absent side
+    * contributes 0), re-ranked (blend desc, item asc). Like q86 this
+    * is a COMPOSITION query: its oracle replays both full paths and
+    * joins them, so schema or semantics drift between the CF and
+    * content paths fails the hash gate even if each path stays green
+    * in isolation. The user-item matrix builds ONCE (checkpointed)
+    * and feeds both paths; the fusion itself joins two k-per-user
+    * frames — negligible on top of its inputs. */
+  def hybridRec(s: SparkSession, d: String): DataFrame =
+    hybridRecOn(
+      lineitem(s, d).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("i"))
+        .join(orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_custkey").as("u")), "ok")
+        .select(col("u"), col("i")),
+      part(s, d), UserItemCap, CoMinUsers, NeighborTopM, ProfileTopF,
+      RecK)
+
+  def hybridRecOn(interactions: DataFrame, p: DataFrame, cap: Int,
+      coMin: Int, topM: Int, profTopF: Int, k: Int): DataFrame = {
+    val ui = uiMatrix(interactions, cap)
+    val cf = itemCfFromUi(ui, coMin, topM, k)
+      .select(col("custkey"), col("item"), col("score").as("cf_score"))
+    val cn = contentRecFromUi(ui, p, cap, profTopF, k)
+      .select(col("custkey"), col("item"), col("score").as("cn_score"))
+    val merged = cf.join(cn, Seq("custkey", "item"), "full_outer")
+      .withColumn("score", floor(
+        (lit(HybridWeightCf) * coalesce(col("cf_score"), lit(0.0))
+          + lit(HybridWeightCn) * coalesce(col("cn_score"), lit(0.0)))
+          * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("score").desc, col("item").asc)
+    merged.withColumn("rec_rank", row_number().over(w).cast("long"))
+      .filter(col("rec_rank") <= k)
+      .select(col("custkey"), col("rec_rank"), col("item"), col("score"))
+      .orderBy(col("custkey"), col("rec_rank"))
+  }
+
+  // lazy: interpolates itemCfSql/contentRecSql, declared later in this
+  // object — an eager val would capture null at initialization
+  lazy val hybridRecSql: String =
+    s"""WITH cf AS (SELECT * FROM ($itemCfSql) tcf),
+       |cn AS (SELECT * FROM ($contentRecSql) tcn),
+       |merged AS (
+       |  SELECT coalesce(cf.custkey, cn.custkey) AS custkey,
+       |    coalesce(cf.item, cn.item) AS item,
+       |    floor((CAST($HybridWeightCf AS DOUBLE)
+       |        * coalesce(cf.score, CAST(0 AS DOUBLE))
+       |      + CAST($HybridWeightCn AS DOUBLE)
+       |        * coalesce(cn.score, CAST(0 AS DOUBLE)))
+       |      * 1e6 + 0.5) / 1e6 AS score
+       |  FROM cf FULL OUTER JOIN cn
+       |    ON cf.custkey = cn.custkey AND cf.item = cn.item)
+       |SELECT custkey, rec_rank, item, score FROM (
+       |  SELECT custkey, item, score,
+       |    CAST(row_number() OVER (PARTITION BY custkey
+       |      ORDER BY score DESC, item ASC) AS BIGINT) AS rec_rank
+       |  FROM merged) r
+       |WHERE rec_rank <= $RecK
+       |ORDER BY custkey, rec_rank""".stripMargin
 
   /** Ingest-time recommendations — the streaming shape of q87: for
     * each incoming interaction (u, i[, ts]), emit item i's top
@@ -209,8 +283,14 @@ object Recommend {
   /** Content-based rec over any (u, i) interaction frame and any
     * catalog frame with (p_partkey, p_name, p_brand, p_type). */
   def contentRecOn(interactions: DataFrame, p: DataFrame, cap: Int,
+      profTopF: Int, k: Int): DataFrame =
+    contentRecFromUi(uiMatrix(interactions, cap), p, cap, profTopF, k)
+
+  /** q89's scoring over a PREBUILT (checkpointed) user-item matrix —
+    * the composition entry q92 uses so the matrix builds once. `cap`
+    * still sizes the class item lists (cap+k). */
+  def contentRecFromUi(ui: DataFrame, p: DataFrame, cap: Int,
       profTopF: Int, k: Int): DataFrame = {
-    val ui = uiMatrix(interactions, cap)
     // item-feature pairs: whole name + brand + type, then the df cap.
     val feats0 = p.select(col("p_partkey").as("i"),
         concat(lit("name:"), col("p_name")).as("f"))
@@ -282,10 +362,16 @@ object Recommend {
     // every exploded candidate (WindowGroupLimit prunes map-side).
     val iw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("cand").asc)
+    // rank on the narrow (u, ck, score, min_item) frame and attach the
+    // (cap+k)-long item arrays only to the ≤(cap+k)-per-user survivors
+    // — carrying the arrays through the rank window's shuffle+sort was
+    // the dominant cost of this stage.
     val cand = classScore
-      .join(broadcast(classItems), "ck")
+      .join(broadcast(classItems.select(col("ck"), col("min_item"))),
+        "ck")
       .withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= cap + k)
+      .join(broadcast(classItems.select(col("ck"), col("items"))), "ck")
       .select(col("u"), col("score"), explode(col("items")).as("cand"))
       .withColumn("irn", row_number().over(iw))
       .filter(col("irn") <= cap + k).drop("irn")
@@ -389,9 +475,11 @@ object Recommend {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_item_cf" -> (itemCf _),
-    "q89_content_rec" -> (contentRec _))
+    "q89_content_rec" -> (contentRec _),
+    "q92_hybrid_rec" -> (hybridRec _))
 
   val oracle: Map[String, String] = Map(
     "q87_item_cf" -> itemCfSql,
-    "q89_content_rec" -> contentRecSql)
+    "q89_content_rec" -> contentRecSql,
+    "q92_hybrid_rec" -> hybridRecSql)
 }

@@ -123,6 +123,40 @@ class RecommendSpec extends AnyFunSuite {
       s"got $recs")
   }
 
+  test("hybrid rec: rank fusion matches a scala-side blend of cf+content") {
+    import spark.implicits._
+    // Both paths active: the CF fixture (items 10/20/30, no catalog
+    // features — parts absent from the catalog) plus the rare-gem
+    // catalog driving content matches. Expected output is recomputed
+    // here with the operator's own arithmetic over the two REGISTERED
+    // outputs, so any fusion drift (weights, coalesce, tie order)
+    // fails loudly.
+    val m = ui(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L,
+      3L -> 10L, 3L -> 30L, 1L -> 18L, 3L -> 19L)
+    val parts = ((1 to 17).map(i => (i.toLong, "common widget",
+        s"B$i", "T")) ++
+      Seq((18L, "rare gem", "B18", "T"), (19L, "rare gem", "B19", "T"),
+        (20L, "odd bolt", "B20", "T")))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val cf = rows(Recommend.itemCfOn(m, 64, 2, 20, 3)).toMap
+    val cn = rows(Recommend.contentRecOn(m, parts, 64, 32, 3)).toMap
+    val expected = (cf.keySet ++ cn.keySet).toSeq
+      .map { key => (key, math.floor(
+        (0.5 * cf.getOrElse(key, 0.0) + 0.5 * cn.getOrElse(key, 0.0))
+          * 1e6 + 0.5) / 1e6) }
+      .groupBy(_._1._1).toSeq.flatMap { case (u, cands) =>
+        cands.sortBy { case ((_, i), s) => (-s, i) }.take(3).zipWithIndex
+          .map { case (((_, i), s), r) => (u, (r + 1).toLong, i, s) }
+      }.sortBy(t => (t._1, t._2))
+    val got = Recommend.hybridRecOn(m, parts, 64, 2, 20, 32, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(cf.nonEmpty && cn.nonEmpty, "fixture must exercise both paths")
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("power-user cap removes capped users from matrix and scoring") {
     // cap=2: user 1 (3 items) is excluded everywhere — with only
     // users 2,3 left no pair reaches coMin=2 co-users
