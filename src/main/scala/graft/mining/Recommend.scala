@@ -432,11 +432,20 @@ object Recommend {
        |WHERE rec_rank <= $RecK
        |ORDER BY custkey, rec_rank""".stripMargin
 
-  val itemCfSql: String =
-    s"""WITH ui0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
-       |             FROM lineitem
-       |             JOIN orders ON l_orderkey = o_orderkey),
-       |ku AS (SELECT u FROM ui0 GROUP BY u
+  /** The raw distinct user-item matrix CTE body (pre-cap) — shared by
+    * q87's oracle and q93's held-out variant. */
+  private val rawUiSql: String =
+    """SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      |             FROM lineitem
+      |             JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** The CF scoring chain AFTER the `ui0` CTE (cap → degrees → pairs →
+    * cosine → neighbor top-M → candidates → scores → ranked top-k,
+    * ending in an unordered `recs` CTE) — q87 selects from it ordered,
+    * q93 aggregates hits against the holdout. Any change to CF
+    * semantics edits ONE string, and the eval oracle follows. */
+  private val itemCfChainSql: String =
+    s"""ku AS (SELECT u FROM ui0 GROUP BY u
        |       HAVING count(*) <= $UserItemCap),
        |ui AS (SELECT ui0.u, ui0.i FROM ui0 JOIN ku ON ku.u = ui0.u),
        |ideg AS (SELECT i, count(*) AS deg FROM ui GROUP BY 1),
@@ -464,22 +473,89 @@ object Recommend {
        |                           WHERE o.u = ui.u AND o.i = nbr.j)),
        |sc AS (SELECT u, j AS item,
        |         floor(sum(sim) * 1e4 + 0.5 + 1e-9) / 1e4 AS score
-       |       FROM cand GROUP BY 1, 2)
-       |SELECT custkey, rec_rank, item, score FROM (
-       |  SELECT u AS custkey, item, score,
-       |    CAST(row_number() OVER (PARTITION BY u
-       |      ORDER BY score DESC, item ASC) AS BIGINT) AS rec_rank
-       |  FROM sc) r
-       |WHERE rec_rank <= $RecK
+       |       FROM cand GROUP BY 1, 2),
+       |recs AS (SELECT custkey, rec_rank, item, score FROM (
+       |    SELECT u AS custkey, item, score,
+       |      CAST(row_number() OVER (PARTITION BY u
+       |        ORDER BY score DESC, item ASC) AS BIGINT) AS rec_rank
+       |    FROM sc) r
+       |  WHERE rec_rank <= $RecK)""".stripMargin
+
+  val itemCfSql: String =
+    s"""WITH ui0 AS ($rawUiSql),
+       |$itemCfChainSql
+       |SELECT custkey, rec_rank, item, score FROM recs
        |ORDER BY custkey, rec_rank""".stripMargin
+
+  /** Users need ≥ this many distinct items to enter the q93 holdout
+    * (a 1-item user would have an empty training history). */
+  val EvalMinOwned = 2
+
+  /** q93: offline recommender evaluation — deterministic leave-one-out
+    * hit-rate@k for the CF path: each qualifying user's max-id item is
+    * held out, CF trains on the remainder (same caps as q87), and the
+    * query reports how often the held-out item lands in the user's
+    * top-[[RecK]]. The standard offline eval every recommender stack
+    * runs before an online test; deterministic holdout (max item id)
+    * keeps both engines bit-identical where a random split could not
+    * be replayed. One summary row: n_eval, n_hit, hit_rate (4 dp).
+    * Scale: the holdout is one aggregate over the corpus-sized matrix;
+    * everything else is exactly q87's plan on the train slice. */
+  def cfEval(s: SparkSession, d: String): DataFrame =
+    cfEvalOn(
+      lineitem(s, d).select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("i"))
+        .join(orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_custkey").as("u")), "ok")
+        .select(col("u"), col("i")),
+      UserItemCap, CoMinUsers, NeighborTopM, RecK)
+
+  def cfEvalOn(interactions: DataFrame, cap: Int, coMin: Int,
+      topM: Int, k: Int): DataFrame = {
+    val all = interactions.select(col("u"), col("i")).distinct()
+      .localCheckpoint() // read by the holdout agg AND the train slice
+    val hold = all.groupBy(col("u"))
+      .agg(max(col("i")).as("held"), count(lit(1)).as("n"))
+      .filter(col("n") >= EvalMinOwned)
+      .select(col("u"), col("held"))
+      .localCheckpoint() // read by train, the hit join, and n_eval
+    val train = all.join(
+      hold.select(col("u"), col("held").as("i")), Seq("u", "i"),
+      "left_anti")
+    val recs = itemCfFromUi(uiMatrix(train, cap), coMin, topM, k)
+    val hits = recs.join(hold,
+        recs("custkey") === hold("u") && recs("item") === hold("held"))
+      .agg(count(lit(1)).as("n_hit"))
+    hold.agg(count(lit(1)).as("n_eval")).crossJoin(hits)
+      .withColumn("hit_rate", floor(col("n_hit").cast("double") /
+        col("n_eval") * 1e4 + 0.5) / 1e4)
+      .select(col("n_eval"), col("n_hit"), col("hit_rate"))
+  }
+
+  lazy val cfEvalSql: String =
+    s"""WITH all0 AS ($rawUiSql),
+       |hold AS (SELECT u, max(i) AS held FROM all0 GROUP BY u
+       |         HAVING count(*) >= $EvalMinOwned),
+       |ui0 AS (SELECT a.u, a.i FROM all0 a
+       |        LEFT JOIN hold h ON h.u = a.u AND h.held = a.i
+       |        WHERE h.u IS NULL),
+       |$itemCfChainSql
+       |SELECT (SELECT count(*) FROM hold) AS n_eval,
+       |  count(*) AS n_hit,
+       |  floor(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM hold)
+       |    * 1e4 + 0.5) / 1e4 AS hit_rate
+       |FROM recs JOIN hold
+       |  ON hold.u = recs.custkey AND hold.held = recs.item""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_item_cf" -> (itemCf _),
     "q89_content_rec" -> (contentRec _),
-    "q92_hybrid_rec" -> (hybridRec _))
+    "q92_hybrid_rec" -> (hybridRec _),
+    "q93_cf_eval" -> (cfEval _))
 
   val oracle: Map[String, String] = Map(
     "q87_item_cf" -> itemCfSql,
     "q89_content_rec" -> contentRecSql,
-    "q92_hybrid_rec" -> hybridRecSql)
+    "q92_hybrid_rec" -> hybridRecSql,
+    "q93_cf_eval" -> cfEvalSql)
 }

@@ -157,6 +157,20 @@ class RecommendSpec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("cf eval: deterministic leave-one-out hit-rate, hand golden") {
+    // u1,u2 own {10,20}; u3 owns {10,20,30}. Holdout (max id, ≥2
+    // items): u1→20, u2→20, u3→30. Train: u1{10}, u2{10}, u3{10,20}.
+    // With coMin=1, sim(10,20) = 1/√3 → u1,u2 get item 20 back (HIT);
+    // u3 owns both ends of the only pair → no candidates (MISS).
+    val m = ui(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L,
+      3L -> 10L, 3L -> 20L, 3L -> 30L)
+    val r = Recommend.cfEvalOn(m, cap = 64, coMin = 1, topM = 20, k = 3)
+      .collect()
+    assert(r.length == 1)
+    val row = (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2))
+    assert(row == ((3L, 2L, 0.6667)), s"got $row")
+  }
+
   test("power-user cap removes capped users from matrix and scoring") {
     // cap=2: user 1 (3 items) is excluded everywhere — with only
     // users 2,3 left no pair reaches coMin=2 co-users
