@@ -280,7 +280,7 @@ object VectorSimilarity {
     * vacuous. */
   val SemDedupCos = 0.4
 
-  /** q89: SemDeDup — semantic deduplication via cluster-then-pairwise
+  /** q94: SemDeDup — semantic deduplication via cluster-then-pairwise
     * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): coarse-quantize the embedding
     * space with k-means, compute exact pairwise cosine ONLY within a
@@ -307,7 +307,7 @@ object VectorSimilarity {
     semDedupOn(graft.cluster.KMeans.points(s, d),
       graft.cluster.KMeans.K, SemDedupCos)
 
-  /** q89 over an arbitrary (vec_id, vd) frame: seeds are the k
+  /** q94 over an arbitrary (vec_id, vd) frame: seeds are the k
     * smallest vec_ids (the q39 init). */
   def semDedupOn(ptsIn: DataFrame, k: Int, threshold: Double)
   : DataFrame = {
@@ -468,11 +468,13 @@ object VectorSimilarity {
     "q26_cosine_topk" -> (cosineTopK _),
     "q27_ann_lsh" -> (annHyperplaneLsh _),
     "q45_embed_neardup" -> (embedNearDup _),
-    "q60_quantize_int8" -> (quantizeInt8 _))
+    "q60_quantize_int8" -> (quantizeInt8 _),
+    "q94_semdedup" -> (semDedup _))
 
   val oracle: Map[String, String] = Map(
     "q26_cosine_topk" -> cosineTopKSql,
     "q27_ann_lsh" -> annHyperplaneLshSql,
     "q45_embed_neardup" -> embedNearDupSql,
-    "q60_quantize_int8" -> quantizeInt8Sql)
+    "q60_quantize_int8" -> quantizeInt8Sql,
+    "q94_semdedup" -> semDedupSql)
 }

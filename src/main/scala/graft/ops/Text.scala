@@ -761,7 +761,59 @@ object Text {
        |  coalesce(lp_u6 < (SELECT p25 FROM p), true) AS low_q
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Chunk window (tokens) and stride for q95. Stride < window ⇒
+    * adjacent chunks overlap by `ChunkWin - ChunkStride` tokens (the
+    * standard RAG/pretraining packing shape, vs q67's non-overlapping
+    * token-budget shards). */
+  val ChunkWin = 50
+  val ChunkStride = 40
+
+  /** q95: overlapping token-window document chunking — the
+    * context-window prep step (RAG indexing / fixed-length pretraining
+    * examples with overlap). Chunk starts are 1, 1+S, 1+2S, … ≤ n;
+    * the last chunk is allowed to run short (slice clips at n). One
+    * row per chunk: ordinal, start, length, and an h60 content hash
+    * instead of the chunk text, so the output (and the driver compare)
+    * stays row-per-chunk but bytes-per-row constant.
+    *
+    * Scale: pure map-side fan-out — tokenize, generate starts, slice;
+    * no shuffle at all until the driver's display sort. A 100 TB
+    * corpus chunks embarrassingly parallel; the ~W/S duplication
+    * factor is the caller's storage choice, not a join blow-up. */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    docChunksOn(documents(s, d))
+
+  /** q95 over a caller-supplied (doc_id, text) corpus. */
+  def docChunksOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, n, $ChunkStride)")).as("st"))
+      .select(col("doc_id"),
+        expr(s"CAST((st - 1) DIV $ChunkStride AS BIGINT)").as("chunk_idx"),
+        col("st").cast("long").as("start_tok"),
+        expr(s"size(slice(toks, st, $ChunkWin))").cast("long").as("n_toks"),
+        expr(graft.functions.Hashing.h60SparkSql(
+          s"concat_ws(' ', slice(toks, st, $ChunkWin))")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val docChunksSql: String = {
+    val (w, s) = (ChunkWin, ChunkStride)
+    val slice = s"list_slice(toks, st, st + ${w - 1})"
+    s"""WITH t AS (SELECT doc_id, $toksSqlExpr AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $s)) AS st
+       |      FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, CAST((st - 1) // $s AS BIGINT) AS chunk_idx,
+       |  CAST(st AS BIGINT) AS start_tok,
+       |  CAST(len($slice) AS BIGINT) AS n_toks,
+       |  ${graft.functions.Hashing.h60Sql(s"array_to_string($slice, ' ')")}
+       |    AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_doc_chunks" -> (docChunks _),
     "q88_lm_quality" -> (lmQuality _),
     "q71_bigram_lm" -> (bigramLm _),
     "q72_inverted_index" -> (invertedIndex _),
@@ -776,6 +828,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q95_doc_chunks" -> docChunksSql,
     "q88_lm_quality" -> lmQualitySql,
     "q71_bigram_lm" -> bigramLmSql,
     "q72_inverted_index" -> invertedIndexSql,

@@ -421,4 +421,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L)))
     assert(lsh == exact)
   }
+
+  test("docChunksOn: overlapping windows cover every token, last runs short") {
+    import spark.implicits._
+    val (w, s) = (Text.ChunkWin, Text.ChunkStride) // 50, 40
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(1L -> doc(95), 2L -> doc(40), 3L -> doc(41))
+      .toDF("doc_id", "text")
+    val rows = Text.docChunksOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 (95 toks): starts 1, 41, 81 → lengths 50, 50, 15
+    assert(rows.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 1L, 50L), (1L, 1L, 41L, 50L), (1L, 2L, 81L, 15L)))
+    // doc 2 (40 toks): one short chunk
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 40L)))
+    // doc 3 (41 toks): documented edge — a trailing 1-token chunk whose
+    // content is pure overlap (start 41 ≤ n)
+    assert(rows.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 1L, 41L), (3L, 1L, 41L, 1L)))
+    // every token index is inside at least one chunk
+    assert(rows.forall { case (_, idx, st, _) => st == 1 + idx * s })
+    assert(w > s, "chunks must overlap for the coverage rule to hold")
+  }
 }

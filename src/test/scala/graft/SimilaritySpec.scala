@@ -346,4 +346,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8,
       s"aggregate LSH recall $recall over ${truth.size} true pairs (bar 0.8)")
   }
+
+  test("semDedup drops the higher id of a same-cluster near-dup, nothing else") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // seed centroid 0
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),   // seed centroid 1
+      (2L, Seq(1.0, 0.01, 0.0, 0.0)),  // cluster 0, cos(0,2) ≈ 0.99995
+      (3L, Seq(0.0, 1.0, 0.5, 0.0))    // cluster 1, cos(1,3) ≈ 0.894
+    ).toDF("vec_id", "vd")
+    def keeps(threshold: Double): Map[Long, Boolean] =
+      VectorSimilarity.semDedupOn(pts, 2, threshold).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // τ=0.9: only the (0,2) pair is within threshold → 2 dropped
+    assert(keeps(0.9) == Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+    // τ=0.85 additionally catches (1,3) → 3 dropped too
+    assert(keeps(0.85) == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+    // τ above every pairwise cosine (max is cos(0,2) ≈ 0.99995):
+    // everything kept
+    assert(keeps(0.99999).values.forall(identity))
+  }
 }
