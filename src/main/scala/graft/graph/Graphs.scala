@@ -510,7 +510,89 @@ object Graphs {
        |SELECT node, pr FROM p$PrIters ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** k for the q97 core; rounds cap shared by the Spark loop and the
+    * oracle unrolling (the loop require()s convergence within it, the
+    * oracle error()s on divergence at it — the q37 cap discipline). */
+  val KCoreK = 3
+  val KCoreMaxRounds = 8
+
+  /** q97: k-core decomposition (iterative peeling) — repeatedly drop
+    * nodes of degree < k until fixpoint; the surviving induced
+    * subgraph is the k-core, the standard "dense cohesive region"
+    * extractor (spam/bot rings in interaction graphs, seed sets for
+    * community mining) next to q34's triangles and q35's communities.
+    *
+    * Scale: each round is one degree aggregate + two semi-joins, all
+    * keyed on node ids — never more than edge-linear work; rounds are
+    * bounded by the peeling depth (≤ max coreness, here capped and
+    * convergence-asserted). Per-round localCheckpoint pins the shrinking
+    * edge list, so round r+1 scans round r's output, not the whole
+    * lineage. */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOn(edges(s, d, Some(SubNations), SubThreshold), KCoreK)
+
+  /** q97 over an arbitrary (src, dst) canonical edge list. */
+  def kcoreOn(ed: DataFrame, k: Int): DataFrame = {
+    val all = undirected(ed).localCheckpoint() // peel input + node roster
+    var ue = all
+    var n = ue.count()
+    var done = false
+    var round = 0
+    while (!done && round < KCoreMaxRounds) {
+      val keep = ue.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val next = ue.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val m = next.count()
+      done = m == n
+      ue = next; n = m; round += 1
+    }
+    require(done, s"q97: k-core peeling not converged in " +
+      s"$KCoreMaxRounds rounds — raise KCoreMaxRounds")
+    val core = ue.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+    all.select(col("src").as("node")).distinct()
+      .join(core, Seq("node"), "left_outer")
+      .select(col("node"), col("core_deg").isNotNull.as("in_kcore"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  val kcoreSql: String = {
+    val k = KCoreK
+    val r = KCoreMaxRounds
+    val rounds = (1 to r).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS (SELECT src, count(*) AS deg FROM $prev GROUP BY 1),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN d$i a ON a.src = e.src AND a.deg >= $k
+         |  JOIN d$i b ON b.src = e.dst AND b.deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)},
+       |e0 AS MATERIALIZED (SELECT src, dst FROM ue),
+       |$rounds,
+       |core AS (SELECT src AS node, count(*) AS core_deg
+       |         FROM e$r GROUP BY 1),
+       |guard AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM e$r)
+       |      <> (SELECT count(*) FROM e${r - 1}) THEN error(
+       |    'q97 oracle: peeling still shrinking at round $r — '
+       |    || 'raise KCoreMaxRounds')
+       |    ELSE 0 END AS ok)
+       |SELECT n.node, (c.node IS NOT NULL) AS in_kcore,
+       |  coalesce(c.core_deg, 0) AS core_deg
+       |FROM (SELECT DISTINCT src AS node FROM ue) n
+       |LEFT JOIN core c ON c.node = n.node
+       |CROSS JOIN guard
+       |ORDER BY n.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_kcore" -> (kcore _),
     "q33_degree_hist" -> (degreeHist _),
     "q34_triangles" -> (triangles _),
     "q35_lpa" -> (lpa _),
@@ -520,6 +602,7 @@ object Graphs {
     "q91_ppr" -> (personalizedPagerank _))
 
   val oracle: Map[String, String] = Map(
+    "q97_kcore" -> kcoreSql,
     "q33_degree_hist" -> degreeHistSql,
     "q34_triangles" -> trianglesSql,
     "q35_lpa" -> lpaSql,

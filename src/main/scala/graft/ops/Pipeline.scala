@@ -786,7 +786,77 @@ object Pipeline {
        |FROM sh JOIN h ON h.doc_id = sh.doc_id
        |GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** q98: snapshot diff — the dataset-versioning audit between two
+    * corpus snapshots: FULL OUTER join on the document key, compare
+    * content hashes, classify added / removed / changed / unchanged,
+    * and emit per-status counts plus an order-independent key checksum
+    * (the q84 XOR idiom) so one 4-row diff certifies WHICH keys moved,
+    * not just how many. The operator [[snapshotDiffOn]] takes any two
+    * (key, h) frames — run it between consecutive crawl drops or
+    * before/after a pipeline change to see the blast radius.
+    *
+    * The registered query derives both snapshots deterministically from
+    * `documents` (v1 drops doc_id ≡ 0 mod 17; v2 drops ≡ 0 mod 19 and
+    * uppercases ≡ 0 mod 13), so every status class is non-empty at
+    * every scale factor.
+    *
+    * Scale: one key-partitioned full-outer join (both sides shuffle on
+    * the key once) into a 4-row aggregate — no data-sized state, no
+    * driver collect. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hashing
+    val docs = documents(s, d).select(col("doc_id").as("key"), col("text"))
+    val prev = docs.filter(col("key") % 17 =!= 0)
+      .select(col("key"), Hashing.h60(col("text")).as("h"))
+    val next = docs.filter(col("key") % 19 =!= 0)
+      .select(col("key"), Hashing.h60(
+        when(col("key") % 13 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h"))
+    snapshotDiffOn(prev, next)
+  }
+
+  /** q98 over arbitrary (key, h) snapshots. */
+  def snapshotDiffOn(prev: DataFrame, next: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    prev.select(col("key"), col("h").as("h_prev"))
+      .join(next.select(col("key"), col("h").as("h_next")),
+        Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_next").isNull, lit("removed"))
+          .when(col("h_prev") === col("h_next"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"bit_xor(${Hashing.h60SparkSql("key")})").as("key_checksum"))
+      .orderBy(col("status"))
+  }
+
+  val snapshotDiffSql: String = {
+    import graft.functions.Hashing
+    s"""WITH p AS (
+       |  SELECT doc_id AS key, ${Hashing.h60Sql("text")} AS h
+       |  FROM documents WHERE doc_id % 17 <> 0),
+       |nx AS (
+       |  SELECT doc_id AS key,
+       |    ${Hashing.h60Sql(
+            "CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END")} AS h
+       |  FROM documents WHERE doc_id % 19 <> 0),
+       |j AS (
+       |  SELECT coalesce(p.key, nx.key) AS key,
+       |    CASE WHEN p.h IS NULL THEN 'added'
+       |         WHEN nx.h IS NULL THEN 'removed'
+       |         WHEN p.h = nx.h THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM p FULL OUTER JOIN nx ON p.key = nx.key)
+       |SELECT status, count(*) AS n,
+       |  bit_xor(${Hashing.h60Sql("key")}) AS key_checksum
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_snapshot_diff" -> (snapshotDiff _),
     "q86_train_pipeline" -> (trainPipeline _),
     "q84_shard_manifest" -> (shardManifest _),
     "q85_source_gram_overlap" -> (sourceGramOverlap _),
@@ -802,6 +872,7 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q98_snapshot_diff" -> snapshotDiffSql,
     "q86_train_pipeline" -> trainPipelineSql,
     "q84_shard_manifest" -> shardManifestSql,
     "q85_source_gram_overlap" -> sourceGramOverlapSql,

@@ -151,11 +151,89 @@ object Sketches {
        |ORDER BY e.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q96
+  /** Count-Min rows / width. d×w is the ENTIRE sketch state (48 longs
+    * here). w = 16 is sized to this corpus's ~31-term vocabulary so
+    * bucket collisions — the thing the row-minimum exists to suppress —
+    * actually occur at every scale factor; production sizing is
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉, still corpus-size-independent. */
+  val CmD = 3
+  val CmW = 16L
+  val CmSeeds: Seq[(Long, Long)] = Hashing.seeds(CmD, salt = 96L)
+  /** Report size for the heavy-hitter table. */
+  val CmTopN = 20
+
+  private def cmBucketExpr(e: String, r: Int): String = {
+    val (a, b) = CmSeeds(r)
+    s"(($a * ${Hashing.h31SparkSql(e)} + $b) % ${Hashing.M31}) % $CmW"
+  }
+  private def cmBucketSql(e: String, r: Int): String = {
+    val (a, b) = CmSeeds(r)
+    s"(($a * ${Hashing.h31Sql(e)} + $b) % ${Hashing.M31}) % $CmW"
+  }
+
+  /** q96: Count-Min heavy hitters — the frequency complement of q29
+    * (membership) and q30 (cardinality). Every token occurrence
+    * increments one cell per hash row; a term's estimate is the MINIMUM
+    * of its d cells, so estimates only ever overcount (one-sided error,
+    * the dual of Bloom's false-positives — asserted per-row here by
+    * emitting `overest = est − true ≥ 0`, and in SketchSpec). Output:
+    * the top-[[CmTopN]] true heavy hitters with their sketch estimates.
+    *
+    * Scale: the exact side is one vocabulary-keyed count with map-side
+    * combine; the sketch side is algebraic over d×w cells — as a raw
+    * ingest aggregate its state is 48 longs no matter the corpus (the
+    * same property that lets FM stream), and cells here sum the
+    * PRE-AGGREGATED per-term counts, so the explode factor d applies to
+    * the vocabulary, never the corpus. */
+  def countMinHh(s: SparkSession, d: String): DataFrame = {
+    val structs = (0 until CmD).map(r =>
+      s"named_struct('r', $r, 'bkt', ${cmBucketExpr("term", r)})")
+      .mkString(", ")
+    val keyed = documents(s, d)
+      .select(explode(expr(graft.ops.Text.toksExpr)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+      .select(col("term"), col("true_cnt"),
+        explode(expr(s"array($structs)")).as("rb"))
+      .select(col("term"), col("true_cnt"),
+        col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .localCheckpoint() // feeds the cell build AND the estimate join
+    val cells = keyed.groupBy(col("r"), col("bkt"))
+      .agg(sum(col("true_cnt")).as("cell_cnt"))
+    keyed.join(broadcast(cells), Seq("r", "bkt"))
+      .groupBy(col("term"), col("true_cnt"))
+      .agg(min(col("cell_cnt")).as("est_cnt"))
+      .withColumn("overest", col("est_cnt") - col("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term").asc)
+      .limit(CmTopN)
+  }
+
+  val countMinHhSql: String = {
+    val rows = (0 until CmD).map(r =>
+      s"""SELECT term, true_cnt, $r AS r, ${cmBucketSql("term", r)} AS bkt
+         |  FROM tc""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH tc AS MATERIALIZED (
+       |  SELECT term, count(*) AS true_cnt
+       |  FROM (SELECT unnest(${graft.ops.Text.toksSqlExpr}) AS term
+       |        FROM documents) GROUP BY 1),
+       |k AS MATERIALIZED (
+       |  $rows),
+       |cells AS (SELECT r, bkt, CAST(sum(true_cnt) AS BIGINT) AS cell_cnt
+       |          FROM k GROUP BY 1, 2)
+       |SELECT k.term, k.true_cnt, min(c.cell_cnt) AS est_cnt,
+       |  min(c.cell_cnt) - k.true_cnt AS overest
+       |FROM k JOIN cells c USING (r, bkt)
+       |GROUP BY 1, 2
+       |ORDER BY true_cnt DESC, term LIMIT $CmTopN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_bloom" -> (bloomMembership _),
-    "q30_fm_distinct" -> (fmDistinct _))
+    "q30_fm_distinct" -> (fmDistinct _),
+    "q96_countmin" -> (countMinHh _))
 
   val oracle: Map[String, String] = Map(
     "q29_bloom" -> bloomMembershipSql,
-    "q30_fm_distinct" -> fmDistinctSql)
+    "q30_fm_distinct" -> fmDistinctSql,
+    "q96_countmin" -> countMinHhSql)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.graph.GirvanNewman
+import graft.graph.{GirvanNewman, Graphs}
 
 class GraphSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -169,5 +169,27 @@ class GraphSpec extends AnyFunSuite {
     assert(comms.map(_.toSeq.sorted).toSet ==
       Set(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
     assert(q > 0.3, s"modularity of the 2-community split: $q")
+  }
+
+  test("k-core: triangle survives 2-core, pendant chain peels off") {
+    import spark.implicits._
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graphs.kcoreOn(ed, 2).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(got == Set((1L, true, 2L), (2L, true, 2L), (3L, true, 2L),
+      (4L, false, 0L), (5L, false, 0L)))
+  }
+
+  test("k-core: K4 is a 3-core; K4 minus an edge peels to nothing") {
+    import spark.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graphs.kcoreOn(k4, 3).collect().forall(_.getBoolean(1)))
+    // drop edge (3,4): degrees 3,3,2,2 → cascade empties the 3-core
+    val broken = (for (a <- 1L to 4L; b <- a + 1 to 4L
+                       if (a, b) != (3L, 4L)) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graphs.kcoreOn(broken, 3).collect().forall(!_.getBoolean(1)))
   }
 }

@@ -57,4 +57,19 @@ class SketchSpec extends AnyFunSuite {
       Streams.FmSketchAgg.reduce)
     assert(Streams.FmSketchAgg.merge(a, b).toSeq == union.toSeq)
   }
+
+  test("count-min never underestimates; collisions visible at w=16") {
+    val rows = Sketches.countMinHh(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // one-sided error: est ≥ true for every reported term
+    rows.foreach { case (t, c, e, o) =>
+      assert(e >= c, s"$t underestimated: est $e < true $c")
+      assert(o == e - c)
+    }
+    // 31 terms into 16 buckets ⇒ some cell must be shared in every row;
+    // with d=3 at least one reported term should still carry overcount
+    assert(rows.exists(_._4 > 0),
+      "no collisions at w=16 over a 31-term vocabulary — sketch wiring suspect")
+  }
 }
