@@ -783,7 +783,90 @@ object Relational {
        |WHERE a.day >= c.cohort_day
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** Rolling window length (days of history) and |z| flag threshold. */
+  val AnomalyWin = 7
+  val AnomalyZ = 2.0
+
+  /** q100: metric anomaly detection — per (event_type, day) counts
+    * scored against the TRAILING [[AnomalyWin]]-day window (frame ends
+    * at 1 PRECEDING, so a spike never suppresses itself); z-score from
+    * mean/variance, |z| ≥ [[AnomalyZ]] flags. The data-quality monitor
+    * a pipeline runs over its own ingest volumes.
+    *
+    * Cross-engine parity: mean/variance are derived from INTEGER
+    * window sums (Σx, Σx², frame-ordered, exact in both engines — a
+    * double window sum would drift under sliding-frame add/subtract
+    * evaluation), then combined with an identical double expression;
+    * stddev_samp() itself is never called (engines differ in summation
+    * algorithm). At 100 TB cell counts Σx² would need the decimal
+    * widening DuckDB applies automatically; day-grain cells at 1e12
+    * rows/day stay under 2^63 in Σx² only to ~3e9 per cell — swap the
+    * cnt² term to decimal(38,0) beyond that.
+    *
+    * Scale: one day×type-keyed aggregate (map-side combined), then a
+    * window over ≤ days-per-type rows per partition — bounded groups,
+    * no data-sized window. */
+  def dailyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-AnomalyWin, -1)
+    daily
+      .withColumn("n7", count(col("cnt")).over(w))
+      .withColumn("s7", sum(col("cnt")).over(w))
+      .withColumn("q7", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n7") === AnomalyWin)
+      .withColumn("mean7", col("s7").cast("double") / AnomalyWin)
+      .withColumn("var7",
+        (col("q7").cast("double")
+          - col("s7").cast("double") * col("s7") / AnomalyWin)
+          / (AnomalyWin - 1))
+      .withColumn("z",
+        when(col("var7") <= 0, lit(0.0))
+          .otherwise((col("cnt").cast("double") - col("mean7"))
+            / sqrt(col("var7"))))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (floor(col("mean7") * 1e4 + 0.5) / 1e4).as("mean7"),
+        (floor(col("z") * 1e4 + 0.5) / 1e4).as("z"),
+        (abs(col("z")) >= AnomalyZ).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val dailyAnomaliesSql: String = {
+    val (n, z) = (AnomalyWin, AnomalyZ)
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, day, cnt,
+       |    count(cnt) OVER w AS n7,
+       |    sum(cnt) OVER w AS s7,
+       |    sum(cnt * cnt) OVER w AS q7
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN $n PRECEDING AND 1 PRECEDING)),
+       |zc AS (
+       |  SELECT event_type, day, cnt,
+       |    CAST(s7 AS DOUBLE) / $n AS mean7,
+       |    (CAST(q7 AS DOUBLE) - CAST(s7 AS DOUBLE) * s7 / $n)
+       |      / ${n - 1} AS var7
+       |  FROM r WHERE n7 = $n),
+       |zs AS (
+       |  SELECT event_type, day, cnt, mean7,
+       |    CASE WHEN var7 <= 0 THEN 0.0
+       |         ELSE (CAST(cnt AS DOUBLE) - mean7) / sqrt(var7) END AS z
+       |  FROM zc)
+       |SELECT event_type, day, cnt,
+       |  floor(mean7 * 1e4 + 0.5) / 1e4 AS mean7,
+       |  floor(z * 1e4 + 0.5) / 1e4 AS z,
+       |  (abs(z) >= $z) AS is_anomaly
+       |FROM zs ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_daily_anomaly" -> (dailyAnomalies _),
     "q79_cohort_retention" -> (cohortRetention _),
     "q77_stratified_fixed" -> (stratifiedFixedN _),
     "q78_conversion_funnel" -> (conversionFunnel _),
@@ -821,6 +904,7 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q100_daily_anomaly" -> dailyAnomaliesSql,
     "q52_pivot_daily" -> pivotDailySql,
     "q53_setops" -> setOpsSql,
     "q54_running_totals" -> runningTotalsSql,

@@ -812,7 +812,65 @@ object Text {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Redaction pattern (ID-like digit runs) and replacement tag for
+    * q99. The pattern stays inside the regex subset RE2 (DuckDB) and
+    * java.util.regex (Spark) agree on — char classes, bounded repeats;
+    * no lookaround, no backrefs. */
+  val RedactPat = "[0-9]{3,}"
+  val RedactTag = "<ID>"
+
+  /** PII/ID scrubbing: replace every match of `pat` in `textCol` with
+    * `tag`, annotating each row with match and removed-char counts —
+    * the pre-training compliance pass (strip emails / phone numbers /
+    * account ids before the corpus ships). Pure map-side: three
+    * codegen'd regex expressions per row, no shuffle. */
+  def redactOn(df: DataFrame, textCol: String, pat: String,
+      tag: String): DataFrame =
+    df.withColumn("red", regexp_replace(col(textCol), pat, tag))
+      .withColumn("n_matches",
+        expr(s"regexp_count($textCol, '$pat')").cast("long"))
+      .withColumn("chars_removed",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), pat, ""))).cast("long"))
+
+  /** q99: redaction census over customer names (the one testdata
+    * column carrying ID-like digit runs) — per segment: rows touched,
+    * total matches, characters removed, and an order-independent XOR
+    * checksum of the REDACTED strings, so the oracle verifies the
+    * actual post-redaction bytes, not just the counts. */
+  def redactIds(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hashing
+    redactOn(customer(s, d), "c_name", RedactPat, RedactTag)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("n_matches") > 0, 1L).otherwise(0L)).as("n_redacted"),
+        sum(col("n_matches")).as("total_matches"),
+        sum(col("chars_removed")).as("chars_removed"),
+        expr(s"bit_xor(${Hashing.h60SparkSql("red")})").as("red_checksum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val redactIdsSql: String = {
+    import graft.functions.Hashing
+    s"""WITH r AS (
+       |  SELECT c_mktsegment,
+       |    regexp_replace(c_name, '$RedactPat', '$RedactTag', 'g') AS red,
+       |    len(regexp_extract_all(c_name, '$RedactPat')) AS n_matches,
+       |    length(c_name) -
+       |      length(regexp_replace(c_name, '$RedactPat', '', 'g'))
+       |      AS chars_removed
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_redacted,
+       |  CAST(sum(n_matches) AS BIGINT) AS total_matches,
+       |  CAST(sum(chars_removed) AS BIGINT) AS chars_removed,
+       |  bit_xor(${Hashing.h60Sql("red")}) AS red_checksum
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_redact_ids" -> (redactIds _),
     "q95_doc_chunks" -> (docChunks _),
     "q88_lm_quality" -> (lmQuality _),
     "q71_bigram_lm" -> (bigramLm _),
@@ -828,6 +886,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q99_redact_ids" -> redactIdsSql,
     "q95_doc_chunks" -> docChunksSql,
     "q88_lm_quality" -> lmQualitySql,
     "q71_bigram_lm" -> bigramLmSql,

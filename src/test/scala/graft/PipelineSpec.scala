@@ -443,4 +443,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall { case (_, idx, st, _) => st == 1 + idx * s })
     assert(w > s, "chunks must overlap for the coverage rule to hold")
   }
+
+  test("redactOn scrubs planted id runs and reports exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "user 12345 called 999 back from 42"),
+      (2L, "no ids in here")
+    ).toDF("id", "t")
+    val rows = Text.redactOn(df, "t", Text.RedactPat, Text.RedactTag)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("red"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("chars_removed")))).toMap
+    // 12345 and 999 match [0-9]{3,}; 42 is too short
+    assert(rows(1L) ==
+      (("user <ID> called <ID> back from 42", 2L, 8L)))
+    assert(rows(2L) == (("no ids in here", 0L, 0L)))
+  }
 }
