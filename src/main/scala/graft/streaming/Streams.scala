@@ -43,6 +43,32 @@ object Streams {
   : DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (attribution): each view joined to
+    * the same user's purchases landing within `horizon` AFTER the
+    * view. BOTH sides carry watermarks and the join condition carries
+    * the time-range predicate — exactly the two things Spark needs to
+    * bound the join state store: without them a stream-stream join
+    * buffers both streams forever; with them, rows beyond
+    * watermark + horizon are evicted each micro-batch. Inner join, so
+    * matches emit as soon as both sides arrive (no watermark-flush
+    * latency). The same code runs on batch frames — the predicate is
+    * ordinary SQL — which is what the parity test asserts. */
+  def attributeStream(views: DataFrame, purchases: DataFrame,
+      horizon: String = "30 seconds", watermark: String = "1 minute")
+  : DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p, col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("v_user").as("user_id"), col("view_ts"),
+        col("purchase_ts"))
+  }
+
   /** ST4: Flajolet–Martin sketch as a typed Aggregator — buffer is the
     * 40 per-hash maxima; merge is element-wise max, which is what makes
     * FM an algebraic aggregate (partial aggregation + shuffle merge,

@@ -291,4 +291,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.count(_._1 == 1L) == 2, "user 1 has two sessions")
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches batch; horizon excludes late buys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val views = Seq(
+      TestEv(new Timestamp(t0), 1, "view"),
+      TestEv(new Timestamp(t0), 3, "view"))
+    val buys = Seq(
+      TestEv(new Timestamp(t0 + 10000), 1, "purchase"),  // within 30s
+      TestEv(new Timestamp(t0 + 60000), 1, "purchase"),  // beyond 30s
+      TestEv(new Timestamp(t0 + 5000), 2, "purchase"))   // no view
+    val vMem = MemoryStream[TestEv]
+    val pMem = MemoryStream[TestEv]
+    val q = Streams.attributeStream(vMem.toDF(), pMem.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      vMem.addData(views: _*)
+      pMem.addData(buys: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      val batch = Streams.attributeStream(views.toDF(), buys.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed == Set((1L, new Timestamp(t0),
+        new Timestamp(t0 + 10000))))
+    } finally q.stop()
+  }
 }
