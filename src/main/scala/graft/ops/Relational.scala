@@ -842,8 +842,8 @@ object Relational {
        |r AS (
        |  SELECT event_type, day, cnt,
        |    count(cnt) OVER w AS n7,
-       |    sum(cnt) OVER w AS s7,
-       |    sum(cnt * cnt) OVER w AS q7
+       |    CAST(sum(cnt) OVER w AS BIGINT) AS s7,
+       |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS q7
        |  FROM daily
        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
        |               ROWS BETWEEN $n PRECEDING AND 1 PRECEDING)),
@@ -865,7 +865,182 @@ object Relational {
        |FROM zs ORDER BY 1, 2""".stripMargin
   }
 
+  // --------------------------------------------------------------- q101
+  /** q101: SCD type-2 history build (gaps-and-islands) — per user,
+    * consecutive runs of the same `event_type` collapsed into
+    * [from_us, to_us] validity intervals with a run ordinal and run
+    * length. This is the dimension-history shape every warehouse MERGE
+    * produces: detect attribute change vs the previous row, number the
+    * runs with a running change count, aggregate each run to one
+    * interval row.
+    *
+    * Determinism: the row order inside a user is the total key
+    * (epoch-micros, event_id) — event_id is unique, so lag() and the
+    * running sum are engine-independent.
+    *
+    * Scale: both windows partition by user_id — state is one lag value
+    * / one running counter, and a partition holds one user's history
+    * (the same boundedness class as q14's per-custkey window). The
+    * final aggregate is keyed by (user, seg) and map-side combines. A
+    * 100 TB ingest would pre-bucket events by (user_id, month) and
+    * stitch the one boundary run per bucket pair — the island logic is
+    * unchanged. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsl"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull
+          .or(lag(col("event_type"), 1).over(byUser) =!= col("event_type")),
+          1L).otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(byUser))
+      .groupBy(col("user_id"), col("seg"), col("event_type"))
+      .agg(min(col("tsl")).as("from_us"), max(col("tsl")).as("to_us"),
+        count(lit(1)).as("n_in_run"))
+      .orderBy(col("user_id"), col("seg"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsl,
+      |    lag(event_type) OVER w AS prev_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |seg AS (
+      |  SELECT user_id, event_type, tsl,
+      |    CAST(sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tsl, event_id)
+      |      AS BIGINT) AS seg
+      |  FROM o)
+      |SELECT user_id, seg, event_type,
+      |  min(tsl) AS from_us, max(tsl) AS to_us,
+      |  count(*) AS n_in_run
+      |FROM seg GROUP BY 1, 2, 3 ORDER BY user_id, seg""".stripMargin
+
+  // --------------------------------------------------------------- q102
+  /** q102: time-series resample / gap-fill — per event type, the daily
+    * count series with every missing calendar day materialized as an
+    * explicit zero row (`filled` marks synthesized rows). Sparse
+    * event streams need this densification before any rolling-window
+    * model (q100's trailing frame, for one) is meaningful: a ROWS
+    * frame over a gappy series silently spans the gaps.
+    *
+    * The day spine is generated per type from its own [min, max] day
+    * via `sequence()` + explode — O(span) rows per type, no driver
+    * loop, no cross join against a global calendar table.
+    *
+    * Scale: the aggregate before the spine join is (type, day)-keyed
+    * and map-side combines, so the join operands are cell-sized, not
+    * event-sized; the spine side is types × span rows. Both sides are
+    * tiny relative to the corpus at any scale factor. */
+  /** q102 tracks the rare tail (value > [[GapFillMinValue]]) so the
+    * series actually HAS gaps at every test scale factor — a dense
+    * series would leave the fill path unexercised. */
+  val GapFillMinValue = 200.0
+
+  def gapFillDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("value") > GapFillMinValue)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("cnt").isNull.as("filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val gapFillDailySql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events WHERE value > $GapFillMinValue GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(min(day), max(day),
+      |      INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY event_type)
+      |SELECT s.event_type, s.day,
+      |  CAST(coalesce(d.cnt, 0) AS BIGINT) AS cnt,
+      |  (d.cnt IS NULL) AS filled
+      |FROM spine s LEFT JOIN daily d
+      |  ON d.event_type = s.event_type AND d.day = s.day
+      |ORDER BY s.event_type, s.day""".stripMargin
+
+  // --------------------------------------------------------------- q104
+  /** Bits per dimension in the q104 z-value (8 ⇒ 16-bit z). */
+  val ZBits = 8
+
+  /** Block granularity: z >> ZBlockShift groups 64 z-cells per block. */
+  val ZBlockShift = 6
+
+  /** q104: Z-order (Morton) layout clustering — the data-layout side
+    * of scan efficiency. Each part is mapped to a z-value interleaving
+    * the bits of p_size and a price bucket; sorting by z co-locates
+    * rows that are close in BOTH dimensions, so per-file min/max
+    * statistics stay tight on either column and a 2-D predicate can
+    * skip most blocks. The query reports, per 64-cell z-block, the row
+    * count and the min/max of each dimension — exactly the footer
+    * stats a parquet writer would persist after `ORDER BY z`.
+    *
+    * The interleave is a closed-form integer expression (16 shift/mask
+    * terms, whole-stage-codegen'd, bit-identical in DuckDB); at scale
+    * this feeds `repartitionByRange(z)` + sortWithinPartitions before
+    * the write — layout, not a new operator, so the plan is one
+    * map-side projection plus a block-keyed aggregate. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val mask = (1 << ZBits) - 1
+    def interleave(x: String, y: String): String =
+      (0 until ZBits).flatMap { i =>
+        Seq(s"shiftleft(shiftright($x, $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
+      }.mkString(" + ")
+    part(s, d)
+      .select(
+        (col("p_size").cast("long") % lit(mask + 1)).as("sx"),
+        // price domain is [900, 1000) in the testdata; 1-unit buckets
+        // use the full 8-bit range the interleave can index
+        greatest(least(floor(col("p_retailprice") - 900.0).cast("long"),
+          lit(mask.toLong)), lit(0L)).as("py"))
+      .withColumn("z", expr(interleave("sx", "py")))
+      .groupBy(shiftright(col("z"), ZBlockShift).as("zblock"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("sx")).as("min_size"), max(col("sx")).as("max_size"),
+        min(col("py")).as("min_pb"), max(col("py")).as("max_pb"))
+      .orderBy(col("zblock"))
+  }
+
+  val zorderLayoutSql: String = {
+    val mask = (1 << ZBits) - 1
+    def interleave(x: String, y: String): String =
+      (0 until ZBits).flatMap { i =>
+        Seq(s"((($x >> $i) & 1) << ${2 * i})",
+          s"((($y >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT CAST(p_size AS BIGINT) % ${mask + 1} AS sx,
+       |    greatest(least(CAST(floor(p_retailprice - 900.0) AS BIGINT),
+       |      $mask), 0) AS py
+       |  FROM part),
+       |zv AS (SELECT sx, py, ${interleave("sx", "py")} AS z FROM dims)
+       |SELECT (z >> $ZBlockShift) AS zblock,
+       |  count(*) AS cnt,
+       |  min(sx) AS min_size, max(sx) AS max_size,
+       |  min(py) AS min_pb, max(py) AS max_pb
+       |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_scd2_history" -> (scd2History _),
+    "q102_gap_fill" -> (gapFillDaily _),
+    "q104_zorder" -> (zorderLayout _),
     "q100_daily_anomaly" -> (dailyAnomalies _),
     "q79_cohort_retention" -> (cohortRetention _),
     "q77_stratified_fixed" -> (stratifiedFixedN _),
@@ -904,6 +1079,9 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q101_scd2_history" -> scd2HistorySql,
+    "q102_gap_fill" -> gapFillDailySql,
+    "q104_zorder" -> zorderLayoutSql,
     "q100_daily_anomaly" -> dailyAnomaliesSql,
     "q52_pivot_daily" -> pivotDailySql,
     "q53_setops" -> setOpsSql,

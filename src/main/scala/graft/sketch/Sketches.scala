@@ -227,13 +227,89 @@ object Sketches {
        |ORDER BY true_cnt DESC, term LIMIT $CmTopN""".stripMargin
   }
 
+  // --------------------------------------------------------------- q103
+  /** Runtime-filter bitmap size (bits) and hash count. m is sized for
+    * a dimension slice, not the fact table — the bitmap is m/64 longs
+    * regardless of corpus size, which is the whole point. */
+  val RfM = 8192
+  val RfK = 4
+  val RfSeeds: Seq[(Long, Long)] = Hashing.seeds(RfK, salt = 103L)
+  /** Build-side predicate for the q103 demonstration join. */
+  val RfBrand = "Brand#4"
+
+  /** q103: broadcast Bloom runtime-filter join — the join-pruning
+    * pattern big engines inject automatically (Spark's own
+    * `InjectRuntimeFilter`, here built from first principles so the
+    * mechanics are visible and oracle-checkable). Per-brand revenue
+    * restricted to one brand's parts, computed as:
+    *
+    *   1. build: hash the dimension slice's join keys into a fixed
+    *      m-bit Bloom bitmap. The build DATA may grow with the corpus,
+    *      but the aggregated state is ≤ m distinct bit positions —
+    *      collected and packed into m/64 longs, summary-sized at any
+    *      scale (same argument as q29's position set).
+    *   2. probe: a pure map-side projection tests each fact row's k
+    *      positions against the bitmap LITERAL — no explode, no join,
+    *      whole-stage-codegen'd — so ~24/25 of the fact table dies
+    *      before the join shuffle. False positives survive;
+    *      false negatives cannot happen.
+    *   3. verify: the surviving sliver broadcast-joins the exact
+    *      dimension slice, which removes the false positives.
+    *
+    * The oracle replays the PLAIN filtered join — the runtime filter
+    * must change the plan, never the answer (same contract as q73's
+    * salting). At 100 TB this is the difference between shuffling the
+    * whole fact table into a join and shuffling a brand-sized sliver;
+    * with bucketed layout the prefilter also prunes entire files via
+    * min/max stats on the hash-clustered key. */
+  def bloomFilterJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val dim = part(s, d).filter(col("p_brand") === RfBrand)
+      .select(col("p_partkey"), col("p_type"))
+    val posArr = "array(" + RfSeeds.map { case (a, b) =>
+      s"($a * ${Hashing.h31SparkSql("p_partkey")} + $b) % $RfM"
+    }.mkString(", ") + ")"
+    // aggregated sketch state: ≤ RfM distinct positions → RfM/64 longs
+    val bitmap = new Array[Boolean](RfM)
+    dim.select(explode(expr(posArr)).as("pos")).distinct()
+      .collect().foreach(r => bitmap(r.getLong(0).toInt) = true)
+    val bm = typedLit(bitmap.toSeq)
+    val probe = lineitem(s, d)
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev"))
+      .withColumn("hk", expr(Hashing.h31SparkSql("l_partkey")))
+    val passes = RfSeeds.map { case (a, b) =>
+      element_at(bm,
+        ((lit(a) * col("hk") + lit(b)) % RfM + 1).cast("int"))
+    }.reduce(_ && _)
+    probe.filter(passes)
+      .join(bcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg((floor(sum(col("rev")).cast("double") * 1e2 + 0.5) / 1e2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_type"))
+  }
+
+  val bloomFilterJoinSql: String =
+    s"""SELECT p_type,
+       |  floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+       |    AS DECIMAL(18,6))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = '$RfBrand'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_bloom" -> (bloomMembership _),
     "q30_fm_distinct" -> (fmDistinct _),
-    "q96_countmin" -> (countMinHh _))
+    "q96_countmin" -> (countMinHh _),
+    "q103_bloom_join" -> (bloomFilterJoin _))
 
   val oracle: Map[String, String] = Map(
     "q29_bloom" -> bloomMembershipSql,
     "q30_fm_distinct" -> fmDistinctSql,
-    "q96_countmin" -> countMinHhSql)
+    "q96_countmin" -> countMinHhSql,
+    "q103_bloom_join" -> bloomFilterJoinSql)
 }

@@ -192,4 +192,88 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).sorted
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("q101 SCD2 intervals tile each user's history without overlap") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q101_scd2_history")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seg"),
+        r.getAs[String]("event_type"), r.getAs[Long]("from_us"),
+        r.getAs[Long]("to_us"), r.getAs[Long]("n_in_run")))
+    // run count per user == events per user; brute-force re-derivation
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("tsl")))
+      .groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (uid, segs) =>
+      val hist = raw(uid).sortBy(e => (e._4, e._2))
+      // brute-force islands on the totally-ordered history
+      val runs = hist.foldLeft(List.empty[(String, Long, Long, Long)]) {
+        case (acc, (_, _, t, ts)) => acc match {
+          case (pt, f, _, n) :: rest if pt == t => (pt, f, ts, n + 1) :: rest
+          case _ => (t, ts, ts, 1L) :: acc
+        }
+      }.reverse
+      val got = segs.sortBy(_._2).map(s => (s._3, s._4, s._5, s._6)).toList
+      assert(got == runs, s"user $uid island mismatch")
+      // segs number 1..k densely
+      assert(segs.map(_._2).sorted.toSeq == (1L to runs.size).toSeq)
+    }
+  }
+
+  test("q102 gap-fill: dense spine, zeros only on synthesized days") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q102_gap_fill")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[Long]("cnt"), r.getAs[Boolean]("filled")))
+    rows.groupBy(_._1).foreach { case (t, days) =>
+      val sorted = days.sortBy(_._2.toEpochDay)
+      // no calendar holes: consecutive rows differ by exactly one day
+      sorted.sliding(2).foreach {
+        case Array((_, d1, _, _), (_, d2, _, _)) =>
+          assert(d2.toEpochDay == d1.toEpochDay + 1, s"$t hole at $d1→$d2")
+        case _ => ()
+      }
+      // endpoints are real observations, filled ⇔ cnt == 0
+      assert(!sorted.head._4 && !sorted.last._4)
+      sorted.foreach { case (_, d, cnt, filled) =>
+        assert(filled == (cnt == 0L), s"$t $d filled/cnt disagree")
+      }
+    }
+    // the slice is sparse enough that the fill path actually runs
+    assert(rows.exists(_._4), "no gap was filled — slice too dense")
+  }
+
+  test("q104 z-values match a driver-side interleave; blocks are tight") {
+    import org.apache.spark.sql.functions._
+    def morton(x: Long, y: Long): Long =
+      (0 until graft.ops.Relational.ZBits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_size").cast("long").as("sx"),
+        greatest(least(floor(col("p_retailprice") - 900.0).cast("long"),
+          lit(255L)), lit(0L)).as("py"))
+      .collect().map(r => (r.getLong(0) % 256L, r.getLong(1)))
+    val blocks = parts.groupBy { case (sx, py) => morton(sx, py) >> 6 }
+    val got = SparkEntry.queries("q104_zorder")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("zblock") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("min_size"),
+          r.getAs[Long]("max_size"), r.getAs[Long]("min_pb"),
+          r.getAs[Long]("max_pb"))).toMap
+    assert(got.keySet == blocks.keySet)
+    blocks.foreach { case (zb, members) =>
+      val (cnt, mns, mxs, mnp, mxp) = got(zb)
+      assert(cnt == members.size)
+      assert((mns, mxs) == (members.map(_._1).min, members.map(_._1).max))
+      assert((mnp, mxp) == (members.map(_._2).min, members.map(_._2).max))
+      // the z-order locality guarantee a 64-cell block provides: an
+      // 8×8 Morton tile spans at most 8 cells per dimension
+      assert(mxs - mns <= 7 && mxp - mnp <= 7, s"block $zb not tight")
+    }
+  }
 }

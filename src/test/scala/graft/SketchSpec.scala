@@ -72,4 +72,54 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.exists(_._4 > 0),
       "no collisions at w=16 over a 31-term vocabulary — sketch wiring suspect")
   }
+
+  test("q103 bloom runtime-filter join is bit-identical to the plain join") {
+    import org.apache.spark.sql.functions._
+    import graft.sketch.Sketches
+    val got = SparkEntry.queries("q103_bloom_join")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_brand") === Sketches.RfBrand),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg((floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double") * 1e2 + 0.5) / 1e2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("p_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == plain)
+  }
+
+  test("q103 prefilter has no false negatives and real selectivity") {
+    import org.apache.spark.sql.functions._
+    import graft.sketch.Sketches._
+    val dim = Tables.part(spark, sfDir).filter(col("p_brand") === RfBrand)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val posArr = "array(" + RfSeeds.map { case (a, b) =>
+      s"($a * ${graft.functions.Hashing.h31SparkSql("p_partkey")} + $b) % $RfM"
+    }.mkString(", ") + ")"
+    val bitmap = new Array[Boolean](RfM)
+    Tables.part(spark, sfDir).filter(col("p_brand") === RfBrand)
+      .select(explode(expr(posArr)).as("pos")).distinct()
+      .collect().foreach(r => bitmap(r.getLong(0).toInt) = true)
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"))
+      .withColumn("hk", expr(graft.functions.Hashing.h31SparkSql("l_partkey")))
+      .withColumn("pass", RfSeeds.map { case (a, b) =>
+        element_at(typedLit(bitmap.toSeq),
+          ((lit(a) * org.apache.spark.sql.functions.col("hk") + lit(b))
+            % RfM + 1).cast("int"))
+      }.reduce(_ && _))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    // no false negatives: every true-member row passes
+    keys.filter(k => dim.contains(k._1)).foreach { case (k, p) =>
+      assert(p, s"false negative on partkey $k")
+    }
+    // the filter actually filters: most non-members die before the join
+    val nonMembers = keys.filterNot(k => dim.contains(k._1))
+    if (nonMembers.nonEmpty) {
+      val fpr = nonMembers.count(_._2).toDouble / nonMembers.size
+      assert(fpr < 0.2, f"runtime-filter FPR $fpr%.3f too high")
+    }
+  }
 }
