@@ -1037,7 +1037,206 @@ object Relational {
        |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q105
+  /** q105: batch attribution interval join — each `view` event joined
+    * to the same user's `purchase` events landing within
+    * [[AttributionHorizon]] AFTER the view, rolled up per view-day.
+    * This is the BATCH form of `streaming.Streams.attributeStream`
+    * (literally the same function: `withWatermark` on a batch frame is
+    * erased by Catalyst's EliminateEventTimeWatermark, the range
+    * predicate is ordinary SQL), so the oracle that hash-verifies this
+    * query also pins the semantics of the stream-stream join whose
+    * batch/stream equivalence StreamingSpec asserts.
+    *
+    * Scale: the join is EQUI on user_id with the time range as a
+    * residual predicate — a hash join keyed by user, never a nested
+    * loop; per-key work is bounded by one user's activity inside the
+    * horizon. In the streaming form the same predicate plus the two
+    * watermarks is what bounds the join state store. */
+  val AttributionHorizon = "1 hour"
+
+  def attributionDaily(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val pairs = graft.streaming.Streams.attributeStream(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")),
+      horizon = AttributionHorizon)
+    pairs
+      .groupBy(to_date(col("view_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("total_delay_us"))
+      .orderBy(col("day"))
+  }
+
+  val attributionDailySql: String =
+    s"""WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+       |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+       |SELECT CAST(v.ts AS DATE) AS day, count(*) AS n_pairs,
+       |  count(DISTINCT v.user_id) AS n_users,
+       |  CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT)
+       |    AS total_delay_us
+       |FROM v JOIN p ON p.user_id = v.user_id
+       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL $AttributionHorizon
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q106
+  /** q106: CUBE over (order priority, order year) with grouping_id —
+    * completes the grouping-sets family next to q47's ROLLUP. All four
+    * aggregation lattices come out of ONE shuffle (Spark expands the
+    * grouping sets map-side, so the fact scan runs once); decimal-cast
+    * revenue terms keep the sums order-independent across engines and
+    * partitionings, and the explicit grouping_id distinguishes a NULL
+    * group value from the aggregated slot at any data distribution
+    * (both engines put the first cube column in the high bit). */
+  def cubeRevenue(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderpriority"), year(col("o_orderdate")).as("o_year"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        (floor(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double") * 1e2 + 0.5) / 1e2).as("revenue"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_year").asc_nulls_first)
+
+  val cubeRevenueSql: String =
+    """WITH o AS (SELECT o_orderpriority, year(o_orderdate) AS o_year,
+      |                  o_totalprice FROM orders)
+      |SELECT o_orderpriority, o_year,
+      |  GROUPING(o_orderpriority, o_year) AS gid,
+      |  count(*) AS n_orders,
+      |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    * 1e2 + 0.5) / 1e2 AS revenue
+      |FROM o GROUP BY CUBE (o_orderpriority, o_year)
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_year NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q107
+  /** q107: incremental aggregate maintenance — the algebraic-merge
+    * contract behind every incremental pipeline: aggregate the base
+    * slice (days before [[IvmSplitDay]]) and the delta slice
+    * independently, then MERGE the partial states (counts add, decimal
+    * sums add, mins/maxes combine) instead of re-scanning the base.
+    * The oracle recomputes from the full table, so the gate proves
+    * merged-state ≡ full-recompute bit-for-bit (decimal sums make the
+    * merge order-immaterial). At 100 TB this is the difference between
+    * an O(delta) nightly refresh and an O(corpus) one — and the same
+    * merge law is what makes these aggregates partial-aggregable
+    * inside Spark's own two-phase hash aggregation. */
+  val IvmSplitDay = "2024-01-20"
+
+  def incrementalAggMerge(s: SparkSession, d: String): DataFrame = {
+    def slice(pred: Column): DataFrame =
+      events(s, d).filter(pred)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(24,6)")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val split = to_date(lit(IvmSplitDay))
+    val base = slice(to_date(col("ts")) < split)
+    val delta = slice(to_date(col("ts")) >= split)
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        (floor(sum(col("sv")).cast("double") * 1e4 + 0.5) / 1e4)
+          .as("total_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val incrementalAggMergeSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  floor(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+      |    * 1e4 + 0.5) / 1e4 AS total_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q109
+  /** q109: join-key skew profiler — the measurement you run BEFORE
+    * choosing a join strategy at scale. Per-key counts of
+    * lineitem.l_partkey (map-side-combining aggregate, ndv-sized
+    * output), a scalar summary (total rows / distinct keys) broadcast
+    * back, and the top-[[SkewTopK]] hottest keys with their
+    * basis-point share and an integer-exact `hot` verdict
+    * (cnt · [[SkewHotFactor]] > total — the "salt this key" trigger,
+    * no FP compare). The top-k is a TakeOrdered over the counted frame
+    * (O(k) per partition), never a global sort; ties at the cut are
+    * broken by key so the limit is deterministic on both engines. */
+  val SkewTopK = 5
+  val SkewHotFactor = 1000L // hot ⇔ key share > 1/1000 of all rows
+
+  def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("ndv"))
+    counts.orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(SkewTopK)
+      .crossJoin(broadcast(totals)) // 1-row scalar frame
+      .select(col("l_partkey"), col("cnt"), col("total"), col("ndv"),
+        (floor(col("cnt").cast("double") / col("total") * 1e4 * 1e2 + 0.5)
+          / 1e2).as("share_bp"),
+        (col("cnt") * lit(SkewHotFactor) > col("total")).as("hot"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+  }
+
+  val skewProfileSql: String =
+    s"""WITH counts AS (
+       |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS ndv
+       |  FROM counts),
+       |top AS (
+       |  SELECT * FROM counts ORDER BY cnt DESC, l_partkey LIMIT $SkewTopK)
+       |SELECT l_partkey, cnt, total, ndv,
+       |  floor(CAST(cnt AS DOUBLE) / total * 1e4 * 1e2 + 0.5) / 1e2
+       |    AS share_bp,
+       |  (cnt * $SkewHotFactor > total) AS hot
+       |FROM top CROSS JOIN totals
+       |ORDER BY cnt DESC, l_partkey""".stripMargin
+
+  // --------------------------------------------------------------- q112
+  /** q112: changelog → latest-state compaction (the CDC "current
+    * snapshot" materialization): per user, the most recent event on
+    * the (ts, event_id) total order. Implemented as a max-of-struct
+    * aggregate — O(1) state per key, map-side combining — NOT a
+    * row_number window, which would sort every key's full history in
+    * one task; at changelog scale the aggregate form is the one that
+    * survives (it is also exactly how a streaming state store keeps
+    * "latest per key"). The struct's (tsl, event_id) prefix is unique,
+    * so the trailing payload fields never decide a comparison. The
+    * oracle replays the window form, proving aggregate ≡ window. */
+  def latestState(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tsl"),
+          col("event_id"), col("event_type"), col("value")).as("st"))
+      .groupBy(col("user_id"))
+      .agg(max(col("st")).as("st"))
+      .select(col("user_id"), col("st.tsl").as("last_ts_us"),
+        col("st.event_id").as("last_event_id"),
+        col("st.event_type").as("last_type"),
+        col("st.value").as("last_value"))
+      .orderBy(col("user_id"))
+
+  val latestStateSql: String =
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) AS tsl, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, tsl AS last_ts_us, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_attribution" -> (attributionDaily _),
+    "q106_cube_revenue" -> (cubeRevenue _),
+    "q107_incremental_agg" -> (incrementalAggMerge _),
+    "q109_skew_profile" -> (skewProfile _),
+    "q112_latest_state" -> (latestState _),
     "q101_scd2_history" -> (scd2History _),
     "q102_gap_fill" -> (gapFillDaily _),
     "q104_zorder" -> (zorderLayout _),
@@ -1079,6 +1278,11 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q105_attribution" -> attributionDailySql,
+    "q106_cube_revenue" -> cubeRevenueSql,
+    "q107_incremental_agg" -> incrementalAggMergeSql,
+    "q109_skew_profile" -> skewProfileSql,
+    "q112_latest_state" -> latestStateSql,
     "q101_scd2_history" -> scd2HistorySql,
     "q102_gap_fill" -> gapFillDailySql,
     "q104_zorder" -> zorderLayoutSql,

@@ -276,4 +276,106 @@ class RelationalSpec extends AnyFunSuite {
       assert(mxs - mns <= 7 && mxp - mnp <= 7, s"block $zb not tight")
     }
   }
+
+  test("q105 attribution matches an independently-written range join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"), to_date(col("ts")).as("day"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("tsl").as("vt"), col("day"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("tsl").as("pt"))
+    val want = v.join(p, Seq("u"))
+      .filter(col("pt") >= col("vt") &&
+        col("pt") <= col("vt") + lit(3600L * 1000000L))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("u")).as("n_users"),
+        sum(col("pt") - col("vt")).as("total_delay_us"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = SparkEntry.queries("q105_attribution")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no attribution pairs at sf0.001")
+  }
+
+  test("q106 cube lattice is internally consistent") {
+    val rows = SparkEntry.queries("q106_cube_revenue")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("gid"),
+        Option(r.getAs[String]("o_orderpriority")),
+        Option(r.get(r.fieldIndex("o_year"))),
+        r.getAs[Long]("n_orders"), r.getAs[Double]("revenue")))
+    val byGid = rows.groupBy(_._1)
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L) // grand total: exactly one row, both keys null
+    assert(total.length == 1 && total.head._2.isEmpty && total.head._3.isEmpty)
+    // every marginal sums to the same grand-total count
+    for (g <- Seq(0L, 1L, 2L))
+      assert(byGid(g).map(_._4).sum == total.head._4, s"gid=$g count drift")
+    // gid encodes exactly which keys are aggregated away
+    rows.foreach { case (gid, pri, yr, _, _) =>
+      assert(pri.isEmpty == ((gid & 2L) != 0), s"gid=$gid priority slot")
+      assert(yr.isEmpty == ((gid & 1L) != 0), s"gid=$gid year slot")
+    }
+  }
+
+  test("q107 merged partial aggregates equal a single-pass recompute") {
+    import org.apache.spark.sql.functions._
+    val want = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum(col("value").cast("decimal(24,6)")).cast("double")
+          * 1e4 + 0.5) / 1e4).as("total_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val got = SparkEntry.queries("q107_incremental_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == want)
+    // the split actually bisects the data — both slices non-empty —
+    // otherwise the merge path degenerates to a plain aggregate
+    val split = java.sql.Date.valueOf(graft.ops.Relational.IvmSplitDay)
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.filter(to_date(col("ts")) < lit(split)).limit(1).count() == 1)
+    assert(ev.filter(to_date(col("ts")) >= lit(split)).limit(1).count() == 1)
+  }
+
+  test("q109 skew profile matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val want = counts.sortBy { case (k, c) => (-c, k) }
+      .take(graft.ops.Relational.SkewTopK)
+      .map { case (k, c) =>
+        (k, c, total, counts.length.toLong,
+          math.floor(c.toDouble / total * 1e4 * 1e2 + 0.5) / 1e2,
+          c * graft.ops.Relational.SkewHotFactor > total)
+      }.toSeq
+    val got = SparkEntry.queries("q109_skew_profile")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == want)
+  }
+
+  test("q112 latest-state aggregate equals the window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsl").desc, col("event_id").desc)
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    val got = SparkEntry.queries("q112_latest_state")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(got == want)
+  }
 }
