@@ -591,7 +591,68 @@ object Graphs {
        |ORDER BY n.node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q108
+  /** q108: local clustering coefficient — per node on the bounded
+    * subgraph: degree, triangle membership count, and
+    * lcc = 2·t / (deg·(deg−1)) at 6 dp (0 when deg < 2). The per-node
+    * refinement of q34's global count: the same canonical a<b<c
+    * triangle join, then each triangle credits its three corners via a
+    * UNION ALL explode — edge-list-sized shuffles only, and the
+    * coefficient arithmetic is one integer-exact ratio pushed through
+    * a double division written identically in both engines. Nodes in
+    * no triangle surface through the left join with lcc 0, not by
+    * dropping out. */
+  def localClustering(s: SparkSession, d: String): DataFrame =
+    localClusteringOn(edges(s, d, Some(SubNations), SubThreshold))
+
+  /** q108 over an arbitrary canonical (src < dst) edge list. */
+  def localClusteringOn(edgeList: DataFrame): DataFrame = {
+    // edge list referenced four times (degree + 3-way triangle join)
+    val ed = edgeList.localCheckpoint()
+    val deg = undirected(ed)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val e1 = ed.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = ed.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = ed.select(col("src").as("a"), col("dst").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val corners = tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc", when(col("degree") < 2, lit(0.0))
+        .otherwise(floor((col("n_tri") * 2).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double")
+          * 1e6 + 0.5) / 1e6))
+      .orderBy(col("node"))
+  }
+
+  val localClusteringSql: String =
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)},
+       |deg AS (SELECT src AS node, count(*) AS degree FROM ue GROUP BY 1),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
+       |             JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (
+       |  SELECT node, count(*) AS n_tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1)
+       |SELECT d.node, d.degree,
+       |  CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CASE WHEN d.degree < 2 THEN 0.0
+       |    ELSE floor(CAST(coalesce(c.n_tri, 0) * 2 AS DOUBLE)
+       |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       |      * 1e6 + 0.5) / 1e6 END AS lcc
+       |FROM deg d LEFT JOIN corners c ON c.node = d.node
+       |ORDER BY d.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_local_clustering" -> (localClustering _),
     "q97_kcore" -> (kcore _),
     "q33_degree_hist" -> (degreeHist _),
     "q34_triangles" -> (triangles _),
@@ -602,6 +663,7 @@ object Graphs {
     "q91_ppr" -> (personalizedPagerank _))
 
   val oracle: Map[String, String] = Map(
+    "q108_local_clustering" -> localClusteringSql,
     "q97_kcore" -> kcoreSql,
     "q33_degree_hist" -> degreeHistSql,
     "q34_triangles" -> trianglesSql,

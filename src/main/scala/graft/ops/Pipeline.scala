@@ -855,7 +855,71 @@ object Pipeline {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q111
+  /** Vocabulary cap for q111 (the top-V truncation every real
+    * tokenizer applies). */
+  val VocabTopV = 20
+
+  /** q111: frequency-ordered vocabulary encoding — the tokenizer-prep
+    * pass: global token counts (shared [[Text.toksExpr]] tokenizer),
+    * the top-[[VocabTopV]] tokens assigned dense ids 0..V−1 by
+    * (count desc, token asc), plus each prefix's cumulative corpus
+    * coverage — the curve that decides where to cut a vocab.
+    *
+    * Scale: the count aggregate map-side combines to vocabulary-sized
+    * state; the top-V is a TakeOrdered (O(V) per partition, never a
+    * global sort); the id/coverage windows run over the V-row frame
+    * only; the corpus-wide token total is ONE scalar broadcast back.
+    * Deterministic ties (token asc) keep the cut and the ids identical
+    * in both engines. */
+  def vocabEncode(s: SparkSession, d: String): DataFrame =
+    vocabEncodeOn(documents(s, d))
+
+  /** q111 over a caller-supplied (doc_id, text) corpus. */
+  def vocabEncodeOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(expr(Text.toksExpr)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      // two consumers (scalar total + top-V): pin the vocab-sized frame
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(VocabTopV)
+      .crossJoin(broadcast(totals)) // 1-row scalar frame
+      .withColumn("id", row_number().over(w) - 1)
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("id"), col("token"), col("cnt"),
+        (floor(col("cum").cast("double") / col("total_tokens")
+          .cast("double") * 1e6 + 0.5) / 1e6).as("coverage"))
+      .orderBy(col("id"))
+  }
+
+  val vocabEncodeSql: String =
+    s"""WITH counts AS (
+       |  SELECT token, count(*) AS cnt FROM (
+       |    SELECT unnest(${Text.toksSqlExpr}) AS token FROM documents)
+       |  GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
+       |top AS (
+       |  SELECT token, cnt FROM counts
+       |  ORDER BY cnt DESC, token LIMIT $VocabTopV),
+       |ranked AS (
+       |  SELECT token, cnt,
+       |    CAST(row_number() OVER w - 1 AS INT) AS id,
+       |    CAST(sum(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum
+       |  FROM top
+       |  WINDOW w AS (ORDER BY cnt DESC, token))
+       |SELECT id, token, cnt,
+       |  floor(CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 AS coverage
+       |FROM ranked CROSS JOIN totals
+       |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_vocab_encode" -> (vocabEncode _),
     "q98_snapshot_diff" -> (snapshotDiff _),
     "q86_train_pipeline" -> (trainPipeline _),
     "q84_shard_manifest" -> (shardManifest _),
@@ -872,6 +936,7 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q111_vocab_encode" -> vocabEncodeSql,
     "q98_snapshot_diff" -> snapshotDiffSql,
     "q86_train_pipeline" -> trainPipelineSql,
     "q84_shard_manifest" -> shardManifestSql,

@@ -301,15 +301,106 @@ object Sketches {
        |WHERE p_brand = '$RfBrand'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q110 bin count — 128 bins keeps the bucket error ≤ range/128. */
+  val AqBins = 128
+  /** q110 probe quantiles (string keys keep the literal exact). */
+  val AqQuantiles = Seq("0.5", "0.9", "0.99")
+
+  // --------------------------------------------------------------- q110
+  /** q110: approximate quantiles via a fixed-bin histogram — the
+    * two-phase mergeable-summary shape that replaces an exact global
+    * sort at corpus scale: (1) scalar min/max, broadcast; (2) a
+    * [[AqBins]]-bin equi-width histogram (map-side combining, state =
+    * 128 counters per partition — mergeable by addition, so the same
+    * summary works as a streaming accumulator); (3) quantile read-off
+    * by linear interpolation inside the target bin. Exact percentiles
+    * are q48; this is the path whose cost is O(data) + O(bins) with NO
+    * data-sized shuffle or sort at any scale.
+    *
+    * Everything after the histogram runs on a 128-row frame: the
+    * cumulative window, the target-rank join, the interpolation. The
+    * binning expression reuses q74's proven operand order and every
+    * double step is written identically in the oracle, so the estimate
+    * is bit-identical, not approximately equal. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = events(s, d).agg(min(col("value")).as("mn"),
+      max(col("value")).as("mx"), count(lit(1)).as("n"))
+    val hist = events(s, d).select(col("value"))
+      .crossJoin(broadcast(stats)) // 1-row scalar frame
+      .select(least(lit(AqBins - 1),
+        floor((col("value") - col("mn")) * AqBins /
+          (col("mx") - col("mn"))).cast("int")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      // bounded window: AqBins rows in one partition by construction
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      // two consumers below (pick + interpolation join): pin the
+      // 128-row summary so the events scan isn't replayed
+      .localCheckpoint()
+    val probes = AqQuantiles.map(_.toDouble).toDF("p")
+      .crossJoin(broadcast(stats))
+      .select(col("p"), col("mn"), col("mx"),
+        ceil(col("p") * col("n")).cast("long").as("target"))
+    probes.join(hist, col("cum") >= col("target"))
+      .groupBy(col("p"), col("mn"), col("mx"), col("target"))
+      .agg(min(col("bin")).as("bin"))
+      .join(hist.select(col("bin"), col("cnt"), col("cum")), Seq("bin"))
+      .select(col("p"), col("target"), col("bin"),
+        (floor((col("mn") + (col("bin") +
+          (col("target") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")) *
+          ((col("mx") - col("mn")) / AqBins)) * 1e6 + 0.5) / 1e6)
+          .as("est"))
+      .orderBy(col("p"))
+  }
+
+  val approxQuantilesSql: String = {
+    val probes = AqQuantiles
+      .map(p => s"SELECT CAST($p AS DOUBLE) AS p")
+      .mkString(" UNION ALL ")
+    s"""WITH stats AS (
+       |  SELECT min(value) AS mn, max(value) AS mx, count(*) AS n
+       |  FROM events),
+       |hist0 AS (
+       |  SELECT least($AqBins - 1,
+       |      CAST(floor((value - mn) * $AqBins / (mx - mn)) AS INT))
+       |    AS bin, count(*) AS cnt
+       |  FROM events CROSS JOIN stats GROUP BY 1),
+       |hist AS (
+       |  SELECT bin, cnt,
+       |    CAST(sum(cnt) OVER (ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM hist0),
+       |probes AS (
+       |  SELECT p, mn, mx, CAST(ceil(p * n) AS BIGINT) AS target
+       |  FROM ($probes) CROSS JOIN stats),
+       |pick AS (
+       |  SELECT p, mn, mx, target, min(bin) AS bin
+       |  FROM probes JOIN hist ON cum >= target
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT k.p, k.target, k.bin,
+       |  floor((k.mn + (k.bin +
+       |    CAST(k.target - (h.cum - h.cnt) AS DOUBLE)
+       |      / CAST(h.cnt AS DOUBLE)) *
+       |    ((k.mx - k.mn) / $AqBins)) * 1e6 + 0.5) / 1e6 AS est
+       |FROM pick k JOIN hist h ON h.bin = k.bin
+       |ORDER BY k.p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_bloom" -> (bloomMembership _),
     "q30_fm_distinct" -> (fmDistinct _),
     "q96_countmin" -> (countMinHh _),
-    "q103_bloom_join" -> (bloomFilterJoin _))
+    "q103_bloom_join" -> (bloomFilterJoin _),
+    "q110_approx_quantiles" -> (approxQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "q29_bloom" -> bloomMembershipSql,
     "q30_fm_distinct" -> fmDistinctSql,
     "q96_countmin" -> countMinHhSql,
-    "q103_bloom_join" -> bloomFilterJoinSql)
+    "q103_bloom_join" -> bloomFilterJoinSql,
+    "q110_approx_quantiles" -> approxQuantilesSql)
 }

@@ -192,4 +192,28 @@ class GraphSpec extends AnyFunSuite {
       .toDF("src", "dst")
     assert(Graphs.kcoreOn(broken, 3).collect().forall(!_.getBoolean(1)))
   }
+
+  test("local clustering coefficient: triangle-plus-pendant golden") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 hanging off node 1:
+    //   deg(1)=3 t(1)=1 lcc=2/(3·2)=0.333333; deg(2)=deg(3)=2 t=1 lcc=1;
+    //   deg(4)=1 → lcc 0 by convention
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graphs.localClusteringOn(ed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 1.0),
+      (3L, 2L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
+  }
+
+  test("local clustering: K4 is fully clustered, star is zero") {
+    import spark.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graphs.localClusteringOn(k4).collect()
+      .forall(r => r.getDouble(3) == 1.0 && r.getLong(2) == 3L))
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(Graphs.localClusteringOn(star).collect()
+      .forall(r => r.getDouble(3) == 0.0))
+  }
 }

@@ -460,4 +460,28 @@ class PipelineSpec extends AnyFunSuite {
       (("user <ID> called <ID> back from 42", 2L, 8L)))
     assert(rows(2L) == (("no ids in here", 0L, 0L)))
   }
+
+  test("q111 vocab encoding matches a driver-side recompute; cap bites") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val total = toks.length.toLong
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    assert(ranked.length > graft.ops.Pipeline.VocabTopV,
+      "vocab smaller than the cap — the truncation path is unexercised")
+    var cum = 0L
+    val want = ranked.take(graft.ops.Pipeline.VocabTopV).zipWithIndex
+      .map { case ((t, c), i) =>
+        cum += c
+        (i, t, c, math.floor(cum.toDouble / total.toDouble * 1e6 + 0.5) / 1e6)
+      }
+    val got = SparkEntry.queries("q111_vocab_encode")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want)
+    // coverage strictly below 1 exactly because the cap cut the tail
+    assert(got.last._4 < 1.0)
+  }
 }

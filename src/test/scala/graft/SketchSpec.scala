@@ -122,4 +122,24 @@ class SketchSpec extends AnyFunSuite {
       assert(fpr < 0.2, f"runtime-filter FPR $fpr%.3f too high")
     }
   }
+
+  test("q110 approx quantiles land within one bin width of exact") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sfDir).select(col("value"))
+      .collect().map(_.getDouble(0)).sorted
+    val width = (vals.last - vals.head) / Sketches.AqBins
+    val got = SparkEntry.queries("q110_approx_quantiles")(spark, sfDir)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Sketches.AqQuantiles.map(_.toDouble).toSet)
+    got.foreach { case (p, est) =>
+      // exact p-quantile by rank (ceil(p·n), 1-based)
+      val exact = vals(math.ceil(p * vals.length).toInt - 1)
+      assert(math.abs(est - exact) <= width + 1e-9,
+        f"p=$p est=$est%.4f exact=$exact%.4f width=$width%.4f")
+      assert(est >= vals.head - 1e-9 && est <= vals.last + 1e-9)
+    }
+    // monotone in p
+    val sortedByP = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sortedByP == sortedByP.sorted)
+  }
 }
