@@ -86,6 +86,19 @@ object ExplainDump {
         "composition: both recommender paths read ONE checkpointed " +
           "user-item matrix (Scan ExistingRDD twice); the fusion " +
           "itself is a full-outer join of two k-per-user frames"),
+      ("q105_attribution",
+        "interval join planned as an EQUI hash join on user_id with " +
+          "the time range as a residual filter — never a nested loop; " +
+          "the same operator tree Structured Streaming bounds with " +
+          "watermarks in attributeStream"),
+      ("q110_approx_quantiles",
+        "two-phase mergeable summary: scalar min/max broadcast into a " +
+          "map-side binning projection, partial+final HashAggregate " +
+          "to 128 rows, interpolation entirely on the bounded frame"),
+      ("q112_latest_state",
+        "CDC latest-state via max-of-struct: partial aggregation " +
+          "before the shuffle (O(1) state per key), no window sort of " +
+          "any key's history"),
       ("q90_delta_screen",
         "incremental ingest dedup: source=delta pushed into the " +
           "parquet scan (PushedFilters), delta features computed " +

@@ -166,4 +166,25 @@ class PlansSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("plan shapes: interval join is equi-keyed, CDC compaction has " +
+      "no window, top-k plans as TakeOrdered") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    // q105: the time range must ride as a RESIDUAL predicate on the
+    // user_id equi join — a nested-loop fallback would be O(n·m)
+    assert(!plan("q105_attribution").contains("BroadcastNestedLoopJoin"),
+      "q105 interval join fell back to a nested loop")
+    // q112: latest-per-key must be the max-of-struct aggregate (O(1)
+    // state per key) — a Window here would sort every key's history
+    assert(!plan("q112_latest_state").contains("Window"),
+      "q112 regressed to a window sort over each key's history")
+    // q109/q111: the top-k cut must be TakeOrdered (O(k) per
+    // partition), never a global Sort feeding a Limit
+    Seq("q109_skew_profile", "q111_vocab_encode").foreach { q =>
+      assert(plan(q).contains("TakeOrdered"),
+        s"$q top-k did not plan as TakeOrderedAndProject")
+    }
+  }
 }
