@@ -918,7 +918,174 @@ object Pipeline {
        |FROM ranked CROSS JOIN totals
        |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q113
+  /** Containment threshold for q113 (the "eval doc is substantially
+    * inside this training doc" bar; the sf0.01 distribution is cleanly
+    * bimodal — near-dups sit at ≥ 0.87, background noise at ≤ 0.03). */
+  val ContainMin = 0.5
+
+  /** q113: containment decontamination — the graded upgrade of q66's
+    * binary any-shared-gram flag: for each (eval doc, corpus doc)
+    * candidate pair, the fraction of the EVAL doc's distinct
+    * [[DecontamN]]-grams that appear in the corpus doc
+    * (|A∩B| / |A| — asymmetric containment, the metric real
+    * decontamination uses, since a 100-word benchmark item pasted into
+    * a 10k-word page has tiny Jaccard but containment ≈ 1). Pairs at
+    * ≥ [[ContainMin]] are reported with their gram counts.
+    *
+    * Scale shape is q66's: the eval side is benchmark-sized, so its
+    * per-doc distinct gram sets BROADCAST; the corpus side is one
+    * explode + per-doc distinct + map-side hash join, and only hit
+    * pairs reach the pair-keyed aggregate. The ratio is one
+    * integer-exact division pushed through the floor-half-up idiom. */
+  def containmentDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    containmentOn(docs.filter(col("doc_id") >= DecontamEvalMax),
+      docs.filter(col("doc_id") < DecontamEvalMax))
+  }
+
+  /** q113 over caller-supplied corpus and eval-set DataFrames (both
+    * (doc_id, text)). */
+  def containmentOn(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), expr(Text.toksExpr).as("toks"))
+      .select(col("doc_id"),
+        explode(expr(Text.ngramExpr("toks", DecontamN))).as("g"))
+      .distinct()
+    val ev = grams(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("g"))
+      .localCheckpoint() // two consumers: sizes + the probe join
+    val evSizes = ev.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+    grams(corpus)
+      .join(broadcast(ev), Seq("g"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // distinct by construction
+      .join(broadcast(evSizes), Seq("eval_id"))
+      .withColumn("containment",
+        floor(col("n_hits").cast("double") /
+          col("n_eval_grams").cast("double") * 1e6 + 0.5) / 1e6)
+      .filter(col("containment") >= ContainMin)
+      .select(col("eval_id"), col("doc_id"), col("n_hits"),
+        col("n_eval_grams"), col("containment"))
+      .orderBy(col("eval_id"), col("doc_id"))
+  }
+
+  val containmentDecontamSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.toksSqlExpr} AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        unnest(${Text.ngramSqlExpr("toks", DecontamN)}) AS g
+       |      FROM t),
+       |ev AS (SELECT doc_id AS eval_id, g FROM g
+       |       WHERE doc_id < $DecontamEvalMax),
+       |evs AS (SELECT eval_id, count(*) AS n_eval_grams
+       |        FROM ev GROUP BY 1),
+       |hits AS (
+       |  SELECT ev.eval_id, g.doc_id, count(*) AS n_hits
+       |  FROM g JOIN ev ON ev.g = g.g
+       |  WHERE g.doc_id >= $DecontamEvalMax
+       |  GROUP BY 1, 2)
+       |SELECT h.eval_id, h.doc_id, h.n_hits, evs.n_eval_grams,
+       |  floor(CAST(h.n_hits AS DOUBLE) / CAST(evs.n_eval_grams AS DOUBLE)
+       |    * 1e6 + 0.5) / 1e6 AS containment
+       |FROM hits h JOIN evs ON evs.eval_id = h.eval_id
+       |WHERE floor(CAST(h.n_hits AS DOUBLE)
+       |    / CAST(evs.n_eval_grams AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  >= $ContainMin
+       |ORDER BY h.eval_id, h.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q114
+  /** q114: per-source token-distribution drift — Pearson chi-square of
+    * each source's token distribution against the corpus-wide one, the
+    * FP-safe alternative to KL/JS (no transcendental whose last ulp
+    * differs between engines: terms are (obs−exp)²/exp, built from
+    * identically-written double arithmetic). Cross-engine-exact sum:
+    * each term is INTEGERIZED (floor(term·1e6 + 0.5) as BIGINT) before
+    * summing, so the reduction is an order-independent integer sum —
+    * the same trick as q84's XOR checksum, trading a bounded 1e-6
+    * quantization for bit-exactness under any partial-agg order.
+    *
+    * The (source × vocab) grid is built explicitly so ABSENT tokens
+    * contribute their expected-count term (obs = 0) — grid size is
+    * #sources × vocab, summary-sized at any corpus scale; the only
+    * corpus-sized work is the (source, token) count, which map-side
+    * combines. Reports each source's scaled chi-square and its top
+    * drift-contributing token (deterministic argmax). */
+  def sourceDrift(s: SparkSession, d: String): DataFrame =
+    sourceDriftOn(documents(s, d))
+
+  /** q114 over a caller-supplied (source, text) corpus. */
+  def sourceDriftOn(docs: DataFrame): DataFrame = {
+    val obs = docs
+      .select(col("source"), explode(expr(Text.toksExpr)).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // feeds the grid and both marginals
+    val bySource = obs.groupBy(col("source"))
+      .agg(sum(col("obs")).as("n_source"))
+    val byToken = obs.groupBy(col("token"))
+      .agg(sum(col("obs")).as("tot_token"))
+    val totals = bySource.agg(sum(col("n_source")).as("n_total"))
+    val grid = bySource.crossJoin(byToken) // sources × vocab — bounded
+      .join(obs, Seq("source", "token"), "left_outer")
+      .select(col("source"), col("token"), col("n_source"),
+        col("tot_token"), coalesce(col("obs"), lit(0L)).as("obs"))
+      .crossJoin(broadcast(totals))
+    val expd = col("n_source").cast("double") *
+      col("tot_token").cast("double") / col("n_total").cast("double")
+    val term = (col("obs").cast("double") - expd) *
+      (col("obs").cast("double") - expd) / expd
+    grid
+      .select(col("source"), col("token"), col("n_source"),
+        floor(term * 1e6 + 0.5).cast("long").as("term_1e6"))
+      .groupBy(col("source"))
+      .agg(max(col("n_source")).as("n_tokens"),
+        sum(col("term_1e6")).as("chi2_1e6"),
+        min(struct((-col("term_1e6")).as("neg"), col("token")))
+          .getField("token").as("top_token"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDriftSql: String =
+    s"""WITH obs AS (
+       |  SELECT source, token, count(*) AS obs FROM (
+       |    SELECT source, unnest(${Text.toksSqlExpr}) AS token
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |bys AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_source
+       |        FROM obs GROUP BY 1),
+       |byt AS (SELECT token, CAST(sum(obs) AS BIGINT) AS tot_token
+       |        FROM obs GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_source) AS BIGINT) AS n_total FROM bys),
+       |grid AS (
+       |  SELECT s.source, t.token, s.n_source, t.tot_token,
+       |    coalesce(o.obs, 0) AS obs
+       |  FROM bys s CROSS JOIN byt t
+       |  LEFT JOIN obs o ON o.source = s.source AND o.token = t.token),
+       |terms AS (
+       |  SELECT source, token, n_source,
+       |    CAST(floor(
+       |      (CAST(obs AS DOUBLE) - CAST(n_source AS DOUBLE)
+       |        * CAST(tot_token AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |      * (CAST(obs AS DOUBLE) - CAST(n_source AS DOUBLE)
+       |        * CAST(tot_token AS DOUBLE) / CAST(n_total AS DOUBLE))
+       |      / (CAST(n_source AS DOUBLE) * CAST(tot_token AS DOUBLE)
+       |        / CAST(n_total AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS term_1e6
+       |  FROM grid CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT source, token, n_source, term_1e6,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY term_1e6 DESC, token) AS rn
+       |  FROM terms)
+       |SELECT t.source, max(t.n_source) AS n_tokens,
+       |  CAST(sum(t.term_1e6) AS BIGINT) AS chi2_1e6,
+       |  max(CASE WHEN t.rn = 1 THEN t.token END) AS top_token
+       |FROM ranked t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_containment" -> (containmentDecontam _),
+    "q114_source_drift" -> (sourceDrift _),
     "q111_vocab_encode" -> (vocabEncode _),
     "q98_snapshot_diff" -> (snapshotDiff _),
     "q86_train_pipeline" -> (trainPipeline _),
@@ -936,6 +1103,8 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q113_containment" -> containmentDecontamSql,
+    "q114_source_drift" -> sourceDriftSql,
     "q111_vocab_encode" -> vocabEncodeSql,
     "q98_snapshot_diff" -> snapshotDiffSql,
     "q86_train_pipeline" -> trainPipelineSql,

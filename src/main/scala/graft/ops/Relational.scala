@@ -1209,7 +1209,15 @@ object Relational {
     * so the trailing payload fields never decide a comparison. The
     * oracle replays the window form, proving aggregate ≡ window. */
   def latestState(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    latestStateOn(events(s, d)).orderBy(col("user_id"))
+
+  /** The q112 aggregate over any (user_id, ts, event_id, event_type,
+    * value) changelog — UNORDERED, and legal on a STREAMING frame too:
+    * in update mode Spark keeps exactly one struct per key in the state
+    * store (`streaming.Streams.latestStateStream`), which is the
+    * incremental form of this same compaction. */
+  def latestStateOn(changelog: DataFrame): DataFrame =
+    changelog
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("tsl"),
           col("event_id"), col("event_type"), col("value")).as("st"))
@@ -1219,7 +1227,6 @@ object Relational {
         col("st.event_id").as("last_event_id"),
         col("st.event_type").as("last_type"),
         col("st.value").as("last_value"))
-      .orderBy(col("user_id"))
 
   val latestStateSql: String =
     """WITH r AS (
@@ -1231,7 +1238,48 @@ object Relational {
       |  event_type AS last_type, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  /** q115: event-type transition matrix — per-user behavior sequences
+    * (total order: ts, event_id) reduced to first-order Markov
+    * statistics: count and P(next | prev) for every observed
+    * transition. The lead window is USER-keyed — bounded by one user's
+    * history, the same per-key frame q101's SCD2 build uses — and
+    * everything after it is a |types|²-cell aggregate; the conditional
+    * probability divides by a row-total window over that bounded
+    * matrix, not over the event log. */
+  def typeTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsl"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", floor(col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("prev_type")))
+          .cast("double") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val typeTransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type AS prev_type, next_type, count(*) AS cnt
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, cnt,
+      |  floor(CAST(cnt AS DOUBLE)
+      |    / CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE)
+      |    * 1e4 + 0.5) / 1e4 AS p
+      |FROM c ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_transitions" -> (typeTransitions _),
     "q105_attribution" -> (attributionDaily _),
     "q106_cube_revenue" -> (cubeRevenue _),
     "q107_incremental_agg" -> (incrementalAggMerge _),
@@ -1278,6 +1326,7 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q115_transitions" -> typeTransitionsSql,
     "q105_attribution" -> attributionDailySql,
     "q106_cube_revenue" -> cubeRevenueSql,
     "q107_incremental_agg" -> incrementalAggMergeSql,

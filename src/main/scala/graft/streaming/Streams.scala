@@ -185,6 +185,19 @@ object Streams {
     }
   }
 
+  /** Streaming twin of q112's CDC latest-state compaction: the SAME
+    * max-of-struct aggregate (`Relational.latestStateOn`) run on a
+    * changelog stream in UPDATE mode. Spark's streaming hash aggregate
+    * keeps exactly ONE struct per key in the state store — no history
+    * is ever buffered — and each micro-batch emits only the keys it
+    * changed; a downstream upsert sink applies them. State size is
+    * O(live keys), which is the semantic minimum for "current state
+    * per key" (evict retired keys with a TTL'd state operator if the
+    * key space churns). StreamingSpec pins final-state parity against
+    * the batch q112 on the same rows. */
+  def latestStateStream(changelog: DataFrame): DataFrame =
+    graft.ops.Relational.latestStateOn(changelog)
+
   /** Streaming curation — the q59 cascade minus its one stateful rule.
     * Every quality/repetition signal is a per-row expression (the
     * repetition ratios are a sorted-run HOF, no shuffle), so the

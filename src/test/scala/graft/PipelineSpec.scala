@@ -484,4 +484,45 @@ class PipelineSpec extends AnyFunSuite {
     // coverage strictly below 1 exactly because the cap cut the tail
     assert(got.last._4 < 1.0)
   }
+
+  test("q113 containment: embedded eval doc scores 1.0, noise is cut") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // 2 5-grams
+      (2L, "one two three four five six seven")         // 3 5-grams
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // doc 10 contains eval doc 1 verbatim inside padding
+      (10L, "pad pad alpha beta gamma delta epsilon zeta pad pad"),
+      // doc 11 shares one of eval doc 2's three 5-grams (1/3 < 0.5)
+      (11L, "one two three four five nine ten"),
+      (12L, "completely different words here entirely now")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Pipeline.containmentOn(corpus, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList
+    assert(got == List((1L, 10L, 2L, 2L, 1.0)),
+      s"expected only the embedded pair at containment 1.0, got $got")
+  }
+
+  test("q114 drift: identical distributions score 0, a skewed source dominates") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x y"), ("a", "x y y x"),     // a: x=4 y=3
+      ("b", "x x y x y y x"),               // b: x=4 y=3 (same ratio)
+      ("c", "z z z z z z z")                // c: all z — maximal drift
+    ).toDF("source", "text")
+    val rows = graft.ops.Pipeline.sourceDriftOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    // c's chi-square must dwarf a/b's, and its top term is z
+    assert(rows("c")._2 > rows("a")._2 && rows("c")._2 > rows("b")._2)
+    assert(rows("c")._3 == "z")
+    // a and b share one distribution over {x,y} but differ from the
+    // corpus-wide mix (which includes z), so they drift equally —
+    // same n would give same chi2; here both are nonzero and far
+    // below c's
+    assert(rows("a")._2 > 0 && rows("b")._2 > 0)
+    assert(rows.values.map(_._1).toSeq.sorted == Seq(7L, 7L, 7L))
+  }
 }

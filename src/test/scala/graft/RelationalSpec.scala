@@ -362,6 +362,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q115 transitions match a driver-side sequence replay") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val trans = evs.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.zip(seq.drop(1))
+    }.toSeq
+    val want = trans.groupBy(identity).map { case ((a, b), xs) =>
+      (a, b) -> xs.size.toLong }
+    val fromTotals = trans.groupBy(_._1).map { case (a, xs) =>
+      a -> xs.size.toLong }
+    val got = SparkEntry.queries("q115_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    got.foreach { case ((a, _), (c, p)) =>
+      val expP = math.floor(c.toDouble / fromTotals(a).toDouble * 1e4
+        + 0.5) / 1e4
+      assert(p == expP, s"P($a→·) mismatch: $p vs $expP")
+    }
+  }
+
   test("q112 latest-state aggregate equals the window formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

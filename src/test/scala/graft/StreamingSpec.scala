@@ -8,6 +8,8 @@ import graft.streaming.Streams
 
 case class TestEv(ts: Timestamp, user_id: Long, event_type: String)
 case class TestDoc(doc_id: Long, text: String, ts: Timestamp)
+case class ChEv(user_id: Long, ts: Timestamp, event_id: Long,
+  event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -322,6 +324,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, s"stream $streamed != batch $batch")
       assert(streamed == Set((1L, new Timestamp(t0),
         new Timestamp(t0 + 10000))))
+    } finally q.stop()
+  }
+
+  test("streaming latest-state compaction converges to the batch q112") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // (user_id, ts, event_id, event_type, value) changelog; user 1 is
+    // overwritten across micro-batches, user 2 within one
+    val b1 = Seq(
+      ChEv(1L, new Timestamp(t0), 10L, "signup", 1.0),
+      ChEv(2L, new Timestamp(t0 + 1000), 11L, "view", 2.0),
+      ChEv(2L, new Timestamp(t0 + 5000), 12L, "click", 3.0))
+    val b2 = Seq(
+      ChEv(1L, new Timestamp(t0 + 9000), 13L, "purchase", 4.0),
+      ChEv(3L, new Timestamp(t0 + 2000), 14L, "error", 5.0))
+    val mem = MemoryStream[ChEv]
+    val q = Streams.latestStateStream(mem.toDF())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toSet
+      val streamed = rows(spark.table("latest_out"))
+      val batch = rows(graft.ops.Relational.latestStateOn((b1 ++ b2).toDF()))
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // the overwrite actually happened: user 1's state is the b2 event
+      assert(streamed.exists(r => r._1 == 1L && r._3 == 13L))
     } finally q.stop()
   }
 }
