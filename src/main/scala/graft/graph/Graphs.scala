@@ -651,7 +651,82 @@ object Graphs {
        |FROM deg d LEFT JOIN corners c ON c.node = d.node
        |ORDER BY d.node""".stripMargin
 
+  // --------------------------------------------------------------- q118
+  /** q118: degree assortativity — the Pearson correlation of endpoint
+    * degrees over all directed edge orientations, the one-number
+    * answer to "do hubs connect to hubs?" (positive: social-style
+    * core; negative: hub-and-spoke). Cross-engine-exact by
+    * construction: every moment (Σx, Σxy, Σx², n) is an INTEGER sum of
+    * integer degrees — order-independent, no FP accumulation — and the
+    * final r is a handful of identically-written double ops plus one
+    * correctly-rounded sqrt. The moment aggregate is edge-keyed
+    * map-side work; the output is a single row at any scale. Long
+    * arithmetic holds while n·Σx² < 2⁶³ — far beyond the bounded
+    * subgraph this runs on (the factors go through doubles before the
+    * one multiply that could overflow). */
+  def assortativity(s: SparkSession, d: String): DataFrame =
+    assortativityOn(edges(s, d, Some(SubNations), SubThreshold))
+
+  /** q118 over an arbitrary canonical (src < dst) edge list. */
+  def assortativityOn(edgeList: DataFrame): DataFrame = {
+    val ue = undirected(edgeList.localCheckpoint())
+    val deg = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = ue
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("n"), col("sx"), col("sy"), col("sxy"),
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        ((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          * (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")))
+          .as("den"))
+      .select(col("n").as("n_directed_edges"),
+        // a REGULAR graph has zero degree variance — correlation is
+        // undefined there, surface null, not NaN
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(floor(col("num") / sqrt(col("den")) * 1e6 + 0.5)
+            / 1e6).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH ${edgesSql(Some(SubNations), SubThreshold)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM ue GROUP BY 1),
+       |xy AS (
+       |  SELECT a.deg AS x, b.deg AS y
+       |  FROM ue JOIN deg a ON a.node = ue.src
+       |          JOIN deg b ON b.node = ue.dst),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM xy),
+       |nd AS (
+       |  SELECT n,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+       |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+       |  FROM m)
+       |SELECT n AS n_directed_edges,
+       |  CASE WHEN den = 0.0 THEN NULL
+       |    ELSE floor(num / sqrt(den) * 1e6 + 0.5) / 1e6
+       |  END AS assortativity
+       |FROM nd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_assortativity" -> (assortativity _),
     "q108_local_clustering" -> (localClustering _),
     "q97_kcore" -> (kcore _),
     "q33_degree_hist" -> (degreeHist _),
@@ -663,6 +738,7 @@ object Graphs {
     "q91_ppr" -> (personalizedPagerank _))
 
   val oracle: Map[String, String] = Map(
+    "q118_assortativity" -> assortativitySql,
     "q108_local_clustering" -> localClusteringSql,
     "q97_kcore" -> kcoreSql,
     "q33_degree_hist" -> degreeHistSql,

@@ -1083,7 +1083,72 @@ object Pipeline {
        |  max(CASE WHEN t.rn = 1 THEN t.token END) AS top_token
        |FROM ranked t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** q116: per-source quality profile — where each source's documents
+    * land in the GLOBAL quality distribution: global quartile
+    * boundaries (computed once, broadcast), then per (source, global
+    * quartile) doc counts and within-source fractions. The
+    * cross-source calibration read-out: a source whose mass sits in
+    * the bottom global quartile gets down-weighted or re-cleaned
+    * before mixing (q69/q83 consume exactly this kind of signal).
+    *
+    * Cross-engine exactness: quantiles interpolate over the INTEGER
+    * quality key qk = floor(quality·1e4 + 0.5) at dyadic fractions —
+    * integer data + dyadic p make `percentile`/`quantile_cont` agree
+    * bit-for-bit (the q81 trick) where interpolating raw doubles could
+    * differ in the last ulp. The fraction window runs over the ≤ 4
+    * rows per source of the aggregated matrix, never over documents. */
+  def qualityProfile(s: SparkSession, d: String): DataFrame =
+    qualityProfileOn(documents(s, d))
+
+  /** q116 over a caller-supplied (doc_id, source, text) corpus. */
+  def qualityProfileOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("source"))
+      .join(Text.docQualityOn(docs).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .select(col("source"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("qk"))
+      .localCheckpoint() // feeds the boundary agg + the profile pass
+    val b = t.agg(
+      expr("percentile(qk, 0.25D)").as("b1"),
+      expr("percentile(qk, 0.5D)").as("b2"),
+      expr("percentile(qk, 0.75D)").as("b3"))
+    t.crossJoin(broadcast(b)) // 1-row boundary frame
+      .withColumn("quartile",
+        (lit(1) + (col("qk") > col("b1")).cast("int")
+          + (col("qk") > col("b2")).cast("int")
+          + (col("qk") > col("b3")).cast("int")).cast("long"))
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac", floor(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("source")))
+          .cast("double") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("source"), col("quartile"))
+  }
+
+  val qualityProfileSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${Text.docQualitySql})),
+       |t AS (SELECT d.source,
+       |        CAST(floor(q.quality * 1e4 + 0.5) AS BIGINT) AS qk
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |b AS (SELECT quantile_cont(qk, 0.25) AS b1,
+       |        quantile_cont(qk, 0.5) AS b2,
+       |        quantile_cont(qk, 0.75) AS b3 FROM t),
+       |m AS (
+       |  SELECT source,
+       |    CAST(1 + (qk > b1)::int + (qk > b2)::int + (qk > b3)::int
+       |      AS BIGINT) AS quartile,
+       |    count(*) AS n_docs
+       |  FROM t, b GROUP BY 1, 2)
+       |SELECT source, quartile, n_docs,
+       |  floor(CAST(n_docs AS DOUBLE)
+       |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+       |    * 1e4 + 0.5) / 1e4 AS frac
+       |FROM m ORDER BY source, quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_quality_profile" -> (qualityProfile _),
     "q113_containment" -> (containmentDecontam _),
     "q114_source_drift" -> (sourceDrift _),
     "q111_vocab_encode" -> (vocabEncode _),
@@ -1103,6 +1168,7 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q116_quality_profile" -> qualityProfileSql,
     "q113_containment" -> containmentDecontamSql,
     "q114_source_drift" -> sourceDriftSql,
     "q111_vocab_encode" -> vocabEncodeSql,

@@ -1278,7 +1278,57 @@ object Relational {
       |    * 1e4 + 0.5) / 1e4 AS p
       |FROM c ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** q119 window length in days (trailing, inclusive). */
+  val RollingActiveDays = 7
+
+  /** q119: rolling 7-day active users — per day, the count of DISTINCT
+    * users active in the trailing [[RollingActiveDays]]-day window.
+    * Exact rolling distincts don't decompose over a sliding frame (a
+    * user active twice in the window counts once), so a windowed
+    * aggregate over daily counts is WRONG and a per-day full-history
+    * pass is O(days·data). The scale-correct exact shape: reduce to
+    * distinct (user, day) — the only corpus-sized step, one shuffle —
+    * then each (user, day) EXPANDS to the ≤ 7 window days it covers
+    * (map-side sequence/explode) and one day-keyed count-distinct
+    * finishes. Cost is 7× the distinct user-day table, independent of
+    * events per user-day; leading days carry their honest partial
+    * windows, trailing phantom days (beyond the last observed day) are
+    * cut by the broadcast max-day scalar. */
+  def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint() // feeds the expansion + the max-day scalar
+    val mx = ud.agg(max(col("day")).as("mx"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"),
+          date_add(col("day"), RollingActiveDays - 1),
+          expr("interval 1 day"))).as("day"))
+      .crossJoin(broadcast(mx)) // 1-row scalar frame
+      .filter(col("day") <= col("mx"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveUsersSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |mx AS (SELECT max(day) AS mx FROM ud),
+       |cover AS (
+       |  SELECT user_id,
+       |    CAST(unnest(generate_series(day,
+       |      day + INTERVAL ${RollingActiveDays - 1} DAY,
+       |      INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM ud)
+       |SELECT c.day, count(DISTINCT c.user_id) AS active_7d
+       |FROM cover c CROSS JOIN mx
+       |WHERE c.day <= mx.mx
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_rolling_active" -> (rollingActiveUsers _),
     "q115_transitions" -> (typeTransitions _),
     "q105_attribution" -> (attributionDaily _),
     "q106_cube_revenue" -> (cubeRevenue _),
@@ -1326,6 +1376,7 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q119_rolling_active" -> rollingActiveUsersSql,
     "q115_transitions" -> typeTransitionsSql,
     "q105_attribution" -> attributionDailySql,
     "q106_cube_revenue" -> cubeRevenueSql,

@@ -869,7 +869,76 @@ object Text {
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q117
+  /** Minimum pair count for a q117 collocation candidate. */
+  val CollocMinCount = 5L
+  /** Collocations reported (top by lift, deterministic ties). */
+  val CollocTopK = 20
+
+  /** q117: collocation mining by LIFT — bigrams occurring far more
+    * often than their marginals predict:
+    * lift = c(w1,w2)·N / (c(w1,·)·c(·,w2)), the log-free cousin of PMI
+    * (same ranking, and — unlike log — built only from IEEE mul/div of
+    * exact integers, so both engines agree bit-for-bit). Candidates
+    * need [[CollocMinCount]] occurrences; top-[[CollocTopK]] by
+    * (lift desc, w1, w2) via TakeOrdered.
+    *
+    * Scale: bigram counts map-side combine to vocab²-bounded state;
+    * the two marginal tables are vocab-sized and BROADCAST back onto
+    * the pair table; N is one scalar. Nothing after the first
+    * aggregate touches corpus-sized data. */
+  def collocations(s: SparkSession, d: String): DataFrame =
+    collocationsOn(graft.Tables.documents(s, d))
+
+  /** q117 over a caller-supplied (doc_id, text) corpus. */
+  def collocationsOn(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(expr(toksExpr).as("toks"))
+      .select(explode(expr(ngramExpr("toks", 2))).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds both marginals + the candidate scan
+    val c1 = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = pairs.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = pairs.agg(sum(col("c12")).as("n_bigrams"))
+    pairs.filter(col("c12") >= CollocMinCount)
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(c2), Seq("w2"))
+      .crossJoin(broadcast(n)) // 1-row scalar frame
+      .select(col("w1"), col("w2"), col("c12"),
+        (floor(col("c12").cast("double") * col("n_bigrams").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double"))
+          * 1e4 + 0.5) / 1e4).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  val collocationsSql: String =
+    s"""WITH p AS (
+       |  SELECT string_split(g, ' ')[1] AS w1,
+       |    string_split(g, ' ')[2] AS w2, count(*) AS c12
+       |  FROM (SELECT unnest(${ngramSqlExpr("toks", 2)}) AS g
+       |        FROM (SELECT ${toksSqlExpr} AS toks FROM documents))
+       |  GROUP BY 1, 2),
+       |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+       |       FROM p GROUP BY 1),
+       |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+       |       FROM p GROUP BY 1),
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM p)
+       |SELECT p.w1, p.w2, p.c12,
+       |  floor(CAST(p.c12 AS DOUBLE) * CAST(n.n_bigrams AS DOUBLE)
+       |    / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE))
+       |    * 1e4 + 0.5) / 1e4 AS lift
+       |FROM p JOIN m1 ON m1.w1 = p.w1
+       |       JOIN m2 ON m2.w2 = p.w2
+       |       CROSS JOIN n
+       |WHERE p.c12 >= $CollocMinCount
+       |ORDER BY lift DESC, p.w1, p.w2 LIMIT $CollocTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_collocations" -> (collocations _),
     "q99_redact_ids" -> (redactIds _),
     "q95_doc_chunks" -> (docChunks _),
     "q88_lm_quality" -> (lmQuality _),
@@ -886,6 +955,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q117_collocations" -> collocationsSql,
     "q99_redact_ids" -> redactIdsSql,
     "q95_doc_chunks" -> docChunksSql,
     "q88_lm_quality" -> lmQualitySql,

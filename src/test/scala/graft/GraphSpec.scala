@@ -206,6 +206,18 @@ class GraphSpec extends AnyFunSuite {
       (3L, 2L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
   }
 
+  test("assortativity: star is perfectly disassortative; regular graph is null") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graphs.assortativityOn(star).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0, s"star assortativity ${r.getDouble(1)}")
+    // a triangle is 2-regular: degree variance 0 → undefined → null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = Graphs.assortativityOn(tri).collect().head
+    assert(t.isNullAt(1), "regular graph must yield null, not NaN")
+  }
+
   test("local clustering: K4 is fully clustered, star is zero") {
     import spark.implicits._
     val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))

@@ -505,6 +505,57 @@ class PipelineSpec extends AnyFunSuite {
       s"expected only the embedded pair at containment 1.0, got $got")
   }
 
+  test("q116 quality profile matches a driver-side quartile recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val qk = docs.select(col("doc_id"), col("source"))
+      .join(graft.ops.Text.docQualityOn(docs)
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .select(col("source"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("qk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // percentile semantics: rank p·(n−1) over the sorted values,
+    // linear interpolation — integer data + dyadic p keep this exact
+    val sorted = qk.map(_._2).sorted
+    def pct(p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt
+      val frac = idx - lo
+      if (frac == 0) sorted(lo).toDouble
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+    }
+    val (b1, b2, b3) = (pct(0.25), pct(0.5), pct(0.75))
+    def quart(v: Long): Long =
+      1L + (if (v > b1) 1 else 0) + (if (v > b2) 1 else 0) +
+        (if (v > b3) 1 else 0)
+    val want = qk.groupBy { case (s, v) => (s, quart(v)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val bySource = qk.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.length.toLong }
+    val got = SparkEntry.queries("q116_quality_profile")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    got.foreach { case ((s, _), (n, frac)) =>
+      val expFrac =
+        math.floor(n.toDouble / bySource(s).toDouble * 1e4 + 0.5) / 1e4
+      assert(frac == expFrac, s"frac drift for source $s")
+    }
+  }
+
+  test("q117 collocations: a planted always-together pair tops the table") {
+    import spark.implicits._
+    // (aa, bb) occurs 6× and always together; every other bigram
+    // occurs once and dies at the min-count filter.
+    // N = 24 bigrams, c1(aa·)=6, c2(·bb)=6 → lift = 6·24/36 = 4.0
+    val docs = (1 to 6).map(i => (i.toLong, s"f$i aa bb f$i g$i"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Text.collocationsOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(got == List(("aa", "bb", 6L, 4.0)), s"got $got")
+  }
+
   test("q114 drift: identical distributions score 0, a skewed source dominates") {
     import spark.implicits._
     val docs = Seq(

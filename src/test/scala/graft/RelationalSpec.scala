@@ -388,6 +388,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 rolling actives match a driver-side trailing-window count") {
+    import org.apache.spark.sql.functions._
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val mx = ud.map(_._2).max
+    val mn = ud.map(_._2).min
+    val want = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx))
+      .map { d =>
+        val lo = d.minusDays(graft.ops.Relational.RollingActiveDays - 1)
+        d -> ud.filter { case (_, ad) =>
+          !ad.isBefore(lo) && !ad.isAfter(d) }.map(_._1).distinct.length.toLong
+      }.filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("q119_rolling_active")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q112 latest-state aggregate equals the window formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
