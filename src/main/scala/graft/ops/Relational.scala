@@ -1327,7 +1327,123 @@ object Relational {
        |WHERE c.day <= mx.mx
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** q124 multiple of the segment average a "whale" must exceed. */
+  val WhaleFactor = 2
+
+  /** q124: correlated-subquery pattern — customers whose lifetime
+    * spend exceeds [[WhaleFactor]]× their market segment's average
+    * customer spend. The classic "compare each row to its group's
+    * aggregate" query, decorrelated the way an optimizer would:
+    * per-customer spend aggregate, then the segment aggregate of THAT
+    * (both map-side combining), broadcast back — never a per-row
+    * subquery execution. The whale predicate is evaluated in EXACT
+    * arithmetic (spend·n_cust > factor·seg_total — decimal/integer
+    * only, no division), so the cut is bit-identical in both engines;
+    * division appears only in display columns after the decision. */
+  def segmentWhales(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")), "o_custkey")
+      .localCheckpoint() // feeds the segment aggregate + the probe
+    val seg = spend.groupBy(col("c_mktsegment"))
+      .agg(sum(col("spend")).as("seg_total"),
+        count(lit(1)).as("n_cust"))
+    spend.join(broadcast(seg), Seq("c_mktsegment"))
+      .filter(col("spend") * col("n_cust") >
+        col("seg_total") * lit(WhaleFactor))
+      .select(col("o_custkey").as("custkey"), col("c_mktsegment"),
+        (floor(col("spend").cast("double") * 1e2 + 0.5) / 1e2)
+          .as("spend"),
+        (floor(col("seg_total").cast("double") /
+          col("n_cust").cast("double") * 1e2 + 0.5) / 1e2)
+          .as("seg_avg"))
+      .orderBy(col("c_mktsegment"), col("custkey"))
+  }
+
+  val segmentWhalesSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, c_mktsegment,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT c_mktsegment, sum(spend) AS seg_total,
+       |    count(*) AS n_cust
+       |  FROM spend GROUP BY 1)
+       |SELECT s.o_custkey AS custkey, s.c_mktsegment,
+       |  floor(CAST(s.spend AS DOUBLE) * 1e2 + 0.5) / 1e2 AS spend,
+       |  floor(CAST(g.seg_total AS DOUBLE) / CAST(g.n_cust AS DOUBLE)
+       |    * 1e2 + 0.5) / 1e2 AS seg_avg
+       |FROM spend s JOIN seg g ON g.c_mktsegment = s.c_mktsegment
+       |WHERE s.spend * g.n_cust > g.seg_total * $WhaleFactor
+       |ORDER BY s.c_mktsegment, custkey""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** q125 outlier cut in MAD units (3·1.4826 ≈ 3σ for normal data). */
+  val MadK = 3.0 * 1.4826
+
+  /** q125: robust outlier census — per event type: median, MAD
+    * (median absolute deviation), and the count of values beyond
+    * [[MadK]]·MAD from the median — the outlier detector that, unlike
+    * q100's z-score, a few extreme values cannot drag. Exactness:
+    * values integerize to vk = floor(value·100 + 0.5) (the data's own
+    * 2-dp grid), medians interpolate ints at the dyadic 0.5 — so every
+    * median/MAD is an exact multiple of 0.5 and both engines agree
+    * bit-for-bit; the final compare is identical double arithmetic on
+    * those exact quantities. Two grouped aggregates with a broadcast
+    * join between them — types are bounded, data passes map-side. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val t = events(s, d).select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("vk"))
+      .localCheckpoint() // feeds the median agg + the deviation pass
+    val med = t.groupBy(col("event_type"))
+      .agg(expr("percentile(vk, 0.5D)").as("med"))
+    val devs = t.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        abs(col("vk").cast("double") - col("med")).as("dev"))
+      .localCheckpoint() // feeds the MAD aggregate + the outlier pass
+    val mad = devs.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    devs.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("med")) / 100.0).as("median_value"),
+        (max(col("mad")) / 100.0).as("mad_value"),
+        sum((col("dev") > col("mad") * lit(MadK)).cast("long"))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String = {
+    s"""WITH t AS (
+       |  SELECT event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vk
+       |  FROM events),
+       |med AS (
+       |  SELECT event_type, quantile_cont(vk, 0.5) AS med
+       |  FROM t GROUP BY 1),
+       |dev AS (
+       |  SELECT t.event_type, med,
+       |    abs(CAST(vk AS DOUBLE) - med) AS dev
+       |  FROM t JOIN med ON med.event_type = t.event_type),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+       |  FROM dev GROUP BY 1)
+       |SELECT d.event_type, count(*) AS n,
+       |  max(d.med) / 100.0 AS median_value,
+       |  max(m.mad) / 100.0 AS mad_value,
+       |  CAST(sum(CASE WHEN d.dev > m.mad * $MadK THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dev d JOIN mad m ON m.event_type = d.event_type
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_segment_whales" -> (segmentWhales _),
+    "q125_mad_outliers" -> (madOutliers _),
     "q119_rolling_active" -> (rollingActiveUsers _),
     "q115_transitions" -> (typeTransitions _),
     "q105_attribution" -> (attributionDaily _),
@@ -1376,6 +1492,8 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q124_segment_whales" -> segmentWhalesSql,
+    "q125_mad_outliers" -> madOutliersSql,
     "q119_rolling_active" -> rollingActiveUsersSql,
     "q115_transitions" -> typeTransitionsSql,
     "q105_attribution" -> attributionDailySql,

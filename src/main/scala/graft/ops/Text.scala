@@ -937,7 +937,82 @@ object Text {
        |WHERE p.c12 >= $CollocMinCount
        |ORDER BY lift DESC, p.w1, p.w2 LIMIT $CollocTopK""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  /** Characteristic terms kept per source in q120. */
+  val SourceTermsTopK = 3
+
+  /** q120: characteristic terms per source — the top-[[SourceTermsTopK]]
+    * tokens by DISTINCTIVENESS, the ratio of a token's share within
+    * the source to its share in the whole corpus
+    * (obs·N / (n_source·tot) — the source-level cousin of q117's lift,
+    * and the table q114's single top-drift token summarizes). Built
+    * from exact integer moments through identically-written IEEE
+    * mul/div, integerized to a ×10⁶ ranking key, and cut per source by
+    * the O(k)-state [[graft.functions.BoundedTopByCount]] aggregator —
+    * no window ever sorts a source's full vocabulary in one task
+    * (vocab is bounded here, but the plan shape is the one that
+    * survives an unbounded vocabulary). */
+  def sourceTerms(s: SparkSession, d: String): DataFrame =
+    sourceTermsOn(graft.Tables.documents(s, d))
+
+  /** q120 over a caller-supplied (source, text) corpus. */
+  def sourceTermsOn(docs: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.BoundedTopByCount(SourceTermsTopK))
+    val obs = docs
+      .select(col("source"), explode(expr(toksExpr)).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // feeds both marginals + the scored scan
+    val bySource = obs.groupBy(col("source"))
+      .agg(sum(col("obs")).as("n_source"))
+    val byToken = obs.groupBy(col("token"))
+      .agg(sum(col("obs")).as("tot"))
+    val totals = bySource.agg(sum(col("n_source")).as("n_total"))
+    obs
+      .join(broadcast(bySource), Seq("source"))
+      .join(broadcast(byToken), Seq("token"))
+      .crossJoin(broadcast(totals)) // 1-row scalar frame
+      .select(col("source"), col("token"), col("obs"),
+        floor(col("obs").cast("double") * col("n_total").cast("double")
+          / (col("n_source").cast("double") * col("tot").cast("double"))
+          * 1e6 + 0.5).cast("long").as("score_1e6"))
+      .groupBy(col("source"))
+      .agg(topk(col("score_1e6"), col("token")).as("tops"))
+      .select(col("source"), explode(col("tops")).as("t"))
+      .select(col("source"), col("t._2").as("token"),
+        col("t._1").as("score_1e6"))
+      .orderBy(col("source"), col("score_1e6").desc, col("token"))
+  }
+
+  val sourceTermsSql: String =
+    s"""WITH obs AS (
+       |  SELECT source, token, count(*) AS obs FROM (
+       |    SELECT source, unnest(${toksSqlExpr}) AS token
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |bys AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_source
+       |        FROM obs GROUP BY 1),
+       |byt AS (SELECT token, CAST(sum(obs) AS BIGINT) AS tot
+       |        FROM obs GROUP BY 1),
+       |n AS (SELECT CAST(sum(n_source) AS BIGINT) AS n_total FROM bys),
+       |scored AS (
+       |  SELECT o.source, o.token,
+       |    CAST(floor(CAST(o.obs AS DOUBLE) * CAST(n.n_total AS DOUBLE)
+       |      / (CAST(s.n_source AS DOUBLE) * CAST(t.tot AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS score_1e6,
+       |    row_number() OVER (PARTITION BY o.source
+       |      ORDER BY floor(CAST(o.obs AS DOUBLE)
+       |        * CAST(n.n_total AS DOUBLE)
+       |        / (CAST(s.n_source AS DOUBLE) * CAST(t.tot AS DOUBLE))
+       |        * 1e6 + 0.5) DESC, o.token) AS rn
+       |  FROM obs o JOIN bys s ON s.source = o.source
+       |             JOIN byt t ON t.token = o.token
+       |             CROSS JOIN n)
+       |SELECT source, token, score_1e6
+       |FROM scored WHERE rn <= $SourceTermsTopK
+       |ORDER BY source, score_1e6 DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_source_terms" -> (sourceTerms _),
     "q117_collocations" -> (collocations _),
     "q99_redact_ids" -> (redactIds _),
     "q95_doc_chunks" -> (docChunks _),
@@ -955,6 +1030,7 @@ object Text {
     "q21_exact_dedup" -> (exactDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q120_source_terms" -> sourceTermsSql,
     "q117_collocations" -> collocationsSql,
     "q99_redact_ids" -> redactIdsSql,
     "q95_doc_chunks" -> docChunksSql,

@@ -115,13 +115,66 @@ object Windows {
        |FROM g GROUP BY user_id, sess_id
        |ORDER BY user_id, session_start""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** Paths reported by q127 (top by session count, deterministic ties). */
+  val PathTopK = 10
+
+  /** q127: session path analysis — per (user, session) the ORDERED
+    * event-type path ("view>click>purchase"), then the
+    * top-[[PathTopK]] paths by session count: the product-analytics
+    * read-out q50's sessionization exists to feed. The collect is
+    * session-bounded (one session's events, never a user's history);
+    * array_sort on (tsl, event_id, type) structs pins the within-
+    * session order to the engine-wide total order before the
+    * concatenation, so the path string is deterministic under any
+    * partial-aggregation order; the path census is path-keyed and the
+    * cut is a TakeOrdered. */
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tsl"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tsl"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopK)
+
+  val sessionPathsSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL $SessionGapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM x),
+       |p AS (
+       |  SELECT user_id, sess_id,
+       |    string_agg(event_type, '>'
+       |      ORDER BY epoch_us(ts), event_id) AS path
+       |  FROM g GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_hourly_window" -> (hourlyWindow _),
     "q32_sliding_window" -> (slidingWindow _),
-    "q50_sessionize" -> (sessionize _))
+    "q50_sessionize" -> (sessionize _),
+    "q127_session_paths" -> (sessionPaths _))
 
   val oracle: Map[String, String] = Map(
     "q31_hourly_window" -> hourlyWindowSql,
     "q32_sliding_window" -> slidingWindowSql,
-    "q50_sessionize" -> sessionizeSql)
+    "q50_sessionize" -> sessionizeSql,
+    "q127_session_paths" -> sessionPathsSql)
 }

@@ -556,6 +556,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == List(("aa", "bb", 6L, 4.0)), s"got $got")
   }
 
+  test("q120 source terms: an exclusive token tops its source's list") {
+    import spark.implicits._
+    // "zz" appears only in source a (4 of a's 8 tokens); shared filler
+    // spreads evenly. distinctiveness(zz|a) = (4/8)/(4/16) = 2.0
+    val docs = Seq(
+      ("a", "zz zz zz zz x y x y"),
+      ("b", "x y x y x y x y")
+    ).toDF("source", "text")
+    val got = graft.ops.Text.sourceTermsOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val aTop = got.filter(_._1 == "a").head
+    assert((aTop._2, aTop._3) == ("zz", 2000000L), s"got $aTop")
+    // b never lists the token it does not contain
+    assert(!got.exists(t => t._1 == "b" && t._2 == "zz"))
+  }
+
   test("q114 drift: identical distributions score 0, a skewed source dominates") {
     import spark.implicits._
     val docs = Seq(

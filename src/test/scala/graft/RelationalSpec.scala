@@ -78,7 +78,13 @@ class RelationalSpec extends AnyFunSuite {
     // intermediate per-w1 total; consumer divides to double
     ("q71_bigram_lm", "c) OVER (PARTITION BY "),
     // sum over sqrt(double)
-    ("q83_mixture_weights", "sqrt(CAST(n_tokens AS "))
+    ("q83_mixture_weights", "sqrt(CAST(n_tokens AS "),
+    // DECIMAL sums (exact both engines), consumed only by the exact
+    // integer-arithmetic whale compare and floor-cast display columns
+    ("q124_segment_whales", "CAST(o_totalprice AS D"),
+    ("q124_segment_whales", "spend) AS seg_total"),
+    // q127 embeds q50's windowed session counter verbatim
+    ("q127_session_paths", "new_sess) OVER (PARTIT"))
 
   test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
     // guarded = wrapped by CAST( / floor( / round( (possibly through
@@ -404,6 +410,79 @@ class RelationalSpec extends AnyFunSuite {
       }.filter(_._2 > 0).toMap
     val got = SparkEntry.queries("q119_rolling_active")(spark, sfDir)
       .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("q124 whales match a driver-side exact-arithmetic recompute") {
+    import org.apache.spark.sql.functions._
+    val spend = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2)))
+    val bySeg = spend.groupBy(_._2)
+    val want = spend.filter { case (_, seg, sp) =>
+      val rows = bySeg(seg)
+      val total = rows.map(_._3.unscaledValue.longValueExact()).sum
+      sp.unscaledValue.longValueExact() * rows.length >
+        total * graft.ops.Relational.WhaleFactor
+    }.map(t => (t._1, t._2)).toSet
+    val got = SparkEntry.queries("q124_segment_whales")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "no whales at sf0.001 — threshold too high")
+  }
+
+  test("q125 MAD census matches a driver-side robust-stats recompute") {
+    import org.apache.spark.sql.functions._
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val want = vals.groupBy(_._1).map { case (t, xs) =>
+      val vk = xs.map(_._2.toDouble).toSeq
+      val m = med(vk)
+      val devs = vk.map(v => math.abs(v - m))
+      val mad = med(devs)
+      t -> (xs.length.toLong, m / 100.0, mad / 100.0,
+        devs.count(_ > mad * graft.ops.Relational.MadK).toLong)
+    }
+    val got = SparkEntry.queries("q125_mad_outliers")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("q127 session paths match a driver-side session replay") {
+    import org.apache.spark.sql.functions._
+    val gapUs = graft.ops.Windows.SessionGapMinutes * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toList
+      // split when the gap from the previous event reaches the limit
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc, e) =>
+          if (e._2 - acc.head.head._2 >= gapUs) List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+      }
+      sessions.map(_.reverse.map(_._4).mkString(">"))
+    }.toSeq
+    val want = paths.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(graft.ops.Windows.PathTopK)
+    val got = SparkEntry.queries("q127_session_paths")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
   }
 
