@@ -1441,7 +1441,197 @@ object Relational {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q121
+  /** q121: cumulative distinct users per day — "uniques to date", the
+    * growth curve every product dashboard wants. Exact, with NO
+    * per-day history rescans and NO day-partitioned distinct blowup:
+    * a user contributes exactly at their FIRST day (one user-keyed
+    * min aggregate — the only corpus-sized shuffle), then per-day
+    * first-timer counts running-sum over the bounded day frame. The
+    * trick that turns an O(days·data) cumulative distinct into one
+    * aggregate plus arithmetic on a #days-row frame. */
+  def cumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val firsts = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    firsts.withColumn("cumulative_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+      |  GROUP BY 1),
+      |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+      |FROM n ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------- q122
+  /** Per-step deadline for the q122 funnel. */
+  val FunnelStepHorizon = "24 hours"
+
+  /** q122: multi-step time-bounded funnel — view → click within
+    * [[FunnelStepHorizon]] of the first view → purchase within the
+    * horizon of that click (24 h steps — the 1 h attribution horizon
+    * q105 uses leaves this funnel's bottom empty at every test SF); one summary row with per-stage user counts
+    * and floor-rounded conversion rates. Each stage is a user-keyed
+    * min-aggregate over the previous stage's frontier (events join a
+    * user-keyed frontier, then min-aggregate) — never a window over a
+    * user's full history, and the stage frames shrink monotonically.
+    * The generalization of q78's two-step funnel. */
+  def multiStepFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsl")).localCheckpoint()
+    val horizonUs = 24L * 3600L * 1000000L
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsl")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tsl") > col("v_ts") &&
+        col("tsl") <= col("v_ts") + horizonUs)
+      .groupBy(col("user_id")).agg(min(col("tsl")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tsl") > col("c_ts") &&
+        col("tsl") <= col("c_ts") + horizonUs)
+      .groupBy(col("user_id")).agg(min(col("tsl")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click"))).crossJoin(
+        p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (floor(col("n_click").cast("double") / col("n_view")
+          .cast("double") * 1e4 + 0.5) / 1e4).as("view_to_click"),
+        (floor(col("n_purchase").cast("double") / col("n_click")
+          .cast("double") * 1e4 + 0.5) / 1e4).as("click_to_purchase"))
+  }
+
+  val multiStepFunnelSql: String = {
+    val h = 24L * 3600L * 1000000L
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsl
+       |            FROM events),
+       |v AS (SELECT user_id, min(tsl) AS v_ts FROM ev
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.tsl) AS c_ts
+       |      FROM ev e JOIN v ON v.user_id = e.user_id
+       |      WHERE e.event_type = 'click'
+       |        AND e.tsl > v.v_ts AND e.tsl <= v.v_ts + $h
+       |      GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.tsl) AS p_ts
+       |      FROM ev e JOIN c ON c.user_id = e.user_id
+       |      WHERE e.event_type = 'purchase'
+       |        AND e.tsl > c.c_ts AND e.tsl <= c.c_ts + $h
+       |      GROUP BY 1)
+       |SELECT
+       |  (SELECT count(*) FROM v) AS n_view,
+       |  (SELECT count(*) FROM c) AS n_click,
+       |  (SELECT count(*) FROM p) AS n_purchase,
+       |  floor(CAST((SELECT count(*) FROM c) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM v) AS DOUBLE) * 1e4 + 0.5) / 1e4
+       |    AS view_to_click,
+       |  floor(CAST((SELECT count(*) FROM p) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM c) AS DOUBLE) * 1e4 + 0.5) / 1e4
+       |    AS click_to_purchase""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q123
+  /** q123: pivot → unpivot round-trip — the wide↔long reshaping pair:
+    * daily event counts pivoted to one column per (pinned) type, then
+    * UNPIVOTed back to long form with `stack`. The oracle is the plain
+    * long-form aggregate, so the gate proves unpivot ∘ pivot =
+    * identity (zero cells materialized by the pivot are dropped on the
+    * way back, matching the aggregate's absent groups). Both reshapes
+    * are map-side over the day-keyed aggregate. */
+  def pivotRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    val stackExpr = s"stack(${types.length}, " +
+      types.map(t => s"'$t', `$t`").mkString(", ") +
+      ") AS (event_type, cnt)"
+    wide.select(col("day"), expr(stackExpr))
+      .filter(col("cnt").isNotNull)
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val pivotRoundtripSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q126
+  /** Total sample size the q126 apportionment allocates. */
+  val PropSampleTotal = 100L
+
+  /** q126: proportional stratified-sample quotas by largest remainder
+    * (Hamilton apportionment) — per (source, lang) stratum: its doc
+    * count and its integer quota out of [[PropSampleTotal]], with
+    * floor(T·n/N) seats first and the T − Σfloors leftover seats going
+    * to the largest remainders (remainder = T·n mod N, ties by stratum
+    * key — fully deterministic). Everything is INTEGER arithmetic —
+    * exact in both engines, quotas provably sum to T — and all windows
+    * run over the #strata-row frame; the only corpus-sized step is the
+    * stratum count. The allocation table q77's per-stratum picker then
+    * consumes. */
+  def proportionalQuota(s: SparkSession, d: String): DataFrame = {
+    val strata = documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val t = PropSampleTotal
+    val withTotal = strata.crossJoin(broadcast(
+      strata.agg(sum(col("n_docs")).as("n_total"))))
+    // `div`, not `/`: Spark's `/` on longs promotes to DOUBLE, whose
+    // rounding can cross an integer boundary; div is exact both engines
+    val base = withTotal.select(col("source"), col("lang"), col("n_docs"),
+      expr(s"(n_docs * $t) div n_total").as("floor_q"),
+      ((col("n_docs") * t) % col("n_total")).as("rem"))
+    val leftovers = base
+      .withColumn("rr", row_number().over(Window.orderBy(
+        col("rem").desc, col("source"), col("lang"))))
+      .crossJoin(broadcast(base.agg((lit(t) - sum(col("floor_q")))
+        .as("n_left"))))
+    leftovers.select(col("source"), col("lang"), col("n_docs"),
+        (col("floor_q") + (col("rr") <= col("n_left")).cast("long"))
+          .as("quota"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val proportionalQuotaSql: String = {
+    val t = PropSampleTotal
+    s"""WITH strata AS (
+       |  SELECT source, lang, count(*) AS n_docs FROM documents
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total
+       |        FROM strata),
+       |base AS (
+       |  SELECT source, lang, n_docs,
+       |    CAST(n_docs * $t // n_total AS BIGINT) AS floor_q,
+       |    CAST((n_docs * $t) % n_total AS BIGINT) AS rem
+       |  FROM strata CROSS JOIN tot),
+       |lv AS (SELECT CAST($t - sum(floor_q) AS BIGINT) AS n_left
+       |       FROM base),
+       |rk AS (
+       |  SELECT source, lang, n_docs, floor_q,
+       |    row_number() OVER (ORDER BY rem DESC, source, lang) AS rr
+       |  FROM base)
+       |SELECT source, lang, n_docs,
+       |  CAST(floor_q + CASE WHEN rr <= n_left THEN 1 ELSE 0 END
+       |    AS BIGINT) AS quota
+       |FROM rk CROSS JOIN lv
+       |ORDER BY source, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_cumulative_users" -> (cumulativeUsers _),
+    "q122_multi_funnel" -> (multiStepFunnel _),
+    "q123_pivot_roundtrip" -> (pivotRoundtrip _),
+    "q126_proportional_quota" -> (proportionalQuota _),
     "q124_segment_whales" -> (segmentWhales _),
     "q125_mad_outliers" -> (madOutliers _),
     "q119_rolling_active" -> (rollingActiveUsers _),
@@ -1492,6 +1682,10 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q121_cumulative_users" -> cumulativeUsersSql,
+    "q122_multi_funnel" -> multiStepFunnelSql,
+    "q123_pivot_roundtrip" -> pivotRoundtripSql,
+    "q126_proportional_quota" -> proportionalQuotaSql,
     "q124_segment_whales" -> segmentWhalesSql,
     "q125_mad_outliers" -> madOutliersSql,
     "q119_rolling_active" -> rollingActiveUsersSql,

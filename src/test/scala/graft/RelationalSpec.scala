@@ -84,7 +84,9 @@ class RelationalSpec extends AnyFunSuite {
     ("q124_segment_whales", "CAST(o_totalprice AS D"),
     ("q124_segment_whales", "spend) AS seg_total"),
     // q127 embeds q50's windowed session counter verbatim
-    ("q127_session_paths", "new_sess) OVER (PARTIT"))
+    ("q127_session_paths", "new_sess) OVER (PARTIT"),
+    // intermediate leftover-seat count: wrapped in CAST(T - sum(...))
+    ("q126_proportional_quota", "floor_q)"))
 
   test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
     // guarded = wrapped by CAST( / floor( / round( (possibly through
@@ -484,6 +486,91 @@ class RelationalSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q127_session_paths")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
+  }
+
+  test("q121 cumulative uniques equal a driver-side first-seen replay") {
+    import org.apache.spark.sql.functions._
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val firstDay = ud.groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+    val want = firstDay.groupBy(identity).toSeq
+      .map { case (d, xs) => (d, xs.size.toLong) }.sortBy(_._1)
+      .scanLeft((java.time.LocalDate.MIN, 0L, 0L)) {
+        case ((_, _, cum), (d, n)) => (d, n, cum + n)
+      }.drop(1).map { case (d, n, c) => d -> (n, c) }.toMap
+    val got = SparkEntry.queries("q121_cumulative_users")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.values.map(_._2).max == firstDay.size.toLong)
+  }
+
+  test("q122 funnel stages shrink and match a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val h = 24L * 3600L * 1000000L
+    val byUser = evs.groupBy(_._1)
+    val v = byUser.flatMap { case (u, xs) =>
+      val vs = xs.filter(_._2 == "view").map(_._3)
+      if (vs.isEmpty) None else Some(u -> vs.min)
+    }
+    val c = v.flatMap { case (u, vt) =>
+      val cs = byUser(u).filter(e => e._2 == "click" &&
+        e._3 > vt && e._3 <= vt + h).map(_._3)
+      if (cs.isEmpty) None else Some(u -> cs.min)
+    }
+    val p = c.flatMap { case (u, ct) =>
+      val ps = byUser(u).filter(e => e._2 == "purchase" &&
+        e._3 > ct && e._3 <= ct + h).map(_._3)
+      if (ps.isEmpty) None else Some(u -> ps.min)
+    }
+    val r = SparkEntry.queries("q122_multi_funnel")(spark, sfDir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (v.size.toLong, c.size.toLong, p.size.toLong))
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2))
+    assert(r.getLong(2) > 0, "funnel bottom empty at sf0.001")
+  }
+
+  test("q123 unpivot of the pivot equals the plain long-form aggregate") {
+    import org.apache.spark.sql.functions._
+    val want = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getLong(2)).toMap
+    val got = SparkEntry.queries("q123_pivot_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("q126 quotas are a largest-remainder apportionment summing to T") {
+    val t = graft.ops.Relational.PropSampleTotal
+    val rows = SparkEntry.queries("q126_proportional_quota")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._4).sum == t, "quotas must sum exactly to T")
+    val n = rows.map(_._3).sum
+    rows.foreach { case (src, lang, ni, q) =>
+      val fl = ni * t / n
+      assert(q == fl || q == fl + 1, s"($src,$lang) quota $q not in " +
+        s"{$fl, ${fl + 1}}")
+    }
+    // driver-side Hamilton replay
+    val base = rows.map { case (s0, l0, ni, _) =>
+      ((s0, l0), ni * t / n, ni * t % n)
+    }
+    val left = (t - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case ((s0, l0), _, rem) => (-rem, s0, l0) }
+      .take(left).map(_._1).toSet
+    val want = base.map { case (k, fl, _) =>
+      k -> (fl + (if (bump(k)) 1 else 0)) }.toMap
+    assert(rows.map(r => (r._1, r._2) -> r._4).toMap == want)
   }
 
   test("q112 latest-state aggregate equals the window formulation") {
