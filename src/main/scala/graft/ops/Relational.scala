@@ -1627,7 +1627,157 @@ object Relational {
        |ORDER BY source, lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q128
+  /** q128: point-in-time (feature-store) join — each purchase enriched
+    * with the user's STATE at purchase time, where state is the q101
+    * SCD2 run of non-purchase activity and "at time t" means the
+    * latest run starting ≤ t (as-of semantics — runs tile with gaps,
+    * so interval containment would silently drop probes that land in a
+    * gap). The training-data discipline this encodes: features joined
+    * as-of the label's timestamp can never leak the future. Probe-side
+    * work is a user-keyed join against the user's own runs plus a
+    * max-of-struct argmax per probe (O(1) state, no per-probe window);
+    * purchases with no prior state survive through the left join as
+    * 'none'. Output is one row per state type. */
+  def stateAtPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("tsl"), col("event_id"),
+      col("event_type")).localCheckpoint()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsl"), col("event_id"))
+    val runs = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state_type"),
+        col("tsl").as("s_ts"), col("event_id").as("s_eid"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsl").as("p_ts"), col("event_id"))
+    val best = pur
+      .join(runs, Seq("user_id"))
+      .filter(col("s_ts") <= col("p_ts"))
+      .groupBy(col("user_id"), col("p_ts"), col("event_id"))
+      .agg(max(struct(col("s_ts"), col("s_eid"), col("state_type")))
+        .as("st"))
+    pur.join(best, Seq("user_id", "p_ts", "event_id"), "left_outer")
+      .groupBy(coalesce(col("st.state_type"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        coalesce(sum(col("p_ts") - col("st.s_ts")), lit(0L))
+          .as("total_delay_us"))
+      .orderBy(col("state"))
+  }
+
+  val stateAtPurchaseSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tsl, event_id, event_type
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type AS state_type, tsl AS s_ts,
+      |    event_id AS s_eid
+      |  FROM (
+      |    SELECT user_id, event_type, tsl, event_id,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY tsl, event_id) AS prev
+      |    FROM ev WHERE event_type <> 'purchase')
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |pur AS (SELECT user_id, tsl AS p_ts, event_id FROM ev
+      |        WHERE event_type = 'purchase'),
+      |joined AS (
+      |  SELECT p.user_id, p.p_ts, p.event_id, r.state_type, r.s_ts,
+      |    row_number() OVER (PARTITION BY p.user_id, p.p_ts, p.event_id
+      |      ORDER BY r.s_ts DESC, r.s_eid DESC) AS rn
+      |  FROM pur p JOIN runs r
+      |    ON r.user_id = p.user_id AND r.s_ts <= p.p_ts),
+      |best AS (SELECT * FROM joined WHERE rn = 1)
+      |SELECT coalesce(b.state_type, 'none') AS state,
+      |  count(*) AS n_purchases,
+      |  CAST(coalesce(sum(p.p_ts - b.s_ts), 0) AS BIGINT)
+      |    AS total_delay_us
+      |FROM pur p LEFT JOIN best b
+      |  ON b.user_id = p.user_id AND b.p_ts = p.p_ts
+      |  AND b.event_id = p.event_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q129
+  /** q129 price bands (lo inclusive, hi exclusive; hi=null = open). */
+  val PriceBands: Seq[(String, Double, Option[Double])] = Seq(
+    ("low", 0.0, Some(100000.0)),
+    ("mid", 100000.0, Some(300000.0)),
+    ("high", 300000.0, None))
+
+  /** q129: broadcast interval-lookup join — orders banded by a small
+    * RANGE dimension (the GeoIP/price-band/SLA-tier shape). With a
+    * band table this small Spark's BroadcastNestedLoopJoin is the
+    * RIGHT plan — per-row work is #bands comparisons, no shuffle — and
+    * that is the point: a range dim is broadcast-joined, not shuffled,
+    * and not hard-coded into a CASE (the band table is data, not
+    * code). Decimal-cast revenue keeps the sums order-independent. */
+  def priceBandRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = PriceBands
+      .map { case (b, lo, hi) => (b, lo, hi.getOrElse(Double.MaxValue)) }
+      .toDF("band", "lo", "hi")
+    orders(s, d).select(col("o_totalprice"))
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        (floor(sum(col("o_totalprice").cast("decimal(18,6)"))
+          .cast("double") * 1e2 + 0.5) / 1e2).as("revenue"))
+      .orderBy(col("band"))
+  }
+
+  val priceBandRevenueSql: String = {
+    val rows = PriceBands.map { case (b, lo, hi) =>
+      s"('$b', CAST($lo AS DOUBLE), CAST(${hi.getOrElse(Double.MaxValue)} AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $rows)
+       |SELECT band, count(*) AS n_orders,
+       |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+       |    * 1e2 + 0.5) / 1e2 AS revenue
+       |FROM orders JOIN bands
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q130
+  /** q130: order-lifecycle (accumulating-snapshot) stats — per order,
+    * the span from order date to its LAST line shipment; then per
+    * priority: order count, mean and max fulfillment days. The
+    * order-keyed max-aggregate is the accumulating-snapshot build (one
+    * row per order, updated as lines ship); the priority rollup is
+    * dimension-sized. Day spans are exact integer date diffs, the mean
+    * goes through the floor idiom. */
+  def orderLifecycle(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(datediff(max(to_date(col("l_shipdate"))),
+        min(to_date(col("o_orderdate")))).cast("long").as("days_to_ship"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (floor(sum(col("days_to_ship")).cast("double") /
+          count(lit(1)).cast("double") * 1e4 + 0.5) / 1e4)
+          .as("avg_days"),
+        max(col("days_to_ship")).as("max_days"))
+      .orderBy(col("o_orderpriority"))
+
+  val orderLifecycleSql: String =
+    """WITH per AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    date_diff('day', min(CAST(o_orderdate AS DATE)),
+      |      max(CAST(l_shipdate AS DATE))) AS days_to_ship
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  floor(CAST(sum(days_to_ship) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_days,
+      |  CAST(max(days_to_ship) AS BIGINT) AS max_days
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_state_at_purchase" -> (stateAtPurchase _),
+    "q129_price_bands" -> (priceBandRevenue _),
+    "q130_order_lifecycle" -> (orderLifecycle _),
     "q121_cumulative_users" -> (cumulativeUsers _),
     "q122_multi_funnel" -> (multiStepFunnel _),
     "q123_pivot_roundtrip" -> (pivotRoundtrip _),
@@ -1682,6 +1832,9 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q128_state_at_purchase" -> stateAtPurchaseSql,
+    "q129_price_bands" -> priceBandRevenueSql,
+    "q130_order_lifecycle" -> orderLifecycleSql,
     "q121_cumulative_users" -> cumulativeUsersSql,
     "q122_multi_funnel" -> multiStepFunnelSql,
     "q123_pivot_roundtrip" -> pivotRoundtripSql,

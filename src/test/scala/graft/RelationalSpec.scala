@@ -86,7 +86,9 @@ class RelationalSpec extends AnyFunSuite {
     // q127 embeds q50's windowed session counter verbatim
     ("q127_session_paths", "new_sess) OVER (PARTIT"),
     // intermediate leftover-seat count: wrapped in CAST(T - sum(...))
-    ("q126_proportional_quota", "floor_q)"))
+    ("q126_proportional_quota", "floor_q)"),
+    // delay sum wrapped in CAST(coalesce(sum(...), 0) AS BIGINT)
+    ("q128_state_at_purchase", "p.p_ts - b.s_ts"))
 
   test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
     // guarded = wrapped by CAST( / floor( / round( (possibly through
@@ -571,6 +573,74 @@ class RelationalSpec extends AnyFunSuite {
     val want = base.map { case (k, fl, _) =>
       k -> (fl + (if (bump(k)) 1 else 0)) }.toMap
     assert(rows.map(r => (r._1, r._2) -> r._4).toMap == want)
+  }
+
+  test("q128 state-at-purchase matches a driver-side as-of replay") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val byUser = evs.groupBy(_._1)
+    val res = scala.collection.mutable.Map[String, (Long, Long)]()
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val nonP = sorted.filter(_._4 != "purchase")
+      // run starts: first event or type change
+      val runs = nonP.zip(("" +: nonP.map(_._4).init))
+        .collect { case (e, prev) if prev != e._4 => e }
+      sorted.filter(_._4 == "purchase").foreach { p =>
+        val prior = runs.filter(_._2 <= p._2)
+        val (state, delay) =
+          if (prior.isEmpty) ("none", 0L)
+          else {
+            val best = prior.maxBy(r => (r._2, r._3))
+            (best._4, p._2 - best._2)
+          }
+        val (n, d) = res.getOrElse(state, (0L, 0L))
+        res(state) = (n + 1, d + delay)
+      }
+    }
+    val got = SparkEntry.queries("q128_state_at_purchase")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == res.toMap)
+  }
+
+  test("q129 bands partition every order exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q129_price_bands")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prices = Tables.orders(spark, sfDir).select(col("o_totalprice"))
+      .collect().map(_.getDouble(0))
+    val want = prices.groupBy { p =>
+      graft.ops.Relational.PriceBands.find { case (_, lo, hi) =>
+        p >= lo && p < hi.getOrElse(Double.MaxValue) }.get._1
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows == want)
+    assert(rows.values.sum == prices.length.toLong)
+  }
+
+  test("q130 lifecycle spans match a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val per = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(datediff(max(to_date(col("l_shipdate"))),
+        min(to_date(col("o_orderdate")))).cast("long").as("dd"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val want = per.groupBy(_._1).map { case (p, xs) =>
+      val ds = xs.map(_._2)
+      p -> (ds.length.toLong,
+        math.floor(ds.sum.toDouble / ds.length.toDouble * 1e4 + 0.5) / 1e4,
+        ds.max)
+    }
+    val got = SparkEntry.queries("q130_order_lifecycle")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == want)
   }
 
   test("q112 latest-state aggregate equals the window formulation") {
