@@ -1147,7 +1147,68 @@ object Pipeline {
        |    * 1e4 + 0.5) / 1e4 AS frac
        |FROM m ORDER BY source, quartile""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** q132: token-weighted quality median per source — "the quality of
+    * the median TOKEN, not the median document": long documents weigh
+    * proportionally, the statistic a mixture tuner actually wants
+    * (document-median overweights short docs). Exact and
+    * cross-engine-stable with NO sort of the corpus: per (source,
+    * integer quality key) token-weight sums — state bounded by the
+    * quality grid per source — then a cumulative window over that
+    * bounded grid picks the lower weighted median by the integer test
+    * 2·cum ≥ total. All arithmetic integral until the final /1e4. */
+  def weightedMedianQuality(s: SparkSession, d: String): DataFrame =
+    weightedMedianQualityOn(documents(s, d))
+
+  /** q132 over a caller-supplied (doc_id, source, text) corpus. */
+  def weightedMedianQualityOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"), col("source"),
+        size(expr(Text.toksExpr)).cast("long").as("w"))
+      .join(Text.docQualityOn(docs).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .select(col("source"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("qk"),
+        col("w"))
+      .groupBy(col("source"), col("qk"))
+      .agg(sum(col("w")).as("wsum")) // grid-bounded state per source
+    val wTot = Window.partitionBy(col("source"))
+    val wCum = wTot.orderBy(col("qk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.withColumn("cum", sum(col("wsum")).over(wCum))
+      .withColumn("total", sum(col("wsum")).over(wTot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("source"))
+      .agg(min(col("qk")).as("qk"), max(col("total")).as("total_tokens"))
+      .select(col("source"), (col("qk").cast("double") / 1e4)
+        .as("weighted_median_quality"), col("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val weightedMedianQualitySql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${Text.docQualitySql})),
+       |t AS (
+       |  SELECT d.source,
+       |    CAST(floor(q.quality * 1e4 + 0.5) AS BIGINT) AS qk,
+       |    CAST(len(${Text.toksSqlExpr}) AS BIGINT) AS w
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |g AS (SELECT source, qk, CAST(sum(w) AS BIGINT) AS wsum
+       |      FROM t GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, qk, wsum,
+       |    CAST(sum(wsum) OVER (PARTITION BY source ORDER BY qk
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(wsum) OVER (PARTITION BY source) AS BIGINT) AS total
+       |  FROM g)
+       |SELECT source,
+       |  CAST(min(qk) AS DOUBLE) / 1e4 AS weighted_median_quality,
+       |  max(total) AS total_tokens
+       |FROM c WHERE cum * 2 >= total
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_weighted_median" -> (weightedMedianQuality _),
     "q116_quality_profile" -> (qualityProfile _),
     "q113_containment" -> (containmentDecontam _),
     "q114_source_drift" -> (sourceDrift _),
@@ -1168,6 +1229,7 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q132_weighted_median" -> weightedMedianQualitySql,
     "q116_quality_profile" -> qualityProfileSql,
     "q113_containment" -> containmentDecontamSql,
     "q114_source_drift" -> sourceDriftSql,

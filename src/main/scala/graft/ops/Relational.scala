@@ -1774,7 +1774,120 @@ object Relational {
       |  CAST(max(days_to_ship) AS BIGINT) AS max_days
       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q131
+  /** q131 group top-k for the rank-filter idiom. */
+  val RankFilterK = 3
+
+  /** q131: rank-filter top-k per group — the `rank() ≤ k` idiom on its
+    * own, because the PLAN matters: Spark rewrites the filtered window
+    * into WindowGroupLimit, which keeps a running top-k per partition
+    * BEFORE the window sort, so each group ships k·partitions rows into
+    * the exchange instead of its full membership (PlansSpec pins the
+    * rewrite). `rank` (not row_number) keeps ties — the deterministic
+    * tie column makes the output order total anyway. */
+  def topOrdersPerPriority(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= RankFilterK)
+      .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+  }
+
+  val topOrdersPerPrioritySql: String =
+    s"""SELECT * FROM (
+       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+       |    CAST(rank() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+       |  FROM orders)
+       |WHERE rk <= $RankFilterK
+       |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- q133
+  /** q133: RFM segmentation — per user: Recency (µs since last event,
+    * against the corpus max), Frequency (event count), Monetary
+    * (integerized value sum), each cut at the GLOBAL median into
+    * high/low, yielding 8 segments with user counts — the classic
+    * behavioral-segmentation matrix. Exactness: R/F/M are integers;
+    * the three medians interpolate integers at the dyadic 0.5 (exact
+    * multiples of 0.5, bit-identical cross-engine — the q116/q125
+    * trick); segment membership is a half-exact double compare.
+    * One user-keyed aggregate (the only corpus-sized shuffle), scalar
+    * medians broadcast back, segment census is 8 rows. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vk"))
+      .groupBy(col("user_id"))
+      .agg(max(col("tsl")).as("last_ts"), count(lit(1)).as("f"),
+        sum(col("vk")).as("m"))
+      .localCheckpoint() // feeds the median aggregate + the census
+    val cuts = perUser.agg(
+      max(col("last_ts")).as("t_max"),
+      expr("percentile(last_ts, 0.5D)").as("r_med"),
+      expr("percentile(f, 0.5D)").as("f_med"),
+      expr("percentile(m, 0.5D)").as("m_med"))
+    perUser.crossJoin(broadcast(cuts)) // 1-row cut frame
+      .select(
+        // recent ⇔ last activity AFTER the median last-activity time
+        (col("last_ts").cast("double") > col("r_med")).as("recent"),
+        (col("f").cast("double") > col("f_med")).as("frequent"),
+        (col("m").cast("double") > col("m_med")).as("high_value"))
+      .groupBy(col("recent"), col("frequent"), col("high_value"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("recent"), col("frequent"), col("high_value"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_ts,
+      |    count(*) AS f,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS m
+      |  FROM events GROUP BY 1),
+      |cuts AS (
+      |  SELECT quantile_cont(last_ts, 0.5) AS r_med,
+      |    quantile_cont(f, 0.5) AS f_med,
+      |    quantile_cont(m, 0.5) AS m_med
+      |  FROM per)
+      |SELECT (CAST(last_ts AS DOUBLE) > r_med) AS recent,
+      |  (CAST(f AS DOUBLE) > f_med) AS frequent,
+      |  (CAST(m AS DOUBLE) > m_med) AS high_value,
+      |  count(*) AS n_users
+      |FROM per CROSS JOIN cuts
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- q134
+  /** q134 minimum group size (k in k-anonymity). */
+  val KAnonK = 10L
+
+  /** q134: k-anonymity audit over quasi-identifiers — group sizes for
+    * the (source, lang) quasi-identifier pair, flagging groups below
+    * [[KAnonK]] members: the release-readiness check that a dataset's
+    * identifier combinations don't isolate individuals (here:
+    * documents). Reports per group-size-violation status the group
+    * count and total docs, plus each violating group — both
+    * group-keyed aggregates, summary-sized output at any scale. */
+  def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        (col("n_docs") < KAnonK).as("violates_k"))
+      .orderBy(col("source"), col("lang"))
+
+  val kAnonymityAuditSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  (count(*) < $KAnonK) AS violates_k
+       |FROM documents GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_rfm_segments" -> (rfmSegments _),
+    "q134_k_anonymity" -> (kAnonymityAudit _),
+    "q131_rank_filter" -> (topOrdersPerPriority _),
     "q128_state_at_purchase" -> (stateAtPurchase _),
     "q129_price_bands" -> (priceBandRevenue _),
     "q130_order_lifecycle" -> (orderLifecycle _),
@@ -1832,6 +1945,9 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q133_rfm_segments" -> rfmSegmentsSql,
+    "q134_k_anonymity" -> kAnonymityAuditSql,
+    "q131_rank_filter" -> topOrdersPerPrioritySql,
     "q128_state_at_purchase" -> stateAtPurchaseSql,
     "q129_price_bands" -> priceBandRevenueSql,
     "q130_order_lifecycle" -> orderLifecycleSql,

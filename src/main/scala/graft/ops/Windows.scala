@@ -129,8 +129,14 @@ object Windows {
     * concatenation, so the path string is deterministic under any
     * partial-aggregation order; the path census is path-keyed and the
     * cut is a TakeOrdered. */
-  def sessionPaths(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+  /** The q127 stage shared by batch and stream: one path row per
+    * (user, session). On a STREAMING frame (with a watermark upstream)
+    * the same session_window aggregate runs incrementally — Spark
+    * merges/extends session state per key and emits each session once
+    * its window closes past the watermark
+    * ([[graft.streaming.Streams.sessionPathsStream]]). */
+  def sessionPathFrame(ev: DataFrame): DataFrame =
+    ev
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), unix_micros(col("ts")).as("tsl"))
       .groupBy(col("user_id"),
@@ -139,6 +145,11 @@ object Windows {
         array_sort(collect_list(struct(col("tsl"), col("event_id"),
           col("event_type")))),
         x => x.getField("event_type")), ">").as("path"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("path"))
+
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    sessionPathFrame(events(s, d))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))

@@ -198,6 +198,18 @@ object Streams {
   def latestStateStream(changelog: DataFrame): DataFrame =
     graft.ops.Relational.latestStateOn(changelog)
 
+  /** Streaming session paths — q127's per-session path stage on a
+    * stream: the SAME `Windows.sessionPathFrame` aggregate behind a
+    * watermark. Spark's session_window state merges/extends sessions
+    * per user and emits each (user, session, path) exactly once, when
+    * the session's window falls behind the watermark — so state is
+    * bounded by open sessions, and the downstream path census is a
+    * plain batch aggregate over the emitted rows. */
+  def sessionPathsStream(events: DataFrame, watermark: String = "1 hour")
+  : DataFrame =
+    graft.ops.Windows.sessionPathFrame(
+      events.withWatermark("ts", watermark))
+
   /** Streaming curation — the q59 cascade minus its one stateful rule.
     * Every quality/repetition signal is a per-row expression (the
     * repetition ratios are a sorted-run HOF, no shuffle), so the

@@ -572,6 +572,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.exists(t => t._1 == "b" && t._2 == "zz"))
   }
 
+  test("q132 weighted median matches a driver-side cumulative replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val t = docs
+      .select(col("doc_id"), col("source"),
+        size(expr(graft.ops.Text.toksExpr)).cast("long").as("w"))
+      .join(graft.ops.Text.docQualityOn(docs)
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .select(col("source"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("qk"), col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = t.groupBy(_._1).map { case (s0, xs) =>
+      val total = xs.map(_._3).sum
+      val byQk = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = byQk.collectFirst {
+        case (qk, ws) if { cum += ws; cum * 2 >= total } => qk
+      }.get
+      s0 -> (med.toDouble / 1e4, total)
+    }
+    val got = SparkEntry.queries("q132_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("q114 drift: identical distributions score 0, a skewed source dominates") {
     import spark.implicits._
     val docs = Seq(

@@ -186,5 +186,10 @@ class PlansSpec extends AnyFunSuite {
       assert(plan(q).contains("TakeOrdered"),
         s"$q top-k did not plan as TakeOrderedAndProject")
     }
+    // q131: the rank()<=k filter must rewrite to WindowGroupLimit so
+    // each group ships k rows per partition into the exchange, not its
+    // full membership
+    assert(plan("q131_rank_filter").contains("WindowGroupLimit"),
+      "q131 rank filter did not plan as WindowGroupLimit")
   }
 }

@@ -643,6 +643,60 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q131 rank-filter keeps exactly the tied top-k per priority") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (p, xs) =>
+      val sorted = xs.sortBy(r => (-r._3, r._2))
+      // rank semantics: position of first row with the same sort key
+      sorted.zipWithIndex.flatMap { case (r, i) =>
+        val rk = sorted.indexWhere(x => x._3 == r._3) + 1
+        if (rk <= graft.ops.Relational.RankFilterK)
+          Some((p, r._2, rk.toLong)) else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("q131_rank_filter")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(3).toLong)).toSet
+    assert(got == want)
+  }
+
+  test("q133 RFM segments partition all users; medians split sanely") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q133_rfm_segments")(spark, sfDir)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getBoolean(2)) -> r.getLong(3)).toMap
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.values.sum == nUsers, "segments must partition users")
+    // a strict-majority rule: > median flags at most half the users
+    for (i <- 0 until 3) {
+      val high = rows.collect { case (k, n)
+        if Seq(k._1, k._2, k._3)(i) => n }.sum
+      assert(high * 2 <= nUsers, s"dimension $i: > median flagged " +
+        s"$high of $nUsers")
+    }
+  }
+
+  test("q134 flags exactly the under-k quasi-identifier groups") {
+    import org.apache.spark.sql.functions._
+    val want = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    val got = SparkEntry.queries("q134_k_anonymity")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    got.foreach { case (k, (n, v)) =>
+      assert(v == (n < graft.ops.Relational.KAnonK), s"$k verdict")
+    }
+    assert(got.values.exists(_._2), "no violation at sf0.001 — k too low")
+  }
+
   test("q112 latest-state aggregate equals the window formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -327,6 +327,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session paths match the batch path stage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val min = 60000L
+    // user 1: "view>click" then a 31-min gap → second session "error";
+    // user 2: one "signup" session
+    val evs = Seq(
+      ChEv(1L, new Timestamp(t0), 10L, "view", 0.0),
+      ChEv(1L, new Timestamp(t0 + min), 11L, "click", 0.0),
+      ChEv(1L, new Timestamp(t0 + 32 * min), 12L, "error", 0.0),
+      ChEv(2L, new Timestamp(t0 + min), 13L, "signup", 0.0))
+    val mem = MemoryStream[ChEv]
+    val q = Streams.sessionPathsStream(mem.toDF(), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(evs.take(2): _*); q.processAllAvailable()
+      mem.addData(evs.drop(2): _*); q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet
+      val streamed = rows(spark.table("paths_out"))
+      val batch = rows(graft.ops.Windows.sessionPathFrame(evs.toDF()))
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(_._3) == Set("view>click", "error", "signup"))
+    } finally q.stop()
+  }
+
   test("streaming latest-state compaction converges to the batch q112") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
