@@ -3,7 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import graft.sketch.Sketches
 
 /** Structured Streaming operators — the reference's DStream surface
@@ -197,6 +199,56 @@ object Streams {
     * the batch q112 on the same rows. */
   def latestStateStream(changelog: DataFrame): DataFrame =
     graft.ops.Relational.latestStateOn(changelog)
+
+  case class ChangeEvent(user_id: Long, tsl: Long, event_id: Long,
+    event_type: String, value: Double)
+  case class UserLatest(tsl: Long, event_id: Long, event_type: String,
+    value: Double)
+  case class UserLatestOut(user_id: Long, last_ts_us: Long,
+    last_event_id: Long, last_type: String, last_value: Double)
+
+  /** The transformWithState processor behind [[latestStateTtl]]: one
+    * TTL'd ValueState per key holding the newest (tsl, event_id)
+    * record. TTL is what the plain streaming aggregate
+    * ([[latestStateStream]]) cannot express — retired keys age out of
+    * the state store instead of accumulating forever, which at 100 TB
+    * of churn is the difference between state ∝ live keys and state ∝
+    * all keys ever seen. */
+  class LatestStateProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, ChangeEvent, UserLatestOut] {
+    @transient private var state: ValueState[UserLatest] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserLatest]("latest",
+        Encoders.product[UserLatest], TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeEvent],
+        timers: TimerValues): Iterator[UserLatestOut] = {
+      var best = if (state.exists()) state.get() else null
+      rows.foreach { e =>
+        if (best == null || e.tsl > best.tsl ||
+            (e.tsl == best.tsl && e.event_id > best.event_id))
+          best = UserLatest(e.tsl, e.event_id, e.event_type, e.value)
+      }
+      state.update(best)
+      Iterator.single(UserLatestOut(key, best.tsl, best.event_id,
+        best.event_type, best.value))
+    }
+  }
+
+  /** q112's latest-state compaction on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): identical per-key semantics to
+    * [[latestStateStream]], plus a state TTL. Requires the RocksDB
+    * state store provider. Emits the changed key's state each
+    * micro-batch (update semantics — feed an upsert sink). */
+  def latestStateTtl(changelog: Dataset[ChangeEvent],
+      ttl: java.time.Duration): Dataset[UserLatestOut] = {
+    implicit val outEnc: Encoder[UserLatestOut] =
+      Encoders.product[UserLatestOut]
+    changelog.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new LatestStateProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
 
   /** Streaming session paths — q127's per-session path stage on a
     * stream: the SAME `Windows.sessionPathFrame` aggregate behind a

@@ -355,6 +355,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState latest-state (TTL'd) matches the batch q112") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val t0 = 1700000000000000L // µs
+    val b1 = Seq(
+      Streams.ChangeEvent(1L, t0, 10L, "signup", 1.0),
+      Streams.ChangeEvent(2L, t0 + 1000L, 11L, "view", 2.0))
+    val b2 = Seq(
+      Streams.ChangeEvent(1L, t0 + 9000L, 12L, "purchase", 3.0),
+      Streams.ChangeEvent(3L, t0 + 2000L, 13L, "error", 4.0))
+    val mem = MemoryStream[Streams.ChangeEvent]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_ckpt").toString
+    // AvailableNow, NOT processAllAvailable: under TimeMode.ProcessingTime
+    // the query keeps scheduling timer batches, so processAllAvailable
+    // never settles; AvailableNow drains pending input and STOPS, and
+    // the second start resumes per-key state from the checkpoint —
+    // which also exercises exactly the restart path production runs
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Long, String, Double)]()
+    def drain(): Unit = {
+      // foreachBatch, not the memory sink: only foreachBatch supports
+      // resuming from the checkpoint, and the restart is the point —
+      // per-key RocksDB state must survive it
+      val q = Streams.latestStateTtl(mem.toDS(),
+          java.time.Duration.ofDays(1))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[Streams.UserLatestOut],
+              _: Long) =>
+            df.collect().foreach(o => emitted.add((o.user_id,
+              o.last_ts_us, o.last_event_id, o.last_type, o.last_value)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    try {
+      mem.addData(b1: _*); drain()
+      mem.addData(b2: _*); drain()
+      // update emissions accumulate: latest per key wins
+      val streamed = emitted.toArray(
+        Array.empty[(Long, Long, Long, String, Double)])
+        .groupBy(_._1).view
+        .mapValues(_.maxBy(t => (t._2, t._3))).values.toSet
+      val batch = graft.ops.Relational.latestStateOn(
+        (b1 ++ b2).map(e => (e.user_id,
+          new Timestamp(e.tsl / 1000), e.event_id, e.event_type,
+          e.value)).toDF("user_id", "ts", "event_id", "event_type",
+          "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toSet
+      assert(streamed == batch, s"tws $streamed != batch $batch")
+      assert(streamed.exists(r => r._1 == 1L && r._3 == 12L),
+        "cross-batch overwrite missing")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming latest-state compaction converges to the batch q112") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
