@@ -1884,7 +1884,189 @@ object Relational {
        |FROM documents GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** q135: cross-series correlation — Pearson r between the daily
+    * click and purchase count series ("do clicks drive purchases?").
+    * Same exactness discipline as q118's assortativity: the day-keyed
+    * conditional aggregate yields INTEGER series, all five moments are
+    * order-independent integer sums, and the final r is identical
+    * double arithmetic plus one correctly-rounded sqrt; zero-variance
+    * degenerates to null, not NaN. One corpus-sized aggregate, then a
+    * #days frame. */
+  def dailyCorrelation(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("n"),
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        ((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          * (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")))
+          .as("den"))
+      .select(col("n").as("n_days"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(floor(col("num") / sqrt(col("den")) * 1e6 + 0.5)
+            / 1e6).as("click_purchase_corr"))
+  }
+
+  val dailyCorrelationSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM daily),
+      |nd AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+      |  FROM m)
+      |SELECT n AS n_days,
+      |  CASE WHEN den = 0.0 THEN NULL
+      |    ELSE floor(num / sqrt(den) * 1e6 + 0.5) / 1e6
+      |  END AS click_purchase_corr
+      |FROM nd""".stripMargin
+
+  // --------------------------------------------------------------- q136
+  /** q136: day-of-week seasonality — per (event type, ISO weekday) the
+    * observed/expected ratio under independence (the q114/q117 lift
+    * shape applied to the time axis): index > 1 ⇒ that type
+    * over-indexes on that weekday. Exact integer moments through
+    * identically-written IEEE mul/div; weekday via `weekday()+1` ↔
+    * `isodow` so both engines agree Mon=1…Sun=7. Output is a
+    * |types|×7 matrix. */
+  def dowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val obs = events(s, d)
+      .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both marginals + the scored scan
+    val byType = obs.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("t_tot"))
+    val byDow = obs.groupBy(col("dow")).agg(sum(col("cnt")).as("d_tot"))
+    val total = obs.agg(sum(col("cnt")).as("n_tot"))
+    obs.join(broadcast(byType), Seq("event_type"))
+      .join(broadcast(byDow), Seq("dow"))
+      .crossJoin(broadcast(total)) // 1-row scalar frame
+      .select(col("event_type"), col("dow"), col("cnt"),
+        (floor(col("cnt").cast("double") * col("n_tot").cast("double")
+          / (col("t_tot").cast("double") * col("d_tot").cast("double"))
+          * 1e4 + 0.5) / 1e4).as("seasonality_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val dowSeasonalitySql: String =
+    """WITH obs AS (
+      |  SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |bt AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS t_tot
+      |       FROM obs GROUP BY 1),
+      |bd AS (SELECT dow, CAST(sum(cnt) AS BIGINT) AS d_tot
+      |       FROM obs GROUP BY 1),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM obs)
+      |SELECT o.event_type, o.dow, o.cnt,
+      |  floor(CAST(o.cnt AS DOUBLE) * CAST(n.n_tot AS DOUBLE)
+      |    / (CAST(bt.t_tot AS DOUBLE) * CAST(bd.d_tot AS DOUBLE))
+      |    * 1e4 + 0.5) / 1e4 AS seasonality_idx
+      |FROM obs o JOIN bt ON bt.event_type = o.event_type
+      |           JOIN bd ON bd.dow = o.dow
+      |           CROSS JOIN n
+      |ORDER BY o.event_type, o.dow""".stripMargin
+
+  // --------------------------------------------------------------- q137
+  /** q137: attribution-model comparison — for each purchase, its
+    * FIRST-touch and LAST-touch view within the trailing 24 h; per
+    * purchase-day: purchases, attributed purchases, and how often the
+    * two models pick the same touch — the number that says whether the
+    * model choice even matters on this data. One user-keyed join of
+    * purchases against views with min/max-of-struct aggregates per
+    * purchase (no per-user window), day-keyed rollup after. */
+  def attributionModels(s: SparkSession, d: String): DataFrame = {
+    val h = 24L * 3600L * 1000000L
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsl"), col("event_id"))
+      .localCheckpoint()
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tsl").as("v_ts"),
+        col("event_id").as("v_id"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsl").as("p_ts"), col("event_id"))
+    val touched = pur.join(views, Seq("user_id"))
+      .filter(col("v_ts") <= col("p_ts") &&
+        col("v_ts") > col("p_ts") - h)
+      .groupBy(col("user_id"), col("p_ts"), col("event_id"))
+      .agg(min(struct(col("v_ts"), col("v_id"))).as("first_touch"),
+        max(struct(col("v_ts"), col("v_id"))).as("last_touch"))
+    pur.join(touched, Seq("user_id", "p_ts", "event_id"), "left_outer")
+      .groupBy(timestamp_micros(col("p_ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("first_touch").isNotNull.cast("long"))
+          .as("n_attributed"),
+        // coalesce: a day where NO purchase had a touch sums all-null
+        // to null, where the oracle's CASE yields 0
+        coalesce(sum((col("first_touch.v_id") === col("last_touch.v_id"))
+          .cast("long")), lit(0L)).as("n_single_touch"))
+      .orderBy(col("day"))
+  }
+
+  val attributionModelsSql: String = {
+    val h = 24L * 3600L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tsl, event_id
+       |  FROM events),
+       |v AS (SELECT user_id, tsl AS v_ts, event_id AS v_id FROM ev
+       |      WHERE event_type = 'view'),
+       |p AS (SELECT user_id, tsl AS p_ts, event_id FROM ev
+       |      WHERE event_type = 'purchase'),
+       |joined AS (
+       |  SELECT p.user_id, p.p_ts, p.event_id, v.v_id,
+       |    row_number() OVER (PARTITION BY p.user_id, p.p_ts, p.event_id
+       |      ORDER BY v.v_ts, v.v_id) AS rf,
+       |    row_number() OVER (PARTITION BY p.user_id, p.p_ts, p.event_id
+       |      ORDER BY v.v_ts DESC, v.v_id DESC) AS rl
+       |  FROM p JOIN v ON v.user_id = p.user_id
+       |    AND v.v_ts <= p.p_ts AND v.v_ts > p.p_ts - $h),
+       |touched AS (
+       |  SELECT user_id, p_ts, event_id,
+       |    max(CASE WHEN rf = 1 THEN v_id END) AS first_id,
+       |    max(CASE WHEN rl = 1 THEN v_id END) AS last_id
+       |  FROM joined GROUP BY 1, 2, 3)
+       |SELECT CAST(make_timestamp(p.p_ts) AS DATE) AS day,
+       |  count(*) AS n_purchases,
+       |  CAST(sum(CASE WHEN t.first_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_attributed,
+       |  CAST(sum(CASE WHEN t.first_id = t.last_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_single_touch
+       |FROM p LEFT JOIN touched t
+       |  ON t.user_id = p.user_id AND t.p_ts = p.p_ts
+       |  AND t.event_id = p.event_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_daily_corr" -> (dailyCorrelation _),
+    "q136_dow_seasonality" -> (dowSeasonality _),
+    "q137_attribution_models" -> (attributionModels _),
     "q133_rfm_segments" -> (rfmSegments _),
     "q134_k_anonymity" -> (kAnonymityAudit _),
     "q131_rank_filter" -> (topOrdersPerPriority _),
@@ -1945,6 +2127,9 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q135_daily_corr" -> dailyCorrelationSql,
+    "q136_dow_seasonality" -> dowSeasonalitySql,
+    "q137_attribution_models" -> attributionModelsSql,
     "q133_rfm_segments" -> rfmSegmentsSql,
     "q134_k_anonymity" -> kAnonymityAuditSql,
     "q131_rank_filter" -> topOrdersPerPrioritySql,

@@ -697,6 +697,84 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.exists(_._2), "no violation at sf0.001 — k too low")
   }
 
+  test("q135 correlation matches a driver-side moment recompute") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = daily.length.toDouble
+    val sx = daily.map(_._1).sum.toDouble
+    val sy = daily.map(_._2).sum.toDouble
+    val sxy = daily.map(t => t._1 * t._2).sum.toDouble
+    val sxx = daily.map(t => t._1 * t._1).sum.toDouble
+    val syy = daily.map(t => t._2 * t._2).sum.toDouble
+    val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    val r = SparkEntry.queries("q135_daily_corr")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == daily.length.toLong)
+    if (den == 0.0) assert(r.isNullAt(1))
+    else {
+      val want =
+        math.floor((n * sxy - sx * sy) / math.sqrt(den) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(1) == want)
+      assert(math.abs(r.getDouble(1)) <= 1.0)
+    }
+  }
+
+  test("q136 seasonality indices recompute from the contingency table") {
+    import org.apache.spark.sql.functions._
+    val obs = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val tTot = obs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dTot = obs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nTot = obs.map(_._3).sum
+    val want = obs.map { case (t, d0, c) =>
+      (t, d0) -> (c, math.floor(c.toDouble * nTot.toDouble /
+        (tTot(t).toDouble * dTot(d0).toDouble) * 1e4 + 0.5) / 1e4)
+    }.toMap
+    val got = SparkEntry.queries("q136_dow_seasonality")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
+
+  test("q137 attribution models agree with a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val h = 24L * 3600L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val views = evs.filter(_._2 == "view").groupBy(_._1)
+    val want = evs.filter(_._2 == "purchase").map { p =>
+      val vs = views.getOrElse(p._1, Array.empty)
+        .filter(v => v._3 <= p._3 && v._3 > p._3 - h)
+      val day = java.time.Instant.ofEpochSecond(p._3 / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val attributed = vs.nonEmpty
+      val single = attributed && {
+        val first = vs.minBy(v => (v._3, v._4))
+        val last = vs.maxBy(v => (v._3, v._4))
+        first._4 == last._4
+      }
+      (day, attributed, single)
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.count(_._2).toLong, xs.count(_._3).toLong)
+    }.toMap
+    val got = SparkEntry.queries("q137_attribution_models")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    got.values.foreach { case (np, na, ns) =>
+      assert(na <= np && ns <= na)
+    }
+  }
+
   test("q112 latest-state aggregate equals the window formulation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
