@@ -2063,7 +2063,62 @@ object Relational {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- q138
+  /** q138: daily percentile bands — per day, n and the p50/p90/p99 of
+    * `value` by the NEAREST-RANK method (smallest grid value whose
+    * cumulative count reaches ⌈q·n⌉). Interpolated percentiles at
+    * non-dyadic q (0.9, 0.99) are NOT cross-engine-stable — the two
+    * engines factor the interpolation differently — so this picks
+    * actual data points by integer rank instead: exact, and the
+    * SLA-dashboard convention anyway. Work shape: per-(day, 2-dp grid
+    * value) counts (map-side combine, grid-bounded state), cumulative
+    * window over each day's bounded grid, three conditional mins. */
+  def dailyPercentiles(s: SparkSession, d: String): DataFrame = {
+    val g = events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vk"))
+      .groupBy(col("day"), col("vk")).agg(count(lit(1)).as("cnt"))
+    val tot = g.groupBy(col("day")).agg(sum(col("cnt")).as("n"))
+    val cum = g.join(tot, Seq("day"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("day")).orderBy(col("vk"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    def pick(q: String) =
+      (min(when(col("cum").cast("double") >=
+        ceil(col("n").cast("double") * q.toDouble), col("vk")))
+        .cast("double") / 100.0)
+    cum.groupBy(col("day"), col("n"))
+      .agg(pick("0.5").as("p50"), pick("0.9").as("p90"),
+        pick("0.99").as("p99"))
+      .orderBy(col("day"))
+  }
+
+  val dailyPercentilesSql: String = {
+    def pick(q: String) =
+      s"""CAST(min(CASE WHEN CAST(cum AS DOUBLE) >=
+         |    ceil(CAST(n AS DOUBLE) * $q) THEN vk END) AS DOUBLE)
+         |  / 100.0""".stripMargin
+    s"""WITH g AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vk,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n
+       |        FROM g GROUP BY 1),
+       |c AS (
+       |  SELECT g.day, g.vk, t.n,
+       |    CAST(sum(g.cnt) OVER (PARTITION BY g.day ORDER BY g.vk
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM g JOIN tot t ON t.day = g.day)
+       |SELECT day, n,
+       |  ${pick("0.5")} AS p50,
+       |  ${pick("0.9")} AS p90,
+       |  ${pick("0.99")} AS p99
+       |FROM c GROUP BY day, n ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_daily_percentiles" -> (dailyPercentiles _),
     "q135_daily_corr" -> (dailyCorrelation _),
     "q136_dow_seasonality" -> (dowSeasonality _),
     "q137_attribution_models" -> (attributionModels _),
@@ -2127,6 +2182,7 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q138_daily_percentiles" -> dailyPercentilesSql,
     "q135_daily_corr" -> dailyCorrelationSql,
     "q136_dow_seasonality" -> dowSeasonalitySql,
     "q137_attribution_models" -> attributionModelsSql,

@@ -177,15 +177,69 @@ object Windows {
        |FROM p GROUP BY 1
        |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  /** q139: session conversion by entry event — per session-opening
+    * event type: session count, sessions containing a purchase, and
+    * the conversion rate ("do view-first sessions convert better than
+    * error-first ones?"). Pure reuse of the q127 session-path frame:
+    * entry type = the path's first element, conversion = membership
+    * test on the path's elements — both map-side string/array ops over
+    * the session-sized frame, then a |types|-row census. */
+  def sessionConversion(s: SparkSession, d: String): DataFrame =
+    sessionPathFrame(events(s, d))
+      .select(element_at(split(col("path"), ">"), 1).as("entry_type"),
+        array_contains(split(col("path"), ">"), "purchase")
+          .as("converted"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted").cast("long")).as("n_converted"))
+      .withColumn("conversion_rate",
+        floor(col("n_converted").cast("double") /
+          col("n_sessions").cast("double") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("entry_type"))
+
+  val sessionConversionSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL $SessionGapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM x),
+       |p AS (
+       |  SELECT user_id, sess_id,
+       |    string_agg(event_type, '>'
+       |      ORDER BY epoch_us(ts), event_id) AS path
+       |  FROM g GROUP BY 1, 2),
+       |e AS (
+       |  SELECT string_split(path, '>')[1] AS entry_type,
+       |    list_contains(string_split(path, '>'), 'purchase')
+       |      AS converted
+       |  FROM p)
+       |SELECT entry_type, count(*) AS n_sessions,
+       |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_converted,
+       |  floor(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
+       |    AS conversion_rate
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_hourly_window" -> (hourlyWindow _),
     "q32_sliding_window" -> (slidingWindow _),
     "q50_sessionize" -> (sessionize _),
-    "q127_session_paths" -> (sessionPaths _))
+    "q127_session_paths" -> (sessionPaths _),
+    "q139_session_conversion" -> (sessionConversion _))
 
   val oracle: Map[String, String] = Map(
     "q31_hourly_window" -> hourlyWindowSql,
     "q32_sliding_window" -> slidingWindowSql,
     "q50_sessionize" -> sessionizeSql,
-    "q127_session_paths" -> sessionPathsSql)
+    "q127_session_paths" -> sessionPathsSql,
+    "q139_session_conversion" -> sessionConversionSql)
 }

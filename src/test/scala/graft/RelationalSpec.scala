@@ -88,7 +88,9 @@ class RelationalSpec extends AnyFunSuite {
     // intermediate leftover-seat count: wrapped in CAST(T - sum(...))
     ("q126_proportional_quota", "floor_q)"),
     // delay sum wrapped in CAST(coalesce(sum(...), 0) AS BIGINT)
-    ("q128_state_at_purchase", "p.p_ts - b.s_ts"))
+    ("q128_state_at_purchase", "p.p_ts - b.s_ts"),
+    // q139 embeds q50's windowed session counter verbatim
+    ("q139_session_conversion", "new_sess) OVER (PARTIT"))
 
   test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
     // guarded = wrapped by CAST( / floor( / round( (possibly through
@@ -773,6 +775,56 @@ class RelationalSpec extends AnyFunSuite {
     got.values.foreach { case (np, na, ns) =>
       assert(na <= np && ns <= na)
     }
+  }
+
+  test("q138 nearest-rank daily percentiles match a driver replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vk"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1))
+    val want = rows.groupBy(_._1).map { case (d0, xs) =>
+      val sorted = xs.map(_._2).sorted
+      def nr(q: Double): Double = {
+        val t = math.ceil(sorted.length.toDouble * q).toInt
+        sorted(t - 1).toDouble / 100.0
+      }
+      d0 -> (sorted.length.toLong, nr(0.5), nr(0.9), nr(0.99))
+    }
+    val got = SparkEntry.queries("q138_daily_percentiles")(spark, sfDir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == want)
+    got.values.foreach { case (_, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("q139 session conversion matches the session-replay census") {
+    import org.apache.spark.sql.functions._
+    val gapUs = graft.ops.Windows.SessionGapMinutes * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toList
+      sorted.tail.foldLeft(List(List(sorted.head))) { case (acc, e) =>
+        if (e._2 - acc.head.head._2 >= gapUs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.map(_.reverse.map(_._4))
+    }.toSeq
+    val want = sessions.groupBy(_.head).map { case (entry, xs) =>
+      val conv = xs.count(_.contains("purchase")).toLong
+      entry -> (xs.size.toLong, conv,
+        math.floor(conv.toDouble / xs.size.toDouble * 1e4 + 0.5) / 1e4)
+    }
+    val got = SparkEntry.queries("q139_session_conversion")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
   }
 
   test("q112 latest-state aggregate equals the window formulation") {
