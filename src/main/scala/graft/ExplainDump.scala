@@ -99,6 +99,15 @@ object ExplainDump {
         "CDC latest-state via max-of-struct: partial aggregation " +
           "before the shuffle (O(1) state per key), no window sort of " +
           "any key's history"),
+      ("q119_rolling_active",
+        "exact rolling distinct: distinct (user, day) reduction, then " +
+          "a map-side <=7-day sequence/explode expansion into a " +
+          "day-keyed count-distinct — no per-day history rescans"),
+      ("q128_state_at_purchase",
+        "as-of feature join: user-keyed probe x runs join with a " +
+          "max-of-struct argmax per probe (partial aggregation, no " +
+          "per-probe window sort); left join preserves probes with " +
+          "no prior state"),
       ("q90_delta_screen",
         "incremental ingest dedup: source=delta pushed into the " +
           "parquet scan (PushedFilters), delta features computed " +
