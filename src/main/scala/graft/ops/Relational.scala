@@ -2117,7 +2117,188 @@ object Relational {
        |FROM c GROUP BY day, n ORDER BY day""".stripMargin
   }
 
+  // --------------------------------------------------------------- q140
+  /** q140: cohort LTV curve — per signup-day cohort, the CUMULATIVE
+    * per-user value through each day offset (the revenue companion of
+    * q79's retention matrix: "how much is a day-d cohort worth by day
+    * d+k?"). Cohort = each user's first event day. Decimal value sums
+    * keep every cell order-independent; the cumulative window runs
+    * over the bounded cohort×offset matrix, never over events; the
+    * only corpus-sized shuffles are user- and (cohort, offset)-keyed.
+    * Offsets are capped at [[LtvMaxOffset]] so the output is a fixed
+    * matrix at any time span. */
+  val LtvMaxOffset = 7
+
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      to_date(col("ts")).as("day"), col("value"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    val cells = ev.join(cohorts, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort")))
+      .filter(col("offset") <= LtvMaxOffset)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("v"),
+        countDistinct(col("user_id")).as("active_users"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    cells.join(sizes, Seq("cohort"))
+      .withColumn("cum_v", sum(col("v")).over(
+        Window.partitionBy(col("cohort")).orderBy(col("offset"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("cohort"), col("offset"), col("cohort_users"),
+        col("active_users"),
+        (floor(col("cum_v").cast("double") /
+          col("cohort_users").cast("double") * 1e4 + 0.5) / 1e4)
+          .as("cum_value_per_user"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+       |cohorts AS (
+       |  SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+       |cells AS (
+       |  SELECT c.cohort, date_diff('day', c.cohort, e.day) AS "offset",
+       |    sum(CAST(e.value AS DECIMAL(18,6))) AS v,
+       |    count(DISTINCT e.user_id) AS active_users
+       |  FROM ev e JOIN cohorts c ON c.user_id = e.user_id
+       |  WHERE date_diff('day', c.cohort, e.day) <= $LtvMaxOffset
+       |  GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT cohort, count(*) AS cohort_users FROM cohorts
+       |  GROUP BY 1)
+       |SELECT l.cohort, l."offset", s.cohort_users, l.active_users,
+       |  floor(CAST(sum(l.v) OVER (PARTITION BY l.cohort
+       |      ORDER BY l."offset" ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(s.cohort_users AS DOUBLE) * 1e4 + 0.5) / 1e4
+       |    AS cum_value_per_user
+       |FROM cells l JOIN sizes s ON s.cohort = l.cohort
+       |ORDER BY l.cohort, l."offset"""".stripMargin
+
+  // --------------------------------------------------------------- q141
+  /** q141: Gini coefficient of user activity — how concentrated the
+    * event volume is across users (the inequality number that decides
+    * whether per-user caps are needed before training on behavioral
+    * data). EXACT from grouped data, no global sort: per-user counts
+    * reduce to the (activity level c, m users) histogram — bounded by
+    * distinct activity levels — and with ties grouped the rank sum
+    * Σ i·x_i telescopes to Σ_levels c·m·(2R+m+1)/2 over cumulative
+    * prior users R: pure integer arithmetic until the final ratio
+    * G = 2T/(nS) − (n+1)/n, written identically in both engines. */
+  def activityGini(s: SparkSession, d: String): DataFrame = {
+    val levels = events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val t = levels
+      .withColumn("r", coalesce(sum(col("m")).over(
+        Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // 2·Σ i·x_i for the level, kept ×2 so the division by 2 is exact
+      .select((col("c") * col("m") * (lit(2) * col("r") + col("m")
+        + lit(1))).as("t2"), (col("c") * col("m")).as("s"), col("m"))
+      .agg(sum(col("t2")).as("t2"), sum(col("s")).as("stot"),
+        sum(col("m")).as("n"))
+    t.select(col("n").as("n_users"), col("stot").as("n_events"),
+      (floor((col("t2").cast("double") /
+        (col("n").cast("double") * col("stot").cast("double"))
+        - (col("n") + 1).cast("double") / col("n").cast("double"))
+        * 1e6 + 0.5) / 1e6).as("gini"))
+  }
+
+  val activityGiniSql: String =
+    """WITH per AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |lv AS (SELECT c, count(*) AS m FROM per GROUP BY 1),
+      |rk AS (
+      |  SELECT c, m,
+      |    CAST(coalesce(sum(m) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS r
+      |  FROM lv),
+      |t AS (
+      |  SELECT CAST(sum(c * m * (2 * r + m + 1)) AS BIGINT) AS t2,
+      |    CAST(sum(c * m) AS BIGINT) AS stot,
+      |    CAST(sum(m) AS BIGINT) AS n
+      |  FROM rk)
+      |SELECT n AS n_users, stot AS n_events,
+      |  floor((CAST(t2 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(stot AS DOUBLE))
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1e6 + 0.5) / 1e6 AS gini
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------------------- q142
+  /** q142: inter-event burstiness — per event type, the mean/σ of the
+    * user-level inter-event gaps (in whole seconds — integer
+    * truncation, and small enough that the squared sums stay in
+    * int64) and the burstiness index B = (σ−μ)/(σ+μ) ∈ [−1, 1]
+    * (−1 periodic, 0 Poisson, →1 bursty) — the traffic-shape number
+    * behind rate-limit and capacity choices. The lag window is
+    * user+type-keyed (bounded per key); all moments are integer sums;
+    * σ uses the one correctly-rounded sqrt. */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tsl"), col("event_id"))
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"), col("event_id"))
+      .withColumn("prev", lag(col("tsl"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      // `div`, not `/`: Spark's `/` on longs promotes to DOUBLE; DuckDB
+      // `//` truncates — integer division is exact in both
+      .select(col("event_type"),
+        expr("(tsl - prev) div 1000000").as("g"))
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+    m.select(col("event_type"), col("n").as("n_gaps"),
+        (col("sg").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((col("sgg").cast("double") / col("n").cast("double"))
+          - (col("sg").cast("double") / col("n").cast("double"))
+          * (col("sg").cast("double") / col("n").cast("double")))
+          .as("sigma"))
+      .select(col("event_type"), col("n_gaps"),
+        (floor(col("mu") * 1e2 + 0.5) / 1e2).as("mean_gap_s"),
+        (floor(col("sigma") * 1e2 + 0.5) / 1e2).as("sd_gap_s"),
+        (floor((col("sigma") - col("mu")) / (col("sigma") + col("mu"))
+          * 1e6 + 0.5) / 1e6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstinessSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsl, event_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST((tsl - prev) // 1000000 AS BIGINT) AS g
+      |  FROM o WHERE prev IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(g) AS BIGINT) AS sg,
+      |    CAST(sum(g * g) AS BIGINT) AS sgg
+      |  FROM g GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, n,
+      |    CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    sqrt((CAST(sgg AS DOUBLE) / CAST(n AS DOUBLE))
+      |      - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))) AS sigma
+      |  FROM m)
+      |SELECT event_type, n AS n_gaps,
+      |  floor(mu * 1e2 + 0.5) / 1e2 AS mean_gap_s,
+      |  floor(sigma * 1e2 + 0.5) / 1e2 AS sd_gap_s,
+      |  floor((sigma - mu) / (sigma + mu) * 1e6 + 0.5) / 1e6
+      |    AS burstiness
+      |FROM x ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_cohort_ltv" -> (cohortLtv _),
+    "q141_activity_gini" -> (activityGini _),
+    "q142_burstiness" -> (burstiness _),
     "q138_daily_percentiles" -> (dailyPercentiles _),
     "q135_daily_corr" -> (dailyCorrelation _),
     "q136_dow_seasonality" -> (dowSeasonality _),
@@ -2182,6 +2363,9 @@ object Relational {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q140_cohort_ltv" -> cohortLtvSql,
+    "q141_activity_gini" -> activityGiniSql,
+    "q142_burstiness" -> burstinessSql,
     "q138_daily_percentiles" -> dailyPercentilesSql,
     "q135_daily_corr" -> dailyCorrelationSql,
     "q136_dow_seasonality" -> dowSeasonalitySql,

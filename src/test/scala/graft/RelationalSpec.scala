@@ -90,7 +90,11 @@ class RelationalSpec extends AnyFunSuite {
     // delay sum wrapped in CAST(coalesce(sum(...), 0) AS BIGINT)
     ("q128_state_at_purchase", "p.p_ts - b.s_ts"),
     // q139 embeds q50's windowed session counter verbatim
-    ("q139_session_conversion", "new_sess) OVER (PARTIT"))
+    ("q139_session_conversion", "new_sess) OVER (PARTIT"),
+    // DECIMAL cell sums, consumed only through the floor-cast window
+    ("q140_cohort_ltv", "CAST(e.value AS DECIM"),
+    // intermediate rank offset: wrapped in CAST(coalesce(sum(...)))
+    ("q141_activity_gini", "m) OVER (ORDER BY c"))
 
   test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
     // guarded = wrapped by CAST( / floor( / round( (possibly through
@@ -825,6 +829,86 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(got == want)
+  }
+
+  test("q141 grouped-ties Gini equals the classic sorted-rank formula") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).count()
+      .collect().map(_.getLong(1)).sorted
+    val n = counts.length.toDouble
+    val sTot = counts.sum.toDouble
+    val rankSum = counts.zipWithIndex
+      .map { case (x, i) => (i + 1).toDouble * x }.sum
+    val want =
+      math.floor((2.0 * rankSum / (n * sTot) - (n + 1) / n) * 1e6 + 0.5) / 1e6
+    val r = SparkEntry.queries("q141_activity_gini")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == counts.length.toLong)
+    assert(r.getLong(1) == counts.sum)
+    // the grouped form telescopes 2*rankSum exactly, so the two
+    // formulas agree to the last floor'd digit (ties share the SUM of
+    // their rank range either way)
+    assert(math.abs(r.getDouble(2) - want) <= 1e-6 + 1e-12,
+      s"gini ${r.getDouble(2)} vs sorted-rank $want")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("q142 burstiness matches a driver-side gap recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsl"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val gaps = evs.groupBy(e => (e._1, e._2)).values.flatMap { rows =>
+      val s0 = rows.sortBy(r => (r._3, r._4)).map(_._3)
+      s0.zip(s0.drop(1)).map { case (a, b) => rows.head._2 -> ((b - a) / 1000000L) }
+    }.toSeq
+    val want = gaps.groupBy(_._1).map { case (t, xs) =>
+      val g = xs.map(_._2)
+      val n = g.length.toDouble
+      val mu = g.sum.toDouble / n
+      val sigma = math.sqrt(g.map(x => x.toDouble * x).sum / n - mu * mu)
+      t -> (g.length.toLong,
+        math.floor(mu * 1e2 + 0.5) / 1e2,
+        math.floor(sigma * 1e2 + 0.5) / 1e2,
+        math.floor((sigma - mu) / (sigma + mu) * 1e6 + 0.5) / 1e6)
+    }
+    val got = SparkEntry.queries("q142_burstiness")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    got.foreach { case (t, (n, mu, sd, b)) =>
+      val (wn, wmu, wsd, wb) = want(t)
+      assert(n == wn && mu == wmu, s"$t moments")
+      assert(math.abs(sd - wsd) <= 0.01 + 1e-9, s"$t sigma")
+      assert(math.abs(b - wb) <= 2e-6, s"$t burstiness")
+      assert(b >= -1.0 && b <= 1.0)
+    }
+    assert(got.keySet == want.keySet)
+  }
+
+  test("q140 cohort LTV curve is cumulative and user-normalized") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q140_cohort_ltv")(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // per cohort: offsets ascend, cumulative value never decreases,
+    // active users never exceed the cohort size
+    rows.groupBy(_._1).values.foreach { xs =>
+      val sorted = xs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 <= b._5 + 1e-9, s"LTV decreased in cohort ${a._1}")
+        case _ => ()
+      }
+      xs.foreach { x => assert(x._4 <= x._3) }
+    }
+    // day-0 cell exists for every cohort (users are active on signup day)
+    rows.groupBy(_._1).values.foreach { xs =>
+      assert(xs.exists(_._2 == 0))
+    }
   }
 
   test("q112 latest-state aggregate equals the window formulation") {
