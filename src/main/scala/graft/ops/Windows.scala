@@ -229,7 +229,88 @@ object Windows {
        |    AS conversion_rate
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** q143 minimum co-occurring sessions for a reported pair. */
+  val BasketMinSupport = 5L
+
+  /** q143: session-basket association — the SON/A-Priori idea applied
+    * to sessions: each session's DISTINCT event-type set is a basket,
+    * and every unordered type pair gets support and lift
+    * (c_ab·N / (c_a·c_b)). Session ids are (user, session_window
+    * start); the pair join is keyed per session and bounded by the
+    * type vocabulary (≤ |types| rows per session, so the self-join is
+    * linear in sessions); marginals broadcast; exact integer moments
+    * through identically-written IEEE mul/div. */
+  def sessionBasketLift(s: SparkSession, d: String): DataFrame = {
+    // sessions must be USER-level (grouping session_window by type
+    // would sessionize each type separately and no two types would
+    // ever share a session start) — so derive the per-session type
+    // sets from the shared q127 path frame
+    val st = sessionPathFrame(events(s, d))
+      .select(col("user_id"), col("session_start").as("sess"),
+        explode(array_distinct(split(col("path"), ">")))
+          .as("event_type"))
+      .localCheckpoint() // feeds N, marginals, and both join sides
+    val n = st.select(col("user_id"), col("sess")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val pairs = st.select(col("user_id"), col("sess"),
+        col("event_type").as("a"))
+      .join(st.select(col("user_id"), col("sess"),
+        col("event_type").as("b")), Seq("user_id", "sess"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= BasketMinSupport)
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("a"),
+        col("c").as("c_a"))), Seq("a"))
+      .join(broadcast(marg.select(col("event_type").as("b"),
+        col("c").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(n)) // 1-row scalar frame
+      .select(col("a"), col("b"), col("c_ab"),
+        (floor(col("c_ab").cast("double") *
+          col("n_sessions").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))
+          * 1e4 + 0.5) / 1e4).as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val sessionBasketLiftSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL $SessionGapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |g AS (
+       |  SELECT user_id, event_type,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM x),
+       |st AS (SELECT DISTINCT user_id, sess_id, event_type FROM g),
+       |n AS (SELECT CAST(count(DISTINCT (user_id, sess_id)) AS BIGINT)
+       |        AS n_sessions FROM st),
+       |marg AS (SELECT event_type, count(*) AS c FROM st GROUP BY 1),
+       |p AS (
+       |  SELECT s1.event_type AS a, s2.event_type AS b,
+       |    count(*) AS c_ab
+       |  FROM st s1 JOIN st s2
+       |    ON s2.user_id = s1.user_id AND s2.sess_id = s1.sess_id
+       |    AND s1.event_type < s2.event_type
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+       |SELECT p.a, p.b, p.c_ab,
+       |  floor(CAST(p.c_ab AS DOUBLE) * CAST(n.n_sessions AS DOUBLE)
+       |    / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))
+       |    * 1e4 + 0.5) / 1e4 AS lift
+       |FROM p JOIN marg ma ON ma.event_type = p.a
+       |       JOIN marg mb ON mb.event_type = p.b
+       |       CROSS JOIN n
+       |ORDER BY p.a, p.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_session_baskets" -> (sessionBasketLift _),
     "q31_hourly_window" -> (hourlyWindow _),
     "q32_sliding_window" -> (slidingWindow _),
     "q50_sessionize" -> (sessionize _),
@@ -241,5 +322,6 @@ object Windows {
     "q32_sliding_window" -> slidingWindowSql,
     "q50_sessionize" -> sessionizeSql,
     "q127_session_paths" -> sessionPathsSql,
-    "q139_session_conversion" -> sessionConversionSql)
+    "q139_session_conversion" -> sessionConversionSql,
+    "q143_session_baskets" -> sessionBasketLiftSql)
 }

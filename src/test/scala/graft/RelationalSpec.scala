@@ -94,7 +94,9 @@ class RelationalSpec extends AnyFunSuite {
     // DECIMAL cell sums, consumed only through the floor-cast window
     ("q140_cohort_ltv", "CAST(e.value AS DECIM"),
     // intermediate rank offset: wrapped in CAST(coalesce(sum(...)))
-    ("q141_activity_gini", "m) OVER (ORDER BY c"))
+    ("q141_activity_gini", "m) OVER (ORDER BY c"),
+    // q143 embeds q50's windowed session counter verbatim
+    ("q143_session_baskets", "new_sess) OVER (PARTIT"))
 
   test("oracle SQL: no unguarded integer sum() aliases (r6 ratchet)") {
     // guarded = wrapped by CAST( / floor( / round( (possibly through
@@ -909,6 +911,40 @@ class RelationalSpec extends AnyFunSuite {
     rows.groupBy(_._1).values.foreach { xs =>
       assert(xs.exists(_._2 == 0))
     }
+  }
+
+  test("q143 session-basket lift matches a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val gapUs = graft.ops.Windows.SessionGapMinutes * 60L * 1000000L
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsl"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val baskets = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toList
+      sorted.tail.foldLeft(List(List(sorted.head))) { case (acc, e) =>
+        if (e._2 - acc.head.head._2 >= gapUs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.map(_.map(_._4).toSet)
+    }.toSeq
+    val n = baskets.size.toDouble
+    val marg = baskets.flatten.groupBy(identity).view
+      .mapValues(_.size.toDouble).toMap
+    val want = baskets.flatMap { b =>
+      b.toSeq.sorted.combinations(2).map { case Seq(a, c) => (a, c) }
+    }.groupBy(identity).collect {
+      case (k, xs)
+          if xs.size >= graft.ops.Windows.BasketMinSupport =>
+        k -> (xs.size.toLong, math.floor(xs.size.toDouble * n /
+          (marg(k._1) * marg(k._2)) * 1e4 + 0.5) / 1e4)
+    }.toMap
+    val got = SparkEntry.queries("q143_session_baskets")(spark, sfDir)
+      .select("a", "b", "c_ab", "lift")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.nonEmpty)
   }
 
   test("q112 latest-state aggregate equals the window formulation") {
