@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming micro-benchmark (VERDICT r7 item 7): the batch twins of
+  * every stream operator are benched per-round, but the streaming
+  * RUNTIME had no number attached. This main drives the production
+  * stream shapes from a `rate` source for a fixed window each, twice
+  * (so the artifact shows run-to-run stability), and reports
+  * throughput (rows/sec processed) and state-store size
+  * (stateOperators.numRowsTotal of the last progress) into
+  * STREAMBENCH.json.
+  *
+  * Streams covered: stateless curation cascade, within-watermark
+  * exact dedup, near-dup screen against a static index (stream-static
+  * joins), latest-state compaction (update-mode aggregate),
+  * TTL'd latest-state (transformWithState/RocksDB), session paths
+  * (session_window state).
+  *
+  * Event time is synthesized from the rate `value` (1 synthetic second
+  * per row ÷ fan-out) so watermarks/session gaps advance ~10³× faster
+  * than wall time and stateful operators actually evict/emit inside
+  * the measurement window — a wall-clock `ts` would leave every
+  * session open and understate state turnover.
+  *
+  * Run: sbt "runMain graft.StreamBench" (writes STREAMBENCH.json).
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val durSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "12").toInt
+    val corpusDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def rate(rowsPerSec: Int): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSec)
+        .option("numPartitions", 4)
+        .load() // (timestamp, value)
+
+    // synthetic event time: value-driven, so watermarks advance fast
+    def synthTs(perUser: Int): org.apache.spark.sql.Column =
+      timestamp_micros(lit(1704067200000000L) + // 2024-01-01
+        (col("value") / perUser) * 1000000L)
+
+    // deterministic pseudo-documents: ~24 tokens drawn from a 1000-word
+    // vocab, content keyed on value%2000 so exact dups recur at ~1/2000
+    def rateDocs(rowsPerSec: Int): DataFrame =
+      rate(rowsPerSec)
+        .withColumn("doc_id", col("value"))
+        .withColumn("ts", synthTs(1))
+        .withColumn("k", pmod(col("value"), lit(2000)))
+        .withColumn("text", expr(
+          "array_join(transform(sequence(1, 24), " +
+            "i -> concat('w', pmod(k * 131 + i * 17, 1000))), ' ')"))
+        .select(col("doc_id"), col("ts"), col("text"))
+
+    def rateChangelog(rowsPerSec: Int): DataFrame =
+      rate(rowsPerSec)
+        .select(pmod(col("value"), lit(50000)).as("user_id"),
+          synthTs(1).as("ts"), col("value").as("event_id"),
+          element_at(array(lit("view"), lit("click"), lit("purchase"),
+            lit("signup"), lit("error")),
+            (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
+          (pmod(col("value"), lit(997)).cast("double") / 10).as("value"))
+
+    // the near-dup screen probes a STATIC index built from the real
+    // sf corpus; incoming docs replay corpus texts (join on idx — a
+    // stateless stream-static join, like the screen itself)
+    lazy val corpusDocs = Tables.documents(spark, corpusDir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    lazy val corpusN = corpusDocs.count()
+    lazy val corpusLookup = corpusDocs
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))
+        .cast("long") - 1)
+      .select(col("idx"), col("text")).localCheckpoint()
+    def rateCorpusDocs(rowsPerSec: Int): DataFrame =
+      rate(rowsPerSec)
+        .select((col("value") + 1000000L).as("doc_id"),
+          synthTs(1).as("ts"),
+          pmod(col("value"), lit(corpusN)).as("idx"))
+        .join(corpusLookup, "idx")
+        .select(col("doc_id"), col("ts"), col("text"))
+
+    import graft.streaming.Streams
+    val streams: Seq[(String, () => DataFrame)] = Seq(
+      "curation_stateless" -> (() =>
+        Streams.streamingCuration(rateDocs(8000))),
+      "exact_dedup_watermark" -> (() =>
+        Streams.streamingExactDedup(rateDocs(8000), "10 minutes")),
+      "neardup_screen" -> (() =>
+        graft.mining.SetSimilarity.screenAgainstIndex(
+          rateCorpusDocs(2000), corpusDocs, "10 minutes")),
+      "latest_state" -> (() =>
+        Streams.latestStateStream(rateChangelog(20000))),
+      "latest_state_ttl" -> (() =>
+        Streams.latestStateTtl(
+          rateChangelog(20000).withColumn("tsl", unix_micros(col("ts")))
+            .selectExpr("user_id", "tsl", "event_id", "event_type", "value")
+            .as[Streams.ChangeEvent],
+          java.time.Duration.ofMinutes(30)).toDF()),
+      "session_paths" -> (() =>
+        Streams.sessionPathsStream(
+          rateChangelog(10000)
+            .withColumn("user_id", pmod(col("user_id"), lit(200))),
+          "5 minutes")))
+
+    def measure(name: String, mk: () => DataFrame)
+    : (Double, Long, Long, Long) = {
+      val q = mk().writeStream.format("noop")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"sb_$name").toString)
+        .start()
+      val t0 = System.nanoTime()
+      Thread.sleep(durSec * 1000L)
+      val progs = q.recentProgress.toSeq
+      q.stop(); q.awaitTermination()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val inputRows = progs.map(_.numInputRows).sum
+      val batches = progs.size.toLong
+      val stateRows = progs.reverse
+        .find(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      (inputRows / elapsed, inputRows, batches, stateRows)
+    }
+
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val results = streams.map { case (name, mk) =>
+      val runs = (1 to 2).map { i =>
+        val r = measure(name, mk)
+        System.err.println(f"[streambench] $name run$i: " +
+          f"${r._1}%.0f rows/s (${r._2} rows, ${r._3} batches, " +
+          f"state ${r._4} rows)")
+        r
+      }
+      name -> runs
+    }
+    val js = results.map { case (name, runs) =>
+      s""""$name":{"rows_per_sec":[${runs.map(r => r1(r._1)).mkString(",")}],""" +
+        s""""input_rows":[${runs.map(_._2).mkString(",")}],""" +
+        s""""batches":[${runs.map(_._3).mkString(",")}],""" +
+        s""""state_rows":[${runs.map(_._4).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"cpus":$cpus,"streams":$js}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}

@@ -74,8 +74,12 @@ object KMeans {
         col("a.dist2").as("dist2"))
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_assigned"),
-        round(sum(round(col("dist2"), 6).cast("decimal(24,6)"))
-          .cast("double") / count(lit(1)), 4).as("avg_dist2"))
+        // floor-half-up at both rounding points (dist² ≥ 0, so +0.5
+        // floor is half-up) — rounding-mode-independent cross-engine
+        (floor(sum((floor(col("dist2") * 1e6 + 0.5) / 1e6)
+            .cast("decimal(24,6)"))
+          .cast("double") / count(lit(1)) * 1e4 + 0.5) / 1e4)
+          .as("avg_dist2"))
       .orderBy(col("centroid_id"))
   }
 
@@ -92,23 +96,23 @@ object KMeans {
        |        (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
        |      FROM dist)
        |SELECT cid AS centroid_id, count(*) AS n_assigned,
-       |  round(CAST(sum(CAST(round(dist2, 6) AS DECIMAL(24,6))) AS DOUBLE)
-       |        / count(*), 4) AS avg_dist2
+       |  floor(CAST(sum(CAST(floor(dist2 * 1e6 + 0.5) / 1e6
+       |          AS DECIMAL(24,6))) AS DOUBLE)
+       |        / count(*) * 1e4 + 0.5) / 1e4 AS avg_dist2
        |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Round a centroid coordinate to 6 decimals, HALF_UP — the same
-    * rule as Spark SQL round() (BigDecimal HALF_UP on the exact double
-    * value; DuckDB rounds the scaled double, which can differ only
-    * when a mean sits within ~1 ulp of a .5e-6 boundary — the same
-    * measure-zero exposure every rounded oracle column in this repo
-    * already carries). Pinning every iteration's
-    * centroids to 6 dp makes the whole Lloyd loop bit-reproducible
-    * across engines AND across partition counts: the per-dimension
-    * mean is a float sum whose order depends on partitioning, and the
-    * ~1e-13 relative noise that injects would otherwise compound over
-    * iterations and flip boundary-point assignments. */
+  /** Round a centroid coordinate to 6 decimals via scaled
+    * floor-half-up — the EXACT IEEE operation sequence the DuckDB
+    * oracle runs (floor(x*1e6+0.5)/1e6), so the two engines can only
+    * disagree if the underlying means differ, never on rounding mode.
+    * Pinning every iteration's centroids to 6 dp makes the whole
+    * Lloyd loop bit-reproducible across engines AND across partition
+    * counts: the per-dimension mean is a float sum whose order
+    * depends on partitioning, and the ~1e-13 relative noise that
+    * injects would otherwise compound over iterations and flip
+    * boundary-point assignments. */
   private def round6(v: Double): Double =
-    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    math.floor(v * 1e6 + 0.5) / 1e6
 
   /** Lloyd's algorithm over an arbitrary (vec_id, vd) points frame —
     * init = the k rows with smallest vec_id, or caller-supplied seed
@@ -184,7 +188,8 @@ object KMeans {
          |    FROM e CROSS JOIN c${n - 1} c) t WHERE rn = 1),
          |m$n AS MATERIALIZED (
          |  SELECT cid, list(mn ORDER BY dim) AS cv FROM (
-         |    SELECT a.cid, g.dim, round(avg(a.vd[g.dim]), 6) AS mn
+         |    SELECT a.cid, g.dim,
+         |      floor(avg(a.vd[g.dim]) * 1e6 + 0.5) / 1e6 AS mn
          |    FROM a$n a CROSS JOIN
          |      (SELECT unnest(generate_series(1, $Dim)) AS dim) g
          |    GROUP BY a.cid, g.dim) t GROUP BY cid),

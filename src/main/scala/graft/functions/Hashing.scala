@@ -39,6 +39,16 @@ object Hashing {
   def h60Sql(e: String): String =
     s"CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
 
+  /** Driver-side h60 (same md5-prefix value as [[h60]]/[[h60Sql]]) —
+    * for fingerprinting bounded summaries on the driver, e.g. the q38
+    * golden's edge-set fingerprint. */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL for h31 over expression `e`. */
   def h31Sql(e: String): String = s"(${h60Sql(e)} % $M31)"
 

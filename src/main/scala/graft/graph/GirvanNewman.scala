@@ -186,10 +186,73 @@ object GirvanNewman {
 
   /** The GN subgraph edge list — built distributed, collected as the
     * bounded summary the driver loop operates on. */
-  private def gnEdges(s: SparkSession, d: String): Seq[Edge] =
+  private[graft] def gnEdges(s: SparkSession, d: String): Seq[Edge] =
     Graphs.edges(s, d, Some(GnNations), GnThreshold)
       .select(col("src"), col("dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  /** The q38 golden's edge-set fingerprint — (count, XOR of per-edge
+    * h60("src,dst")), identical to what the oracle's `fp` CTE and
+    * tools/gn_golden.py compute. */
+  def edgeFingerprint(edges: Seq[Edge]): (Long, Long) =
+    (edges.size.toLong,
+      edges.foldLeft(0L)((x, e) =>
+        x ^ graft.functions.Hashing.h60Local(s"${e._1},${e._2}")))
+
+  /** Fingerprints present in a golden file (the `G` lines). */
+  def goldenFingerprints(path: java.nio.file.Path): Set[(Long, Long)] =
+    if (!java.nio.file.Files.exists(path)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(path).asScala
+        .map(_.trim).filter(l => l.startsWith("G "))
+        .map { l => val p = l.split("\\s+"); (p(1).toLong, p(2).toLong) }
+        .toSet
+    }
+
+  /** Golden rows for one fingerprint from a golden FILE (not the
+    * classpath): (community, csize, best_q) in file order. */
+  def goldenRows(path: java.nio.file.Path, fp: (Long, Long))
+  : Seq[(Long, Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    var open = false
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    java.nio.file.Files.readAllLines(path).asScala.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).foreach { l =>
+        val p = l.split("\\s+")
+        p(0) match {
+          case "G" => open = (p(1).toLong, p(2).toLong) == fp
+          case "R" if open => out += ((p(1).toLong, p(2).toLong, p(3).toDouble))
+          case _ => ()
+        }
+      }
+    out.toSeq
+  }
+
+  /** Regenerate/merge the golden group for `edges` into `goldenPath`
+    * by invoking the INDEPENDENT replay (tools/gn_golden.py --edges).
+    * This is the testdata-refresh path: an unknown fingerprint
+    * degrades to a regeneration instead of the oracle's error() —
+    * GoldenRefreshSpec drives it from `sbt test` and then asserts the
+    * replay agrees with the engine's own loop, preserving the
+    * two-implementation cross-check. Requires python3 (present
+    * wherever the DuckDB oracle tooling runs). */
+  def refreshGolden(edges: Seq[Edge], goldenPath: java.nio.file.Path,
+      tool: java.nio.file.Path = java.nio.file.Paths.get(
+        "tools", "gn_golden.py")): Unit = {
+    val tmp = java.nio.file.Files.createTempFile("gn_edges", ".txt")
+    try {
+      java.nio.file.Files.write(tmp,
+        edges.map(e => s"${e._1} ${e._2}").mkString("\n").getBytes("UTF-8"))
+      val pb = new ProcessBuilder("python3", tool.toString,
+        "--edges", tmp.toString, "--out", goldenPath.toString)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val log = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      val rc = proc.waitFor()
+      require(rc == 0, s"gn_golden.py --edges failed (rc=$rc):\n$log")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
 
   /** q37: top-20 betweenness edges of the GN subgraph (distributed
     * Brandes), hash-verified against [[betweennessTopSql]] — a full

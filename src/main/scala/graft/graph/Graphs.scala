@@ -398,8 +398,12 @@ object Graphs {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("inflow"))
       pr = deg.join(contrib, Seq("node"))
-        .withColumn("pr", round(
-          lit((1 - PrDamping) / n) + lit(PrDamping) * col("inflow"), 6))
+        // scaled floor-half-up, not round(x, 6): mode-independent at
+        // exact .xxxxxx5 doubles (pr mass is non-negative, so +0.5
+        // floor is half-up on both engines)
+        .withColumn("pr", floor(
+          (lit((1 - PrDamping) / n) + lit(PrDamping) * col("inflow"))
+            * 1e6 + 0.5) / 1e6)
         .select(col("node"), col("deg"), col("pr"))
         .localCheckpoint()
     }
@@ -448,9 +452,10 @@ object Graphs {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("inflow"))
       pr = degS.join(contrib, Seq("node"))
-        .withColumn("pr", round(
-          when(col("is_seed") === 1, lit((1 - PrDamping) / k))
-            .otherwise(lit(0.0)) + lit(PrDamping) * col("inflow"), 6))
+        .withColumn("pr", floor(
+          (when(col("is_seed") === 1, lit((1 - PrDamping) / k))
+            .otherwise(lit(0.0)) + lit(PrDamping) * col("inflow"))
+            * 1e6 + 0.5) / 1e6)
         .select(col("node"), col("deg"), col("is_seed"), col("pr"))
         .localCheckpoint()
     }
@@ -464,9 +469,9 @@ object Graphs {
       val prev = s"p${k - 1}"
       s"""p$k AS MATERIALIZED (
          |  SELECT d.node, d.deg, d.is_seed,
-         |    round(CASE WHEN d.is_seed = 1
+         |    floor((CASE WHEN d.is_seed = 1
          |        THEN ${1 - PrDamping} / sc.k ELSE 0.0 END
-         |      + $PrDamping * i.inflow, 6) AS pr
+         |      + $PrDamping * i.inflow) * 1e6 + 0.5) / 1e6 AS pr
          |  FROM ds d
          |  JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
          |        FROM ue e JOIN $prev p ON p.node = e.src
@@ -495,7 +500,8 @@ object Graphs {
       val prev = s"p${k - 1}"
       s"""p$k AS MATERIALIZED (
          |  SELECT d.node, d.deg,
-         |    round(${1 - PrDamping} / nc.n + $PrDamping * i.inflow, 6) AS pr
+         |    floor((${1 - PrDamping} / nc.n + $PrDamping * i.inflow)
+         |      * 1e6 + 0.5) / 1e6 AS pr
          |  FROM deg d
          |  JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS inflow
          |        FROM ue e JOIN $prev p ON p.node = e.src

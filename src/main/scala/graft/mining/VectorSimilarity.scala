@@ -54,7 +54,7 @@ object VectorSimilarity {
       .orderBy(col("cos").desc, col("nid").asc)
     broadcast(q).join(c, col("qid") =!= col("nid"))
       .withColumn("dot", expr("graft_dot(qv, nv)"))
-      .withColumn("cos", round(col("dot") / (col("qn") * col("nn")), 6))
+      .withColumn("cos", floor(col("dot") / (col("qn") * col("nn")) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
@@ -67,8 +67,9 @@ object VectorSimilarity {
        |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
        |      FROM e),
        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-       |        round(list_sum(list_transform(generate_series(1, $Dim),
-       |            i -> q.vd[i] * c.vd[i])) / (q.nrm * c.nrm), 6) AS cos
+       |        floor(list_sum(list_transform(generate_series(1, $Dim),
+       |            i -> q.vd[i] * c.vd[i])) / (q.nrm * c.nrm)
+       |          * 1e6 + 0.5) / 1e6 AS cos
        |      FROM n q JOIN n c ON q.vec_id <> c.vec_id
        |      WHERE q.$QueryPred),
        |r AS (SELECT qid, nid, cos, row_number() OVER
@@ -139,7 +140,7 @@ object VectorSimilarity {
         col("nid"), col("nv"), col("nn"))
       .distinct()
       .withColumn("dot", expr("graft_dot(qv, nv)"))
-      .withColumn("cos", round(col("dot") / (col("qn") * col("nn")), 6))
+      .withColumn("cos", floor(col("dot") / (col("qn") * col("nn")) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
@@ -163,8 +164,9 @@ object VectorSimilarity {
        |           ON q.t = c.t AND q.bkt = c.bkt AND q.vec_id <> c.vec_id
        |         WHERE q.$QueryPred),
        |p AS (SELECT qid, nid,
-       |        round(list_sum(list_transform(generate_series(1, $Dim),
-       |            i -> a.vd[i] * b.vd[i])) / (a.nrm * b.nrm), 6) AS cos
+       |        floor(list_sum(list_transform(generate_series(1, $Dim),
+       |            i -> a.vd[i] * b.vd[i])) / (a.nrm * b.nrm)
+       |          * 1e6 + 0.5) / 1e6 AS cos
        |      FROM cand JOIN n a ON a.vec_id = qid
        |                JOIN n b ON b.vec_id = nid),
        |r AS (SELECT qid, nid, cos, row_number() OVER
@@ -230,7 +232,7 @@ object VectorSimilarity {
         col("nrm").as("nb")), Seq("vec_b"))
       .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -246,7 +248,7 @@ object VectorSimilarity {
     broadcast(a).join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -270,7 +272,7 @@ object VectorSimilarity {
        |        list_sum(list_transform(generate_series(1, $Dim),
        |            i -> a.vd[i] * b.vd[i])) / (a.nrm * b.nrm) AS cos
        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cos
+       |SELECT vec_a, vec_b, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM p WHERE cos >= $NearDupCos ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- q89
@@ -413,7 +415,7 @@ object VectorSimilarity {
         col("nrm").as("nn"), col("list_id")), Seq("list_id"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("dot", expr("graft_dot(qv, nv)"))
-      .withColumn("cos", round(col("dot") / (col("qn") * col("nn")), 6))
+      .withColumn("cos", floor(col("dot") / (col("qn") * col("nn")) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
@@ -438,12 +440,13 @@ object VectorSimilarity {
         "CASE WHEN scale = 0.0 THEN transform(v, x -> 0) " +
           "ELSE transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) END"))
       .select(col("vec_id"),
-        round(col("scale"), 6).as("scale"),
-        round(expr(
+        (floor(col("scale") * 1e6 + 0.5) / 1e6).as("scale"),
+        (floor(expr(
           "sqrt(aggregate(transform(sequence(1, size(v)), i -> " +
             "(element_at(v, i) - element_at(q, i) * scale) * " +
             "(element_at(v, i) - element_at(q, i) * scale)), " +
-            "0D, (a, b) -> a + b) / size(v))"), 6).as("rmse"),
+            "0D, (a, b) -> a + b) / size(v))") * 1e6 + 0.5) / 1e6)
+          .as("rmse"),
         expr("size(filter(q, x -> x != 0))").cast("long").as("nnz"))
       .orderBy(col("vec_id"))
 
@@ -457,10 +460,10 @@ object VectorSimilarity {
        |              ELSE list_transform(v, x ->
        |                CAST(floor(x / scale + 0.5) AS INT)) END AS q
        |       FROM sc)
-       |SELECT vec_id, round(scale, 6) AS scale,
-       |  round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+       |SELECT vec_id, floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+       |  floor(sqrt(list_sum(list_transform(generate_series(1, len(v)),
        |    i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)))
-       |    / len(v)), 6) AS rmse,
+       |    / len(v)) * 1e6 + 0.5) / 1e6 AS rmse,
        |  len(list_filter(q, x -> x <> 0)) AS nnz
        |FROM qz ORDER BY vec_id""".stripMargin
 

@@ -169,7 +169,12 @@ object Relational {
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      // decimal sum (order-independent) + scaled floor-half-up
+      // (rounding-mode-independent) — the cross-engine parity idiom;
+      // the per-row product has ≤4 true decimal digits so the
+      // double→decimal(18,6) cast is unambiguous
+      .agg((floor(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double") * 1e2 + 0.5) / 1e2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
@@ -215,8 +220,10 @@ object Relational {
     orders(s, d)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 2)
+      // o_totalprice is 2-dp source data — pass through unrounded
+      // (round(x, 2) was a representation no-op with a .xx5 hazard)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy(col("o_custkey").asc, col("rn").asc)
   }
 
@@ -227,20 +234,37 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(min("c_acctbal"), 2).as("min_bal"),
-        round(max("c_acctbal"), 2).as("max_bal"),
-        round(avg("c_acctbal"), 3).as("avg_bal"),
+        // min/max pass through: 2-dp source doubles are identical in
+        // both engines; avg goes decimal-sum / count + floor-half-up
+        min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"),
+        (floor(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) * 1e3 + 0.5) / 1e3).as("avg_bal"),
         count(lit(1)).as("cnt"))
       .orderBy(col("n_name").asc)
 
   /** A1t3 partition introspection (Assignment1/task3.py:34,77):
     * records-per-partition via spark_partition_id() — replaces
-    * glom().map(len). Rows-only oracle (partitioning is engine-side). */
-  def partitionHistogram(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    * glom().map(len). Rows-only oracle (partitioning is engine-side),
+    * but SELF-GATING like q41: the query emits rows ONLY when the
+    * histogram's own sum equals an independently-scanned count(*), so
+    * the driver's rows>0 check certifies the introspection is
+    * consistent (every row counted in exactly one partition) rather
+    * than merely non-empty. */
+  def partitionHistogram(s: SparkSession, d: String): DataFrame = {
+    val hist = lineitem(s, d)
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // pin: the histogram feeds both output + gate
+    val histTotal = hist.agg(sum(col("cnt")).as("hist_total"),
+      count(lit(1)).as("n_partitions"))
+    val direct = lineitem(s, d).agg(count(lit(1)).as("direct_total"))
+    hist.crossJoin(broadcast(histTotal)).crossJoin(broadcast(direct))
+      .filter(col("hist_total") === col("direct_total")) // the gate
+      .select(col("partition_id"), col("cnt"), col("n_partitions"),
+        col("hist_total"), col("direct_total"))
       .orderBy(col("partition_id").asc)
+  }
 
   /** U13: JSON parse on a real column — events.props is a JSON object;
     * parse with a declared schema (from_json, codegen'd — the
@@ -307,16 +331,16 @@ object Relational {
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
-      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double"), 2).as("total"),
+      .agg((floor(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double") * 1e2 + 0.5) / 1e2).as("total"),
         count(lit(1)).as("cnt"))
       .orderBy(col("n_name").asc_nulls_first,
         col("c_mktsegment").asc_nulls_first)
 
   val rollupRevenueSql: String =
     """SELECT n_name, c_mktsegment,
-      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-      |    AS total,
+      |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    * 1e2 + 0.5) / 1e2 AS total,
       |  count(*) AS cnt
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -331,17 +355,20 @@ object Relational {
     customer(s, d)
       .groupBy(col("c_mktsegment"))
       .agg(
-        round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
-        round(expr("percentile(c_acctbal, 0.5)"), 4).as("median"),
-        round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"),
+        (floor(expr("percentile(c_acctbal, 0.25)") * 1e4 + 0.5) / 1e4)
+          .as("p25"),
+        (floor(expr("percentile(c_acctbal, 0.5)") * 1e4 + 0.5) / 1e4)
+          .as("median"),
+        (floor(expr("percentile(c_acctbal, 0.75)") * 1e4 + 0.5) / 1e4)
+          .as("p75"),
         count(lit(1)).as("cnt"))
       .orderBy(col("c_mktsegment"))
 
   val segmentPercentilesSql: String =
     """SELECT c_mktsegment,
-      |  round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
-      |  round(quantile_cont(c_acctbal, 0.5), 4) AS median,
-      |  round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+      |  floor(quantile_cont(c_acctbal, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+      |  floor(quantile_cont(c_acctbal, 0.5) * 1e4 + 0.5) / 1e4 AS median,
+      |  floor(quantile_cont(c_acctbal, 0.75) * 1e4 + 0.5) / 1e4 AS p75,
       |  count(*) AS cnt
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -361,13 +388,14 @@ object Relational {
         sum(col("value").cast("decimal(18,6)")).as("ps"))
       .groupBy(col("event_type"))
       .agg(sum(col("pc")).as("cnt"),
-        round(sum(col("ps")).cast("double"), 4).as("sum_value"))
+        (floor(sum(col("ps")).cast("double") * 1e4 + 0.5) / 1e4)
+          .as("sum_value"))
       .orderBy(col("event_type"))
 
   val saltedTypeStatsSql: String =
     """SELECT event_type, count(*) AS cnt,
-      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
-      |    AS sum_value
+      |  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |    * 1e4 + 0.5) / 1e4 AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The event-type domain (pinned so the pivot schema is static — at
@@ -439,9 +467,9 @@ object Relational {
     orders(s, d)
       .filter(col("o_custkey") < 200)
       .withColumn("run_total",
-        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(
+        floor(sum(col("o_totalprice").cast("decimal(18,2)")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double"), 2))
+          .cast("double") * 1e2 + 0.5) / 1e2)
       .withColumn("gap_days",
         datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
           .cast("long"))
@@ -454,9 +482,10 @@ object Relational {
   val runningTotalsSql: String =
     """SELECT o_custkey, o_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS run_total,
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) * 1e2 + 0.5) / 1e2
+      |    AS run_total,
       |  CAST(date_diff('day', lag(o_orderdate, 1) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
       |    o_orderdate) AS BIGINT) AS gap_days
@@ -472,22 +501,24 @@ object Relational {
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("covar_qty_price"),
-        round(stddev_samp(col("l_discount")), 4).as("std_disc"),
-        round(var_samp(col("l_tax")), 4).as("var_tax"),
+        (floor(corr(col("l_quantity"), col("l_extendedprice"))
+          * 1e4 + 0.5) / 1e4).as("corr_qty_price"),
+        (floor(covar_samp(col("l_quantity"), col("l_extendedprice"))
+          * 1e4 + 0.5) / 1e4).as("covar_qty_price"),
+        (floor(stddev_samp(col("l_discount")) * 1e4 + 0.5) / 1e4)
+          .as("std_disc"),
+        (floor(var_samp(col("l_tax")) * 1e4 + 0.5) / 1e4).as("var_tax"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
   val statsAggSql: String =
     """SELECT l_returnflag,
-      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      |  round(covar_samp(l_quantity, l_extendedprice), 4)
+      |  floor(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4
+      |    AS corr_qty_price,
+      |  floor(covar_samp(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4
       |    AS covar_qty_price,
-      |  round(stddev_samp(l_discount), 4) AS std_disc,
-      |  round(var_samp(l_tax), 4) AS var_tax,
+      |  floor(stddev_samp(l_discount) * 1e4 + 0.5) / 1e4 AS std_disc,
+      |  floor(var_samp(l_tax) * 1e4 + 0.5) / 1e4 AS var_tax,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -509,9 +540,10 @@ object Relational {
       .agg(count(lit(1)).as("n_total"),
         sum(when(expr(s"$h % 100 < $SamplePct"), 1L).otherwise(0L))
           .as("n_sampled"),
-        round(sum(when(expr(s"$h % 100 < $SamplePct"),
+        (floor(sum(when(expr(s"$h % 100 < $SamplePct"),
             col("value").cast("decimal(18,6)"))
-          .otherwise(lit(null))).cast("double"), 4).as("sampled_value_sum"))
+          .otherwise(lit(null))).cast("double") * 1e4 + 0.5) / 1e4)
+          .as("sampled_value_sum"))
       .orderBy(col("event_type"))
   }
 
@@ -520,9 +552,9 @@ object Relational {
     s"""SELECT event_type, count(*) AS n_total,
        |  CAST(sum(CASE WHEN $h % 100 < $SamplePct THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_sampled,
-       |  round(CAST(sum(CASE WHEN $h % 100 < $SamplePct
-       |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 4)
-       |    AS sampled_value_sum
+       |  floor(CAST(sum(CASE WHEN $h % 100 < $SamplePct
+       |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+       |    * 1e4 + 0.5) / 1e4 AS sampled_value_sum
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
@@ -624,8 +656,8 @@ object Relational {
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
         countDistinct(col(c)).as("ndv"),
-        round(min(col(c)), 4).as("min_v"),
-        round(max(col(c)), 4).as("max_v"),
+        min(col(c)).as("min_v"),
+        max(col(c)).as("max_v"),
         (floor(sum(col(c).cast("decimal(24,6)")).cast("double") /
           count(lit(1)) * 1e4 + 0.5) / 1e4).as("mean_v"))
     }.reduce(_ unionByName _).orderBy(col("column"))
@@ -638,7 +670,7 @@ object Relational {
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_null,
          |  count(DISTINCT $c) AS ndv,
-         |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+         |  min($c) AS min_v, max($c) AS max_v,
          |  floor(CAST(sum(CAST($c AS DECIMAL(24,6))) AS DOUBLE)
          |    / count(*) * 1e4 + 0.5) / 1e4 AS mean_v
          |FROM lineitem""".stripMargin
@@ -1473,11 +1505,18 @@ object Relational {
       |FROM n ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------- q122
-  /** Per-step deadline for the q122 funnel. */
-  val FunnelStepHorizon = "24 hours"
+  /** Per-step deadline for the q122 funnel, in hours. Both the engine
+    * and the SQL oracle derive their µs literal from this, so editing
+    * it moves the whole funnel (ADVICE r7: the old string constant was
+    * decorative — the 24 h was hardcoded twice). */
+  val FunnelStepHorizonHours = 24L
+
+  /** [[FunnelStepHorizonHours]] as epoch-µs — the unit the event
+    * timestamps are compared in. */
+  val FunnelStepHorizonUs: Long = FunnelStepHorizonHours * 3600L * 1000000L
 
   /** q122: multi-step time-bounded funnel — view → click within
-    * [[FunnelStepHorizon]] of the first view → purchase within the
+    * [[FunnelStepHorizonHours]] of the first view → purchase within the
     * horizon of that click (24 h steps — the 1 h attribution horizon
     * q105 uses leaves this funnel's bottom empty at every test SF); one summary row with per-stage user counts
     * and floor-rounded conversion rates. Each stage is a user-keyed
@@ -1488,7 +1527,7 @@ object Relational {
   def multiStepFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("tsl")).localCheckpoint()
-    val horizonUs = 24L * 3600L * 1000000L
+    val horizonUs = FunnelStepHorizonUs
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tsl")).as("v_ts"))
     val c = ev.filter(col("event_type") === "click")
@@ -1512,7 +1551,7 @@ object Relational {
   }
 
   val multiStepFunnelSql: String = {
-    val h = 24L * 3600L * 1000000L
+    val h = FunnelStepHorizonUs
     s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsl
        |            FROM events),
        |v AS (SELECT user_id, min(tsl) AS v_ts FROM ev
@@ -1548,7 +1587,9 @@ object Relational {
     * way back, matching the aggregate's absent groups). Both reshapes
     * are map-side over the day-keyed aggregate. */
   def pivotRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    // the shared pinned domain — a domain change must move this pivot
+    // and the long-form oracle together (ADVICE r7)
+    val types = EventTypes
     val wide = events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .pivot("event_type", types)
@@ -1806,8 +1847,9 @@ object Relational {
        |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin
 
   // --------------------------------------------------------------- q133
-  /** q133: RFM segmentation — per user: Recency (µs since last event,
-    * against the corpus max), Frequency (event count), Monetary
+  /** q133: RFM segmentation — per user: Recency (last-activity time,
+    * cut at the median last-activity time — later ⇔ more recent, so no
+    * corpus-max subtraction is needed), Frequency (event count), Monetary
     * (integerized value sum), each cut at the GLOBAL median into
     * high/low, yielding 8 segments with user counts — the classic
     * behavioral-segmentation matrix. Exactness: R/F/M are integers;
@@ -1825,7 +1867,6 @@ object Relational {
         sum(col("vk")).as("m"))
       .localCheckpoint() // feeds the median aggregate + the census
     val cuts = perUser.agg(
-      max(col("last_ts")).as("t_max"),
       expr("percentile(last_ts, 0.5D)").as("r_med"),
       expr("percentile(f, 0.5D)").as("f_med"),
       expr("percentile(m, 0.5D)").as("m_med"))
@@ -2186,7 +2227,15 @@ object Relational {
     * distinct activity levels — and with ties grouped the rank sum
     * Σ i·x_i telescopes to Σ_levels c·m·(2R+m+1)/2 over cumulative
     * prior users R: pure integer arithmetic until the final ratio
-    * G = 2T/(nS) − (n+1)/n, written identically in both engines. */
+    * G = 2T/(nS) − (n+1)/n, written identically in both engines.
+    * Overflow: the rank-sum Σ c·m·(2R+m+1) ≈ 2·S·n exceeds int64 once
+    * n_users · n_events > 2^62 (true at 100 TB: n ~ 10^9, S ~ 10^12 →
+    * ~2^70). DuckDB's sum(BIGINT) promotes to HUGEINT; Spark's would
+    * wrap silently — so the Spark side computes t2 in decimal(38,0)
+    * (exact to 10^38 ≈ 2^126): the per-level product can itself pass
+    * int64 (c·m ≤ S, 2R+m+1 ≤ 2n+1 → up to ~10^21), so the cast goes
+    * on c·m BEFORE the multiply, and the sum inherits the wide type.
+    * Identical doubles on both engines out to any realistic corpus. */
   def activityGini(s: SparkSession, d: String): DataFrame = {
     val levels = events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
@@ -2195,9 +2244,11 @@ object Relational {
       .withColumn("r", coalesce(sum(col("m")).over(
         Window.orderBy(col("c"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // 2·Σ i·x_i for the level, kept ×2 so the division by 2 is exact
-      .select((col("c") * col("m") * (lit(2) * col("r") + col("m")
-        + lit(1))).as("t2"), (col("c") * col("m")).as("s"), col("m"))
+      // 2·Σ i·x_i for the level, kept ×2 so the division by 2 is exact;
+      // decimal(38,0) BEFORE the multiply — see overflow note above
+      .select(((col("c") * col("m")).cast("decimal(38,0)")
+        * (lit(2) * col("r") + col("m") + lit(1))).as("t2"),
+        (col("c") * col("m")).as("s"), col("m"))
       .agg(sum(col("t2")).as("t2"), sum(col("s")).as("stot"),
         sum(col("m")).as("n"))
     t.select(col("n").as("n_users"), col("stot").as("n_events"),
@@ -2468,7 +2519,8 @@ object Relational {
         |WHERE rnk <= 3 ORDER BY rnk ASC, p_brand ASC""".stripMargin,
     "q11_top_revenue" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -2489,16 +2541,18 @@ object Relational {
         |  UNION
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') u""".stripMargin,
     "q14_first_orders" ->
-      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice AS price
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY o_custkey
         |          ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
         |      FROM orders) t
         |WHERE rn <= 2 ORDER BY o_custkey ASC, rn ASC""".stripMargin,
     "q15_nation_stats" ->
-      """SELECT n_name, round(min(c_acctbal), 2) AS min_bal,
-        |  round(max(c_acctbal), 2) AS max_bal,
-        |  round(avg(c_acctbal), 3) AS avg_bal, count(*) AS cnt
+      """SELECT n_name, min(c_acctbal) AS min_bal,
+        |  max(c_acctbal) AS max_bal,
+        |  floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) * 1e3 + 0.5) / 1e3 AS avg_bal,
+        |  count(*) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name ASC""".stripMargin)
 }

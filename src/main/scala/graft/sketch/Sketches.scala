@@ -119,7 +119,8 @@ object Sketches {
         floor(col("i") / lit(FmHashes / FmGroups)).cast("int").as("grp"))
       .agg(avg(pow(lit(2.0), col("rmax"))).as("grp_mean"))
       .groupBy(col("event_type"))
-      .agg(round(expr("percentile(grp_mean, 0.5)"), 2).as("fm_estimate"))
+      .agg((floor(expr("percentile(grp_mean, 0.5)") * 1e2 + 0.5) / 1e2)
+        .as("fm_estimate"))
     exact.join(ranks, Seq("event_type"))
       .select(col("event_type"), col("exact_distinct"), col("fm_estimate"))
       .orderBy(col("event_type"))
@@ -141,7 +142,8 @@ object Sketches {
        |    CAST(floor(i / ${FmHashes / FmGroups}.0) AS INT) AS grp,
        |    avg(power(2.0, rmax)) AS grp_mean
        |  FROM rmaxes GROUP BY 1, 2),
-       |est AS (SELECT event_type, round(median(grp_mean), 2) AS fm_estimate
+       |est AS (SELECT event_type,
+       |          floor(median(grp_mean) * 1e2 + 0.5) / 1e2 AS fm_estimate
        |        FROM grp_means GROUP BY 1),
        |exact AS (SELECT event_type,
        |    count(DISTINCT user_id) AS exact_distinct

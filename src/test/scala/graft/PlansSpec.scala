@@ -192,4 +192,38 @@ class PlansSpec extends AnyFunSuite {
     assert(plan("q131_rank_filter").contains("WindowGroupLimit"),
       "q131 rank filter did not plan as WindowGroupLimit")
   }
+
+  test("every partition-less Window in every registered plan consumes " +
+      "a summary-sized (aggregated/limited) input") {
+    // A WindowExec with no partition key moves ALL rows to one
+    // partition — correct only when the input is already a bounded
+    // summary (an aggregate's output: #days/#strata/#bins rows, or a
+    // limit's). The repo's global windows are all of that shape today;
+    // this property makes a future corpus-sized global window fail CI
+    // instead of shipping a single-partition sort (VERDICT r7 §wrong.3).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def summarySized(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        true
+      // a join is summary-sized iff EVERY side is (joins can only
+      // shrink... no — they can multiply; require all inputs bounded)
+      case other if other.children.nonEmpty =>
+        other.children.forall(summarySized)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val sp = fn(spark, sfDir).queryExecution.sparkPlan
+      sp.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !summarySized(w.child) =>
+          s"$name: global Window over non-aggregated input:\n$w"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
 }

@@ -22,6 +22,15 @@ Defaults: /tmp/verify_out and the three testdata SFs. Writes
 src/main/resources/graft/gn_golden.txt:
   G <n_edges> <xor-of-h60(src,dst)>   # one per scale factor
   R <community> <csize> <best_q>      # golden rows of the open group
+
+Refresh mode (what `sbt test` invokes when it meets an edge-set
+fingerprint the shipped golden doesn't know -- a testdata refresh
+degrades to a regeneration instead of an oracle error()):
+  python3 tools/gn_golden.py --edges <edge_file> --out <golden_txt>
+<edge_file> holds one "src dst" pair per line (the engine's own
+hash-verified edge build; the GN LOOP is still replayed independently
+here). The group for that edge set is MERGED into <golden_txt>:
+same-fingerprint group replaced, all other groups kept.
 """
 import hashlib
 import json
@@ -175,16 +184,87 @@ def fmt_q(q):
     return repr(v)
 
 
+HEADER = ["# q38 goldens -- generated by tools/gn_golden.py "
+          "(independent pure-Python GN replay).",
+          "# G <n_edges> <xor-of-h60('src,dst')>; R <community> "
+          "<csize> <best_q>."]
+
+
+def golden_group(edges):
+    """The golden lines (G + R rows) for one edge set."""
+    n, x = fingerprint(edges)
+    q, comms = gn(edges)
+    rows = sorted(((min(c), len(c)) for c in comms),
+                  key=lambda t: (-t[1], t[0]))
+    lines = [f"G {n} {x}"]
+    for cmin, csize in rows:
+        lines.append(f"R {cmin} {csize} {fmt_q(q)}")
+    return (n, x), lines
+
+
+def parse_groups(path):
+    """Existing golden file -> ordered [( (n, x), [lines] )]."""
+    groups = []
+    if not os.path.exists(path):
+        return groups
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if parts[0] == "G":
+            groups.append(((int(parts[1]), int(parts[2])), [line]))
+        elif parts[0] == "R":
+            groups[-1][1].append(line)
+    return groups
+
+
+def refresh(edge_files, out_path):
+    """Merge the groups for the given edge files into out_path."""
+    groups = parse_groups(out_path)
+    for ef in edge_files:
+        edges = []
+        for line in open(ef):
+            line = line.strip()
+            if line:
+                a, b = line.split()
+                edges.append((int(a), int(b)))
+        fp, lines = golden_group(edges)
+        groups = [g for g in groups if g[0] != fp] + [(fp, lines)]
+        print(f"{ef}: fingerprint {fp[1]} ({fp[0]} edges), "
+              f"{len(lines) - 1} communities")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(HEADER) + "\n")
+        for _, lines in groups:
+            f.write("\n".join(lines) + "\n")
+    print(f"wrote {os.path.normpath(out_path)}")
+
+
 def main():
     args = sys.argv[1:]
+    if args and args[0] == "--edges":
+        edge_files = []
+        out = None
+        i = 0
+        while i < len(args):
+            if args[i] == "--edges":
+                edge_files.append(args[i + 1])
+                i += 2
+            elif args[i] == "--out":
+                out = args[i + 1]
+                i += 2
+            else:
+                raise SystemExit(f"unknown arg {args[i]}")
+        if not out:
+            raise SystemExit("--edges mode requires --out <golden_txt>")
+        refresh(edge_files, out)
+        return
     verify_out = args[0] if args else "/tmp/verify_out"
     sfs = args[1:] or [f"/root/testdata/sf{s}"
                        for s in ("0.001", "0.01", "0.1")]
     sql = edge_sql(verify_out)
-    out = ["# q38 goldens -- generated by tools/gn_golden.py "
-           "(independent pure-Python GN replay).",
-           "# G <n_edges> <xor-of-h60('src,dst')>; R <community> "
-           "<csize> <best_q>."]
+    out = list(HEADER)
     for sf in sfs:
         edges = edges_for(sf, sql)
         n, x = fingerprint(edges)
