@@ -76,16 +76,27 @@ object ExplainDump {
           "recomputes another's work — the signal chain, the curated " +
           "corpus, and the mixture sliver each materialize exactly once"),
       ("q89_content_rec",
-        "class-aggregated scoring: profile joins the vocabulary-" +
+        "the registered entry reads the session-memoized content " +
+          "top-k artifact (ONE Scan ExistingRDD + order) — the build " +
+          "plan itself is dumped as _content_build below"),
+      ("q92_hybrid_rec",
+        "composition over memoized artifacts: the CF and content " +
+          "top-k frames are each ONE Scan ExistingRDD; the fusion is " +
+          "a full-outer join of two k-per-user frames plus the blend " +
+          "window — nothing is rebuilt when q87/q89 ran in-session"),
+      ("_cf_build",
+        "q87's underlying build (memo-free entry itemCfOn): capped ui " +
+          "matrix -> co-occurrence self-join -> broadcast degree " +
+          "joins -> top-M neighbor WindowGroupLimit -> broadcast " +
+          "neighbor scoring -> shuffle anti-join on owned"),
+      ("_content_build",
+        "q89's underlying build (memo-free entry contentRecOn): " +
+          "class-aggregated scoring — profile joins the vocabulary-" +
           "bounded class-feature table (broadcast), never the catalog-" +
-          "sized item-feature table — scoring volume is users x " +
+          "sized item-feature table; scoring volume is users x " +
           "classes, constant in N; BoundedMinK item lists expand only " +
           "for each user's top cap+k classes; WindowGroupLimit caps " +
           "the final per-user rank"),
-      ("q92_hybrid_rec",
-        "composition: both recommender paths read ONE checkpointed " +
-          "user-item matrix (Scan ExistingRDD twice); the fusion " +
-          "itself is a full-outer join of two k-per-user frames"),
       ("q105_attribution",
         "interval join planned as an EQUI hash join on user_id with " +
           "the time range as a residual filter — never a nested loop; " +
@@ -119,7 +130,19 @@ object ExplainDump {
     sb.append("Generated by `graft.ExplainDump` at sf0.01. What to look\n")
     sb.append("for per plan is noted above each dump.\n")
     picks.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      import graft.mining.Recommend
+      val df = name match {
+        // the memo-free recommender builds — the registered entries
+        // read memoized artifacts, which hides the build plan
+        case "_cf_build" => Recommend.itemCfOn(
+          Recommend.copurchases(spark, sfDir), Recommend.UserItemCap,
+          Recommend.CoMinUsers, Recommend.NeighborTopM, Recommend.RecK)
+        case "_content_build" => Recommend.contentRecOn(
+          Recommend.copurchases(spark, sfDir),
+          Tables.part(spark, sfDir), Recommend.UserItemCap,
+          Recommend.ProfileTopF, Recommend.RecK)
+        case _ => SparkEntry.queries(name)(spark, sfDir)
+      }
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n$plan```\n")

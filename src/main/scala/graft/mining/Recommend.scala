@@ -57,7 +57,7 @@ object Recommend {
 
   /** The co-purchase interaction frame (customer × part via
     * orders/lineitem) every registered recommender trains on. */
-  private def copurchases(s: SparkSession, d: String): DataFrame =
+  private[graft] def copurchases(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).select(col("l_orderkey").as("ok"),
         col("l_partkey").as("i"))
       .join(orders(s, d).select(col("o_orderkey").as("ok"),
