@@ -392,17 +392,120 @@ object Sketches {
        |ORDER BY k.p""".stripMargin
   }
 
+  // --------------------------------------------------------------- q144
+  /** HLL registers: 2^7 = 128 (σ ≈ 1.04/√m ≈ 9%). */
+  val HllM = 128
+  /** Flajolet's bias constant α_m for m = 128 — computed once in Scala
+    * and embedded as the SAME shortest-roundtrip literal in both
+    * engines (the q63 PrDamping precedent). */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
+  /** α_m · m² · 2^54 — the raw-estimate numerator, pre-scaled by the
+    * integer register sum's 2^54 fixed point. Exact double (power-of-
+    * two multiplies are exponent shifts). */
+  val HllNumer: Double = HllAlpha * HllM * HllM * math.pow(2, 54)
+
+  /** Exact MSB position (bit length) of a < 2^53 value as a CASE
+    * cascade — floor(log2(w)) is the obvious alternative but a double
+    * log2 rounds UP at w = 2^k − 1 for large k, and the two engines'
+    * log2 are not guaranteed bit-identical; 53 integer compares are. */
+  private def bitLenSql(w: String): String =
+    (52 to 0 by -1).map(k =>
+      s"WHEN $w >= ${1L << k} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** q144: HyperLogLog distinct-user estimate per event type vs the
+    * exact count — the production-standard distinct sketch alongside
+    * q30's FM (Flajolet–Fusy–Gandouet–Meunier 2007). Fully
+    * cross-engine replayable, like every sketch here: the portable h60
+    * hash splits into a 7-bit register index and a 53-bit word whose
+    * leading-zero rank ρ feeds max-per-register; the harmonic-mean
+    * denominator Σ 2^(−M_j) is summed as the EXACT INTEGER
+    * Σ 2^(54−M_j) (≤ 128·2^54 < 2^62 — no float summation order to
+    * drift, the same move as q141's decimal rank-sum), and the
+    * small-range branch (E ≤ 2.5m with empty registers) switches to
+    * linear counting m·ln(m/V) — exercised at sf0.001 where per-type
+    * distincts are below 320, while the raw branch runs at
+    * sf0.01/sf0.1. Scale: distinct-reduce then 128-row state per
+    * group — an algebraic aggregate that streams, like FM. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = Hashing.h60SparkSql("user_id")
+    val exact = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val regs = events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", expr(h))
+      .withColumn("reg", expr(s"h % $HllM"))
+      .withColumn("rho", expr(s"54 - (${bitLenSql(s"(h div $HllM)")})"))
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("mr"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mr AS INT))"))
+          .as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col("event_type"),
+        (lit(HllM) - col("nb")).as("n_empty"),
+        (col("sp") + (lit(HllM.toLong) - col("nb"))
+          * (1L << 54)).as("sumint"))
+      .select(col("event_type"), col("n_empty"),
+        (lit(HllNumer) / col("sumint").cast("double")).as("raw"))
+      .select(col("event_type"), col("n_empty"),
+        when(col("raw") <= 2.5 * HllM && col("n_empty") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble)
+            / col("n_empty").cast("double")))
+          .otherwise(col("raw")).as("est"))
+    exact.join(regs, Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"), col("n_empty"),
+        (floor(col("est") * 1e2 + 0.5) / 1e2).as("hll_estimate"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctSql: String = {
+    val h = Hashing.h60Sql("user_id")
+    s"""WITH du AS MATERIALIZED (
+       |  SELECT event_type, ${h} AS h
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+       |regs AS (
+       |  SELECT event_type, h % $HllM AS reg,
+       |    max(54 - (${bitLenSql(s"(h // $HllM)")})) AS mr
+       |  FROM du GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT event_type,
+       |    CAST($HllM - count(*) AS BIGINT) AS n_empty,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(54 - mr AS INT))
+       |      + ($HllM - count(*)) * (CAST(1 AS BIGINT) << 54)
+       |      AS BIGINT) AS sumint
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type, n_empty,
+       |    CASE WHEN $HllNumer / CAST(sumint AS DOUBLE) <= ${2.5 * HllM}
+       |           AND n_empty > 0
+       |         THEN CAST($HllM AS DOUBLE)
+       |           * ln(CAST($HllM AS DOUBLE) / CAST(n_empty AS DOUBLE))
+       |         ELSE $HllNumer / CAST(sumint AS DOUBLE) END AS e
+       |  FROM sums),
+       |exact AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT x.event_type, x.exact_distinct, s.n_empty,
+       |  floor(s.e * 1e2 + 0.5) / 1e2 AS hll_estimate
+       |FROM exact x JOIN est s ON s.event_type = x.event_type
+       |ORDER BY x.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_bloom" -> (bloomMembership _),
     "q30_fm_distinct" -> (fmDistinct _),
     "q96_countmin" -> (countMinHh _),
     "q103_bloom_join" -> (bloomFilterJoin _),
-    "q110_approx_quantiles" -> (approxQuantiles _))
+    "q110_approx_quantiles" -> (approxQuantiles _),
+    "q144_hll_distinct" -> (hllDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q29_bloom" -> bloomMembershipSql,
     "q30_fm_distinct" -> fmDistinctSql,
     "q96_countmin" -> countMinHhSql,
     "q103_bloom_join" -> bloomFilterJoinSql,
-    "q110_approx_quantiles" -> approxQuantilesSql)
+    "q110_approx_quantiles" -> approxQuantilesSql,
+    "q144_hll_distinct" -> hllDistinctSql)
 }

@@ -142,4 +142,47 @@ class SketchSpec extends AnyFunSuite {
     val sortedByP = got.toSeq.sortBy(_._1).map(_._2)
     assert(sortedByP == sortedByP.sorted)
   }
+
+  test("q144 HLL estimate within 3.5σ of exact; both branches behave") {
+    // sfDir (sf0.001): tiny per-type distincts → the linear-counting
+    // branch (raw ≤ 2.5m with empty registers) must engage and the
+    // estimate must still track exact within the envelope
+    val rows = SparkEntry.queries("q144_hll_distinct")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val sigma = 1.04 / math.sqrt(Sketches.HllM) // ≈ 9.2% at m=128
+    rows.foreach { case (t, exact, nEmpty, est) =>
+      assert(est > 0, s"$t: non-positive estimate")
+      val rel = math.abs(est - exact) / math.max(exact, 1L)
+      assert(rel <= 3.5 * sigma,
+        f"$t: HLL off by ${rel * 100}%.1f%% (exact=$exact est=$est)")
+      // tiny cardinalities cannot fill all 128 registers
+      if (exact < Sketches.HllM) assert(nEmpty > 0)
+    }
+    // raw branch on a large synthetic set: 20k distinct keys
+    import spark.implicits._
+    val big = (1L to 20000L)
+      .map(i => ("t", s"u$i")).toDF("event_type", "user_id")
+      .withColumn("h", expr(
+        graft.functions.Hashing.h60SparkSql("user_id")))
+    // replay the register math directly on the frame
+    val m = Sketches.HllM
+    val sums = big.select(col("event_type"), col("h"))
+      .distinct()
+      .withColumn("reg", expr(s"h % $m"))
+      .withColumn("w", expr(s"h div $m"))
+      .groupBy(col("reg"))
+      .agg(max(expr("54 - (" + (52 to 0 by -1).map(k =>
+        s"WHEN w >= ${1L << k} THEN ${k + 1}")
+        .mkString("CASE ", " ", " ELSE 0 END") + ")")).as("mr"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mr AS INT))"))
+        .as("sp"), count(lit(1)).as("nb"))
+      .collect()(0)
+    val sumint = sums.getLong(0) + (m - sums.getLong(1)) * (1L << 54)
+    val raw = Sketches.HllNumer / sumint.toDouble
+    assert(raw > 2.5 * m, "20k distincts must take the raw branch")
+    assert(math.abs(raw - 20000) / 20000.0 <= 3.5 * sigma,
+      f"raw HLL off: $raw%.0f vs 20000")
+  }
 }
