@@ -56,6 +56,11 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     replicate(part(s, src), Seq("p_partkey"), n)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // customers keep their nationkey, so the graph family's bounded
+    // nation-filtered subgraph grows 10x in nodes/edges — the linear
+    // test the iterative graph queries need
+    replicate(customer(s, src), Seq("c_custkey"), n)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
     // documents: per-replica token suffix — replicas share no vocabulary
     (0 until n).map { k =>
       val d = documents(s, src)
@@ -122,7 +127,17 @@ object ScaleStress {
       "q94_semdedup" -> ((d: String) => VectorSimilarity.semDedupOn(
         KMeans.points(spark, d),
         if (d == out) KMeans.K * Replicas else KMeans.K,
-        VectorSimilarity.SemDedupCos)))
+        VectorSimilarity.SemDedupCos)),
+      // the iterative graph family on the 10× co-purchase subgraph
+      // (edge-sized joins per round — the linearity claim under test)
+      "q33_degree_hist" -> ((d: String) =>
+        SparkEntry.queries("q33_degree_hist")(spark, d)),
+      "q35_lpa" -> ((d: String) =>
+        SparkEntry.queries("q35_lpa")(spark, d)),
+      "q63_pagerank" -> ((d: String) =>
+        SparkEntry.queries("q63_pagerank")(spark, d)),
+      "q97_kcore" -> ((d: String) =>
+        SparkEntry.queries("q97_kcore")(spark, d)))
 
     def hygiene(): Unit = {
       val keep = Memo.liveIds

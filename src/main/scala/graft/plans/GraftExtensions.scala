@@ -64,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_eqcount takes two array<bigint> args")
         EqCountExpr(args(0), args(1))
       }))
+    // HOF → native-kernel auto-rewrite; inert unless the session sets
+    // spark.graft.autoKernel=true (see KernelRewrite's safety notes)
+    ext.injectOptimizerRule(_ => KernelRewrite)
   }
 }

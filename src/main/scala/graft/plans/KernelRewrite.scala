@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Opt-in optimizer rule (the (c) extension path of the build brief:
+  * a `Rule[LogicalPlan]` injected through `SparkSessionExtensions`)
+  * that rewrites the interpreted higher-order-function vector kernels
+  * to their native codegen equivalents:
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)
+  *     → graft_dot(a, b)              ([[DotProductExpr]])
+  *   aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, …)
+  *     → graft_dist2(a, b)            ([[Dist2Expr]])
+  *
+  * Why a rule: the engine's own queries call the kernels directly,
+  * but a USER writing the textbook HOF form against this session gets
+  * the interpreted HigherOrderFunction path — per-row array
+  * allocation plus two lambda evaluations per element, which is what
+  * cost q45 403 s at sf0.1 before the kernels existed. With the rule
+  * on, the declarative form and the fast form are the same query.
+  *
+  * Safety: fires only when BOTH array types are `array<double>` with
+  * `containsNull = false` — the kernels read elements unchecked, while
+  * the HOF form null-propagates per element, so a nullable-element
+  * array must keep the HOF semantics. Ragged inputs agree (both
+  * yield NULL) and empty inputs agree (both yield the 0.0 zero).
+  * OFF by default (`spark.graft.autoKernel=false`): every existing
+  * plan — including the PlansSpec HOF-vs-native equality baselines —
+  * is byte-identical unless a session opts in.
+  */
+object KernelRewrite extends Rule[LogicalPlan] {
+
+  private def isVar(e: Expression, v: NamedExpression): Boolean =
+    (e, v) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        a.exprId == b.exprId
+      case _ => false
+    }
+
+  private def nullFreeDoubles(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  private def isZeroD(e: Expression): Boolean = e match {
+    case Literal(v: Double, DoubleType) => v == 0.0
+    case _ => false
+  }
+
+  /** merge = (s, v) -> s + v, in either operand order. */
+  private def isPlainSum(body: Expression, s: NamedExpression,
+      v: NamedExpression): Boolean = body match {
+    case Add(p, q, _) =>
+      (isVar(p, s) && isVar(q, v)) || (isVar(p, v) && isVar(q, s))
+    case _ => false
+  }
+
+  private def rewrite(agg: ArrayAggregate): Option[Expression] =
+    agg match {
+      case ArrayAggregate(
+          ZipWith(l, r, LambdaFunction(mul, Seq(x, y), _)),
+          zero,
+          LambdaFunction(addBody, Seq(s, v), _),
+          LambdaFunction(fin, Seq(f), _))
+        if isZeroD(zero) && isVar(fin, f) && isPlainSum(addBody, s, v) &&
+          nullFreeDoubles(l) && nullFreeDoubles(r) =>
+        mul match {
+          case Multiply(a, b, _)
+            if (isVar(a, x) && isVar(b, y)) ||
+              (isVar(a, y) && isVar(b, x)) =>
+            Some(DotProductExpr(l, r))
+          case Multiply(Subtract(a1, b1, _), Subtract(a2, b2, _), _)
+            if isVar(a1, x) && isVar(b1, y) &&
+              isVar(a2, x) && isVar(b2, y) =>
+            Some(Dist2Expr(l, r))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.autoKernel", "false").toBoolean)
+      plan
+    else plan.transformAllExpressions {
+      case agg: ArrayAggregate => rewrite(agg).getOrElse(agg)
+    }
+}

@@ -193,6 +193,53 @@ class PlansSpec extends AnyFunSuite {
       "q131 rank filter did not plan as WindowGroupLimit")
   }
 
+  test("KernelRewrite: HOF dot/dist2 auto-substitute to native kernels " +
+      "when opted in; nullable-element arrays are left alone") {
+    import spark.implicits._
+    val dotHof =
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    val distHof = "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y))" +
+      ", 0D, (s, v) -> s + v)"
+    val df = Seq(
+      (1L, Seq(1.5, -2.0, 3.25), Seq(4.0, 0.5, -1.0)),
+      (2L, Seq(0.25, 0.5), Seq(0.5, 0.25)),
+      (3L, Seq.empty[Double], Seq.empty[Double]))
+      .toDF("id", "a", "b") // Seq[Double] → containsNull = false
+      // exchange below the projection: ConvertToLocalRelation would
+      // otherwise constant-fold the whole select at optimize time and
+      // leave nothing for the rewrite to prove itself on
+      .repartition(2)
+    def plans(on: Boolean): (String, Seq[(Double, Double)]) = {
+      spark.conf.set("spark.graft.autoKernel", on.toString)
+      try {
+        val q = df.select(expr(dotHof).as("d"), expr(distHof).as("e"))
+        (q.queryExecution.optimizedPlan.toString,
+          q.collect().toSeq.map(r => (r.getDouble(0), r.getDouble(1))))
+      } finally spark.conf.set("spark.graft.autoKernel", "false")
+    }
+    val (offPlan, offRows) = plans(on = false)
+    val (onPlan, onRows) = plans(on = true)
+    assert(!offPlan.contains("graft_dot") && !offPlan.contains("graft_dist2"),
+      "rule must be inert by default")
+    assert(onPlan.contains("graft_dot") && onPlan.contains("graft_dist2"),
+      s"rule did not fire:\n$onPlan")
+    assert(offRows == onRows, "rewrite changed results")
+    // nullable elements → kernels read unchecked → must NOT fire
+    val nullable = Seq((1L, Seq[java.lang.Double](1.0, null),
+        Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .repartition(2)
+      .select(expr(dotHof).as("d"))
+    spark.conf.set("spark.graft.autoKernel", "true")
+    try {
+      val p = nullable.queryExecution.optimizedPlan.toString
+      assert(!p.contains("graft_dot"),
+        "rule fired on a nullable-element array")
+      assert(nullable.collect().head.isNullAt(0),
+        "HOF null propagation preserved")
+    } finally spark.conf.set("spark.graft.autoKernel", "false")
+  }
+
   test("every partition-less Window in every registered plan consumes " +
       "a summary-sized (aggregated/limited) input") {
     // A WindowExec with no partition key moves ALL rows to one
