@@ -117,6 +117,45 @@ object Streams {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
   }
 
+  /** HyperLogLog as a typed Aggregator — the streaming form of q144,
+    * exactly as FmSketchAgg is the streaming form of q30. Buffer is
+    * the 128 register maxima; merge is element-wise max (algebraic —
+    * partial aggregation, shuffle merge, streaming state all reuse
+    * it); input is the portable h60 hash. The finish math (integer
+    * register sum scaled by 2^54, α_m bias, linear-counting branch)
+    * is exactly the oracle-verified q144 pipeline, so the streaming
+    * estimate equals the batch query's on the same keys. */
+  object HllSketchAgg extends Aggregator[Long, Array[Int], Double] {
+    def zero: Array[Int] = Array.fill(Sketches.HllM)(0)
+    def reduce(b: Array[Int], h60: Long): Array[Int] = {
+      val reg = (h60 % Sketches.HllM).toInt
+      val w = h60 / Sketches.HllM
+      // 54 − bit length of the 53-bit word (w=0 → ρ=54), identical to
+      // the q144 CASE cascade
+      val rho = 54 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > b(reg)) b(reg) = rho
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] =
+      a.zip(b).map { case (x, y) => math.max(x, y) }
+    def finish(b: Array[Int]): Double = {
+      var sumint = 0L
+      var empty = 0
+      b.foreach { m =>
+        if (m == 0) empty += 1
+        sumint += (1L << (54 - m))
+      }
+      val raw = Sketches.HllNumer / sumint.toDouble
+      val est =
+        if (raw <= 2.5 * Sketches.HllM && empty > 0)
+          Sketches.HllM * math.log(Sketches.HllM.toDouble / empty)
+        else raw
+      math.floor(est * 1e2 + 0.5) / 1e2
+    }
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoderHelper.intArray
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** FM distinct-user estimate per sliding window — the full streaming
     * form of the reference's windowed FM (ST1–ST5): the sketch merges
     * inside the window aggregation, so nothing is collected. */

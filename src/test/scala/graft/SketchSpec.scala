@@ -185,4 +185,35 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(raw - 20000) / 20000.0 <= 3.5 * sigma,
       f"raw HLL off: $raw%.0f vs 20000")
   }
+
+  test("HllSketchAgg: merge(a,b) == sketch of union; estimate equals " +
+      "the oracle-verified q144 pipeline on the same keys") {
+    val agg = Streams.HllSketchAgg
+    def h(s: String): Long = graft.functions.Hashing.h60Local(s)
+    def sketch(keys: Seq[String]): Array[Int] =
+      keys.foldLeft(agg.zero)((b, k) => agg.reduce(b, h(k)))
+    val a = (1 to 400).map(i => s"a$i")
+    val b = (200 to 700).map(i => s"a$i") // overlaps a
+    val merged = agg.merge(sketch(a), sketch(b))
+    val union = sketch((a ++ b).distinct)
+    assert(merged.sameElements(union), "algebraic merge law broken")
+    // estimate accuracy on the union (700 distinct)
+    val est = agg.finish(merged)
+    assert(math.abs(est - 700) / 700.0 <= 3.5 * 1.04 /
+      math.sqrt(Sketches.HllM), s"estimate $est vs 700")
+    // parity with the registered q144 on the driver events table:
+    // aggregator over the same distinct (type, user) hashes must give
+    // the query's exact hll_estimate values
+    val q = SparkEntry.queries("q144_hll_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val keysByType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq)
+    keysByType.foreach { case (t, users) =>
+      val viaAgg = agg.finish(sketch(users))
+      assert(viaAgg == q(t),
+        s"$t: aggregator $viaAgg != q144 ${q(t)}")
+    }
+  }
 }
