@@ -1207,7 +1207,74 @@ object Pipeline {
        |FROM c WHERE cum * 2 >= total
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** Shard counts the q145 rendezvous assignment compares. */
+  val HrwShardsOld = 8
+  val HrwShardsNew = 9
+
+  /** q145: rendezvous (highest-random-weight) sharding — the STABLE
+    * shard-assignment primitive a multi-epoch corpus needs: each doc
+    * goes to argmax over shards of h60(doc_id "|" shard), so growing
+    * the fleet from [[HrwShardsOld]] to [[HrwShardsNew]] shards moves
+    * ONLY the keys the new shard wins (expected 1/new of the corpus),
+    * never a modulo-rehash of everything. The output makes the
+    * minimal-disruption property a HASH-CHECKED INVARIANT, not a
+    * comment: per new-shard (n_docs, n_moved), where n_moved must be 0
+    * for every surviving shard and equal to n_docs for the added
+    * shard — the oracle replays the full double assignment, so any
+    * drift in the hash, the argmax tie-break, or the stability
+    * property itself fails the gate.
+    *
+    * Scale: 9 portable hashes per key map-side, one doc-keyed
+    * max-of-struct aggregate (partial-agg friendly), #shards output
+    * rows. The deterministic complement of q67's sequential
+    * token-budget shards: q67 packs a training run, q145 places keys
+    * for serving/storage where assignment stability across resizes is
+    * the point. */
+  def rendezvousShards(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.Hashing
+      .h60SparkSql(s"concat(CAST(doc_id AS STRING), '|', CAST(s AS STRING))")
+    val asg = documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${HrwShardsNew - 1})")).as("s"))
+      // argmax key with the shard id embedded in the low 4 bits —
+      // h60 collisions across a doc's candidates are ~2^-55 but the
+      // +s term makes the order TOTAL, so both engines break any tie
+      // identically; (h div 16)*16 + s < 2^60 — no int64 overflow
+      .withColumn("k", expr(s"(($h) div 16) * 16 + s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr(s"max_by(s, CASE WHEN s < $HrwShardsOld THEN k END)")
+          .as("shard_old"),
+        expr("max_by(s, k)").as("shard_new"))
+    asg.groupBy(col("shard_new"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("shard_old") =!= col("shard_new")).cast("long"))
+          .as("n_moved"))
+      .orderBy(col("shard_new"))
+  }
+
+  val rendezvousShardsSql: String = {
+    val h = graft.functions.Hashing
+      .h60Sql(s"doc_id || '|' || s")
+    s"""WITH cand AS (
+       |  SELECT doc_id, s, (($h) // 16) * 16 + s AS k
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(generate_series(0,
+       |    ${HrwShardsNew - 1})) AS s)),
+       |asg AS (
+       |  SELECT doc_id,
+       |    max_by(s, CASE WHEN s < $HrwShardsOld THEN k END) AS shard_old,
+       |    max_by(s, k) AS shard_new
+       |  FROM cand GROUP BY 1)
+       |SELECT shard_new, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_moved
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_rendezvous_shards" -> (rendezvousShards _),
     "q132_weighted_median" -> (weightedMedianQuality _),
     "q116_quality_profile" -> (qualityProfile _),
     "q113_containment" -> (containmentDecontam _),
@@ -1229,6 +1296,7 @@ object Pipeline {
     "q69_source_mixture" -> (sourceMixture _))
 
   val oracle: Map[String, String] = Map(
+    "q145_rendezvous_shards" -> rendezvousShardsSql,
     "q132_weighted_median" -> weightedMedianQualitySql,
     "q116_quality_profile" -> qualityProfileSql,
     "q113_containment" -> containmentDecontamSql,
