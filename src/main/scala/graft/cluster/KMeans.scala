@@ -173,13 +173,18 @@ object KMeans {
       .agg(count(lit(1)).as("csize"))
       .orderBy(col("cluster"))
 
-  /** Unrolled-Lloyd oracle (the LPA-oracle idiom applied to K-Means).
-    * CTEs MATERIALIZED — DuckDB otherwise re-inlines each iteration
-    * into the next and the plan explodes. */
-  val kmeansClustersSql: String = {
+  /** The unrolled-Lloyd CTE prefix (the LPA-oracle idiom applied to
+    * K-Means), parameterized so the q40 oracle AND the q146 IVF
+    * oracle share one generator: `e` (vec_id, vd from embeddings) →
+    * c0 (k smallest vec_ids) → a1/m1/c1 … a<iters>/m<iters>/c<iters> →
+    * `af` = (vec_id, vd, cid), the final assignment under c<iters> —
+    * exactly [[lloydOn]]'s return. Callers prepend WITH and append
+    * their own SELECT. CTEs MATERIALIZED — DuckDB otherwise re-inlines
+    * each iteration into the next and the plan explodes. */
+  def lloydCtesSql(k: Int, iters: Int): String = {
     val dist = s"""list_sum(list_transform(generate_series(1, $Dim),
                   |          i -> (e.vd[i] - c.cv[i]) * (e.vd[i] - c.cv[i])))""".stripMargin
-    val iters = (1 to LloydIters).map { n =>
+    val rounds = (1 to iters).map { n =>
       s"""a$n AS MATERIALIZED (
          |  SELECT vec_id, vd, cid FROM (
          |    SELECT e.vec_id, e.vd, c.cid,
@@ -197,21 +202,25 @@ object KMeans {
          |  SELECT p.cid, coalesce(m.cv, p.cv) AS cv
          |  FROM c${n - 1} p LEFT JOIN m$n m USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, $vdSql AS vd FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INT) AS cid, vd AS cv FROM e
-       |  ORDER BY vec_id LIMIT $K),
-       |$iters,
-       |af AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
+       |  ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, vd, cid FROM (
+       |    SELECT e.vec_id, e.vd, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        $dist ASC, c.cid ASC) AS rn
-       |    FROM e CROSS JOIN c$LloydIters c) t WHERE rn = 1)
+       |    FROM e CROSS JOIN c$iters c) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** q40's oracle: unrolled Lloyd, then the cluster census. */
+  val kmeansClustersSql: String =
+    s"""WITH ${lloydCtesSql(K, LloydIters)}
        |SELECT cid AS cluster, count(*) AS csize
        |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_kmeans_assign" -> (kmeansAssign _),

@@ -392,7 +392,11 @@ object VectorSimilarity {
     val cents = lists
       .select(col("list_id"), posexplode(col("vd")).as(Seq("pos", "v")))
       .groupBy(col("list_id"), col("pos"))
-      .agg(avg(col("v")).as("m"))
+      // 6-dp floor-half-up pin, like every Lloyd centroid (KMeans
+      // round6): makes the probe-selection dist² a function of
+      // identical doubles in both engines, which is what lets q146
+      // hash-verify the WHOLE IVF pipeline
+      .agg((floor(avg(col("v")) * 1e6 + 0.5) / 1e6).as("m"))
       .groupBy(col("list_id"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
         "x -> x.m)").as("centroid"))
@@ -467,17 +471,76 @@ object VectorSimilarity {
        |  len(list_filter(q, x -> x <> 0)) AS nnz
        |FROM qz ORDER BY vec_id""".stripMargin
 
+  /** Default IVF knobs for the registered q146. */
+  val IvfNlist = 16
+  val IvfIters = 3
+  val IvfNprobe = 4
+
+  /** q146: IVF approximate nearest neighbors as a REGISTERED,
+    * hash-verified query — the coarse-quantizer scale path beside
+    * q26's exact scan and q27's hyperplane LSH. The oracle replays
+    * the ENTIRE pipeline: the 3-iteration Lloyd coarse quantizer
+    * (shared generator with q40's oracle), the 6-dp-pinned list
+    * centroids, nprobe probe selection by exact dist², and the
+    * in-list cosine top-k — so quantizer drift, probe-rank ties, and
+    * ranking all gate, not just recall (SimilaritySpec keeps the
+    * recall-vs-exact check). */
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    ivfSearch(s, d, IvfNlist, IvfNprobe, TopK)
+
+  val annIvfSql: String = {
+    val dist2 = (a: String, b: String) =>
+      s"""list_sum(list_transform(generate_series(1, $Dim),
+         |          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+    s"""WITH ${graft.cluster.KMeans.lloydCtesSql(IvfNlist, IvfIters)},
+       |cents AS MATERIALIZED (
+       |  SELECT cid AS list_id, list(mn ORDER BY dim) AS cv FROM (
+       |    SELECT a.cid, g.dim,
+       |      floor(avg(a.vd[g.dim]) * 1e6 + 0.5) / 1e6 AS mn
+       |    FROM af a CROSS JOIN
+       |      (SELECT unnest(generate_series(1, $Dim)) AS dim) g
+       |    GROUP BY a.cid, g.dim) t GROUP BY cid),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, vd, cid AS list_id,
+       |    sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+       |  FROM af),
+       |q AS (SELECT vec_id AS qid, vd AS qv, nrm AS qn FROM n
+       |      WHERE $QueryPred),
+       |probes AS (
+       |  SELECT qid, qv, qn, list_id FROM (
+       |    SELECT q.qid, q.qv, q.qn, c.list_id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dist2("q.qv", "c.cv")} ASC, c.list_id ASC) AS pr
+       |    FROM q CROSS JOIN cents c) t WHERE pr <= $IvfNprobe),
+       |cand AS (
+       |  SELECT p.qid, n.vec_id AS nid,
+       |    floor(list_sum(list_transform(generate_series(1, $Dim),
+       |        i -> p.qv[i] * n.vd[i])) / (p.qn * n.nrm)
+       |      * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM probes p JOIN n ON n.list_id = p.list_id
+       |  WHERE n.vec_id <> p.qid)
+       |SELECT qid, rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+       |  FROM cand) r
+       |WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> (cosineTopK _),
     "q27_ann_lsh" -> (annHyperplaneLsh _),
     "q45_embed_neardup" -> (embedNearDup _),
     "q60_quantize_int8" -> (quantizeInt8 _),
-    "q94_semdedup" -> (semDedup _))
+    "q94_semdedup" -> (semDedup _),
+    "q146_ann_ivf" -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
     "q26_cosine_topk" -> cosineTopKSql,
     "q27_ann_lsh" -> annHyperplaneLshSql,
     "q45_embed_neardup" -> embedNearDupSql,
     "q60_quantize_int8" -> quantizeInt8Sql,
-    "q94_semdedup" -> semDedupSql)
+    "q94_semdedup" -> semDedupSql,
+    "q146_ann_ivf" -> annIvfSql)
 }
