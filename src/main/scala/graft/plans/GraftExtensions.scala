@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductExpr(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cos"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cos"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_cos takes two array<double> args")
+        CosineSimExpr(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dist2"),
       new ExpressionInfo(classOf[Dist2Expr].getName, "graft_dist2"),
       { args: Seq[Expression] =>

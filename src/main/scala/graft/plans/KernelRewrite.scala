@@ -15,6 +15,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *   aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, …)
   *     → graft_dist2(a, b)            ([[Dist2Expr]])
   *
+  * and — in a SECOND pass over the dot-rewritten tree — fuses the
+  * textbook cosine composition into the one-pass kernel:
+  *
+  *   graft_dot(a, b) / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b)))
+  *     → graft_cos(a, b)              ([[CosineSimExpr]])
+  *
+  * so a user writing full HOF cosine (three aggregate/zip_with passes
+  * over the pair) gets ONE fused loop. Bit-identical by construction:
+  * each of the three sums accumulates left-to-right independently
+  * inside the fused kernel, and √/÷ are single IEEE ops (see
+  * [[CosineSimExpr]]). The two passes are ordered so the HOF form,
+  * the three-kernel composition, and any mix of the two all converge
+  * to the same fused expression.
+  *
   * Why a rule: the engine's own queries call the kernels directly,
   * but a USER writing the textbook HOF form against this session gets
   * the interpreted HigherOrderFunction path — per-row array
@@ -81,10 +95,40 @@ object KernelRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))) → graft_cos(a,b).
+    * Runs AFTER the HOF pass, so it sees [[DotProductExpr]] children
+    * whether the user wrote kernels or HOFs. The norm factors may
+    * appear in either order; all three dots must reference the same
+    * two arrays (semantic equality — alias-safe). */
+  private def rewriteCos(div: Divide): Option[Expression] = div match {
+    case Divide(DotProductExpr(a, b), Multiply(p, q, _), _) =>
+      def normOf(e: Expression): Option[Expression] = e match {
+        case Sqrt(DotProductExpr(x, y)) if x.semanticEquals(y) => Some(x)
+        case _ => None
+      }
+      (normOf(p), normOf(q)) match {
+        case (Some(x), Some(y))
+          if (x.semanticEquals(a) && y.semanticEquals(b)) ||
+            (x.semanticEquals(b) && y.semanticEquals(a)) =>
+          Some(CosineSimExpr(a, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString("spark.graft.autoKernel", "false").toBoolean)
+    // lenient parse (ADVICE r8): only case-insensitive "true" enables
+    // the rule — a mis-set value like "1"/"yes" means OFF, never a
+    // planning failure for every query in the session
+    if (!conf.getConfString("spark.graft.autoKernel", "false")
+        .equalsIgnoreCase("true"))
       plan
-    else plan.transformAllExpressions {
-      case agg: ArrayAggregate => rewrite(agg).getOrElse(agg)
+    else {
+      val dots = plan.transformAllExpressions {
+        case agg: ArrayAggregate => rewrite(agg).getOrElse(agg)
+      }
+      dots.transformAllExpressions {
+        case d: Divide => rewriteCos(d).getOrElse(d)
+      }
     }
 }
