@@ -28,6 +28,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // same stance as Verify: bench what the gate verifies — the
+      // sessions this repo itself builds opt into the kernel rewrite
+      .config("spark.graft.autoKernel", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

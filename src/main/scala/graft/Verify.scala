@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the correctness gate runs WITH the native-kernel rewrite on:
+      // every oracle hash is therefore also a proof that the rule
+      // preserves results (it fuses q147's composition to graft_cos
+      // and must change nothing anywhere else)
+      .config("spark.graft.autoKernel", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -471,6 +471,43 @@ object VectorSimilarity {
        |  len(list_filter(q, x -> x <> 0)) AS nnz
        |FROM qz ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q147
+  /** q147: cosine similarity of consecutive embedding pairs, written
+    * deliberately in the TEXTBOOK three-kernel composition
+    * `graft_dot(a,b) / (sqrt(graft_dot(a,a)) · sqrt(graft_dot(b,b)))`
+    * — the form a user writes when they don't know the fused kernel
+    * exists. This is the registered, DuckDB-hash-gated host for the
+    * [[graft.plans.KernelRewrite]] cosine fuse: the Verify/Bench
+    * sessions run with `spark.graft.autoKernel=true`, so the driver's
+    * correctness gate executes this query THROUGH the rewrite (its
+    * optimized plan contains one fused [[graft.plans.CosineSimExpr]] —
+    * PlansSpec pins that) and the hash must equal the oracle's replay
+    * of the unfused arithmetic. A 1:1 self-join on (vec_id, vec_id+1):
+    * linear rows, equi-keyed, no window — the query is about the
+    * expression, not the join. */
+  def cosPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), expr(vdExpr).as("vd"))
+    val a = e.select(col("vec_id").as("vec_a"), col("vd").as("va"))
+    val b = e.select((col("vec_id") - 1).as("vec_a"), col("vd").as("vb"))
+    a.join(b, "vec_a")
+      .withColumn("cos", floor(expr(
+        "graft_dot(va, vb) / (sqrt(graft_dot(va, va)) * " +
+          "sqrt(graft_dot(vb, vb)))") * 1e6 + 0.5) / 1e6)
+      .select(col("vec_a"), (col("vec_a") + 1).as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"))
+  }
+
+  val cosPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, $vdSql AS vd FROM embeddings)
+       |SELECT a.vec_id AS vec_a, a.vec_id + 1 AS vec_b,
+       |  floor(list_sum(list_transform(generate_series(1, $Dim),
+       |      i -> a.vd[i] * b.vd[i]))
+       |    / (sqrt(list_sum(list_transform(a.vd, x -> x * x)))
+       |      * sqrt(list_sum(list_transform(b.vd, x -> x * x))))
+       |    * 1e6 + 0.5) / 1e6 AS cos
+       |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+       |ORDER BY vec_a""".stripMargin
+
   /** Default IVF knobs for the registered q146. */
   val IvfNlist = 16
   val IvfIters = 3
@@ -534,7 +571,8 @@ object VectorSimilarity {
     "q45_embed_neardup" -> (embedNearDup _),
     "q60_quantize_int8" -> (quantizeInt8 _),
     "q94_semdedup" -> (semDedup _),
-    "q146_ann_ivf" -> (annIvf _))
+    "q146_ann_ivf" -> (annIvf _),
+    "q147_cos_pairs" -> (cosPairs _))
 
   val oracle: Map[String, String] = Map(
     "q26_cosine_topk" -> cosineTopKSql,
@@ -542,5 +580,6 @@ object VectorSimilarity {
     "q45_embed_neardup" -> embedNearDupSql,
     "q60_quantize_int8" -> quantizeInt8Sql,
     "q94_semdedup" -> semDedupSql,
-    "q146_ann_ivf" -> annIvfSql)
+    "q146_ann_ivf" -> annIvfSql,
+    "q147_cos_pairs" -> cosPairsSql)
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Divide, EvalMode, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
@@ -90,6 +90,19 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raises engine-native runtime errors from kernel code. The error
+  * builders (`QueryExecutionErrors`) are `private[sql]`, so the ANSI
+  * DIVIDE_BY_ZERO is raised by evaluating a real ANSI `Divide(1, 0)` —
+  * the thrown class, error condition, and message are the engine's own
+  * on any Spark version, by construction. */
+object KernelErrors {
+  def divideByZero(): Nothing = {
+    Divide(Literal(1.0, DoubleType), Literal(0.0, DoubleType),
+      EvalMode.ANSI).eval(null)
+    throw new IllegalStateException("ANSI Divide(1, 0) did not throw")
+  }
+}
+
 /** `graft_cos(array<double>, array<double>)` → double: cosine
   * similarity Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²) in ONE pass over the pair —
   * bit-identical to the three-kernel composition
@@ -97,9 +110,17 @@ case class DotProductExpr(left: Expression, right: Expression)
   * (each accumulator sums left-to-right independently, √ and the
   * final divide are IEEE-correctly-rounded single ops), and therefore
   * to the HOF form too. Length mismatch → NULL (HOF parity, see
-  * [[DotProductExpr]]); zero-norm input divides to NaN/±Inf exactly
-  * like the composition would. */
-case class CosineSimExpr(left: Expression, right: Expression)
+  * [[DotProductExpr]]). A ZERO norm product replicates Spark's own
+  * `Divide` semantics — NOT IEEE NaN: under ANSI mode the division
+  * throws DIVIDE_BY_ZERO, under legacy mode it yields NULL. Anything
+  * else would let the [[KernelRewrite]] cosine fuse change error
+  * behavior on zero/empty vectors (caught by PlansSpec's zero-norm
+  * case when this kernel briefly returned NaN). `failOnError` is
+  * captured from the session at construction, exactly like Divide's
+  * evalMode. */
+case class CosineSimExpr(left: Expression, right: Expression,
+    failOnError: Boolean =
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -124,7 +145,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) {
+      if (failOnError) KernelErrors.divideByZero()
+      null
+    } else dot / den
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
@@ -136,6 +161,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
     val nb = ctx.freshName("nb")
     val x = ctx.freshName("x")
     val y = ctx.freshName("y")
+    val den = ctx.freshName("den")
+    // Divide-parity zero check (see class doc): ANSI throws the engine's
+    // own DIVIDE_BY_ZERO, legacy yields NULL
+    val onZero =
+      if (failOnError) "graft.plans.KernelErrors.divideByZero();"
+      else s"${ev.isNull} = true;"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |int $n = $a.numElements();
@@ -148,8 +179,13 @@ case class CosineSimExpr(left: Expression, right: Expression)
          |    double $y = $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na)
-         |    * java.lang.Math.sqrt($nb));
+         |  double $den = java.lang.Math.sqrt($na)
+         |    * java.lang.Math.sqrt($nb);
+         |  if ($den == 0.0) {
+         |    $onZero
+         |  } else {
+         |    ${ev.value} = $dot / $den;
+         |  }
          |}
        """.stripMargin
     })

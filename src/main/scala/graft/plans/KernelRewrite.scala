@@ -36,11 +36,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * cost q45 403 s at sf0.1 before the kernels existed. With the rule
   * on, the declarative form and the fast form are the same query.
   *
-  * Safety: fires only when BOTH array types are `array<double>` with
-  * `containsNull = false` — the kernels read elements unchecked, while
-  * the HOF form null-propagates per element, so a nullable-element
-  * array must keep the HOF semantics. Ragged inputs agree (both
-  * yield NULL) and empty inputs agree (both yield the 0.0 zero).
+  * Safety: the HOF pass fires only when BOTH array types are
+  * `array<double>` with `containsNull = false` — the kernels read
+  * elements unchecked, while the HOF form null-propagates per
+  * element, so a nullable-element array must keep the HOF semantics.
+  * Ragged inputs agree (both yield NULL) and empty inputs agree (both
+  * yield the 0.0 zero). The cosine fuse needs no such guard: it fires
+  * on ANY [[DotProductExpr]] composition regardless of element
+  * nullability, because it replaces kernel reads with the identical
+  * fused kernel read — like-for-like, whatever the user's arrays are.
   * OFF by default (`spark.graft.autoKernel=false`): every existing
   * plan — including the PlansSpec HOF-vs-native equality baselines —
   * is byte-identical unless a session opts in.
@@ -116,12 +120,23 @@ object KernelRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    // lenient parse (ADVICE r8): only case-insensitive "true" enables
-    // the rule — a mis-set value like "1"/"yes" means OFF, never a
-    // planning failure for every query in the session
-    if (!conf.getConfString("spark.graft.autoKernel", "false")
-        .equalsIgnoreCase("true"))
+  /** One-time signal for a mis-set conf value (ADVICE r9): lenient
+    * parse means "1"/"yes" silently stay OFF — warn once so a user who
+    * believes they opted in gets a breadcrumb instead of silence. */
+  private val warnedValues =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // lenient parse (ADVICE r8): only case-insensitive "true" (after
+    // trimming) enables the rule — a mis-set value like "1"/"yes"
+    // means OFF, never a planning failure for every query in the
+    // session. A value that is neither true nor false logs one warning.
+    val raw = conf.getConfString("spark.graft.autoKernel", "false").trim
+    if (!raw.equalsIgnoreCase("true") && !raw.equalsIgnoreCase("false")
+        && warnedValues.add(raw))
+      logWarning(s"spark.graft.autoKernel='$raw' is neither 'true' nor " +
+        "'false'; treating as OFF (native-kernel rewrite disabled)")
+    if (!raw.equalsIgnoreCase("true"))
       plan
     else {
       val dots = plan.transformAllExpressions {
@@ -131,4 +146,5 @@ object KernelRewrite extends Rule[LogicalPlan] {
         case d: Divide => rewriteCos(d).getOrElse(d)
       }
     }
+  }
 }

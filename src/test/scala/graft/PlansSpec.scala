@@ -240,6 +240,136 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.autoKernel", "false")
   }
 
+  test("graft_cos equals the three-kernel composition bit-for-bit, " +
+      "on codegen AND interpreted paths, incl. ragged and zero-norm") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors (no Math.random in tests:
+    // a failure must reproduce) spanning sign mixes and magnitudes
+    def v(seed: Long, n: Int): Seq[Double] =
+      (0 until n).map(i => TestUtil.det01(seed * 1000 + i) * 20 - 10)
+    val rows = (1L to 40L).map(s => (s, v(s, 16), v(s + 500, 16)))
+    val df = rows.toDF("id", "a", "b")
+    val comp = "graft_dot(a, b) / (sqrt(graft_dot(a, a)) * " +
+      "sqrt(graft_dot(b, b)))"
+    def run(): Seq[(Long, Any, Any)] =
+      df.select(col("id"), expr("graft_cos(a, b)").as("f"),
+        expr(comp).as("c")).collect().toSeq
+        .map(r => (r.getLong(0), r.get(1), r.get(2)))
+    def check(got: Seq[(Long, Any, Any)]): Unit = got.foreach {
+      case (id, f: java.lang.Double, c: java.lang.Double) =>
+        // bit-level equality: NaN == NaN, -0.0 != 0.0
+        assert(java.lang.Double.doubleToLongBits(f) ==
+          java.lang.Double.doubleToLongBits(c), s"id $id: $f vs $c")
+      case (id, f, c) => fail(s"id $id: non-double $f / $c")
+    }
+    check(run())
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check(run())
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // ragged input → NULL, like every array kernel (HOF parity)
+    val ragged = Seq((1L, Seq(1.0, 2.0), Seq(1.0))).toDF("id", "a", "b")
+      .select(expr("graft_cos(a, b)").as("v")).collect()
+    assert(ragged.head.isNullAt(0))
+    // ZERO norm must replicate Divide, not IEEE: ANSI (the session
+    // default) throws DIVIDE_BY_ZERO on BOTH forms; legacy mode yields
+    // NULL on both. This is exactly what licenses the cosine fuse to
+    // substitute one for the other.
+    val degenerate = Seq(
+      (98L, Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),
+      (99L, Seq.empty[Double], Seq.empty[Double]))
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "test assumes the session default is ANSI")
+    Seq("graft_cos(a, b)", comp).foreach { form =>
+      val ex = intercept[Exception] {
+        degenerate.toDF("id", "a", "b").select(expr(form)).collect()
+      }
+      def zeroDiv(t: Throwable): Boolean = t != null &&
+        (t.getMessage != null && t.getMessage.contains("DIVIDE_BY_ZERO")
+          || zeroDiv(t.getCause))
+      assert(zeroDiv(ex), s"$form on zero norm: wanted DIVIDE_BY_ZERO, " +
+        s"got $ex")
+    }
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val legacy = degenerate.toDF("id", "a", "b")
+        .select(expr("graft_cos(a, b)").as("f"), expr(comp).as("c"))
+        .collect()
+      legacy.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1),
+        s"legacy zero-norm must be NULL on both forms: $r"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("KernelRewrite fuses cosine: fires on the kernel composition, " +
+      "the full HOF form, and swapped norm order; inert when off") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.5, -2.0, 3.25), Seq(4.0, 0.5, -1.0)),
+      (2L, Seq(0.25, 0.5), Seq(0.5, 0.25)))
+      .toDF("id", "a", "b")
+      .repartition(2) // keep ConvertToLocalRelation from pre-folding
+    def hofDot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (s, v) -> s + v)"
+    val forms = Map(
+      "kernel composition" -> ("graft_dot(a, b) / (sqrt(graft_dot(a, a))" +
+        " * sqrt(graft_dot(b, b)))"),
+      "full HOF cosine" -> (s"${hofDot("a", "b")} / " +
+        s"(sqrt(${hofDot("a", "a")}) * sqrt(${hofDot("b", "b")}))"),
+      "swapped norm order" -> ("graft_dot(a, b) / (sqrt(graft_dot(b, b))" +
+        " * sqrt(graft_dot(a, a)))"))
+    forms.foreach { case (label, form) =>
+      // queryExecution is lazily CACHED per DataFrame — build a fresh
+      // frame per conf mode or the off-plan replays the on-plan
+      def q = df.select(col("id"), expr(form).as("c"))
+      spark.conf.set("spark.graft.autoKernel", "true")
+      val (onPlan, onRows) =
+        try {
+          val d = q
+          (d.queryExecution.optimizedPlan.toString,
+            d.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+        } finally spark.conf.set("spark.graft.autoKernel", "false")
+      val (offPlan, offRows) = {
+        val d = q
+        (d.queryExecution.optimizedPlan.toString,
+          d.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      }
+      assert(!offPlan.contains("graft_cos"), s"$label: inert-off violated")
+      assert(onPlan.contains("graft_cos"),
+        s"$label: cosine fuse did not fire:\n$onPlan")
+      // exactly ONE fused kernel — the three dots must all be consumed
+      assert(!onPlan.contains("graft_dot"),
+        s"$label: unfused graft_dot survived:\n$onPlan")
+      assert(onRows == offRows, s"$label: rewrite changed results")
+    }
+    // mismatched arrays across the three dots must NOT fuse
+    val q = df.select(expr("graft_dot(a, b) / (sqrt(graft_dot(a, a)) * " +
+      "sqrt(graft_dot(a, a)))").as("c"))
+    spark.conf.set("spark.graft.autoKernel", "true")
+    try assert(!q.queryExecution.optimizedPlan.toString.contains("graft_cos"),
+      "fused a composition whose norms are not the pair's norms")
+    finally spark.conf.set("spark.graft.autoKernel", "false")
+  }
+
+  test("q147 runs UNDER the rewrite: optimized plan holds one fused " +
+      "graft_cos and results equal the rule-off run") {
+    val fn = SparkEntry.queries("q147_cos_pairs")
+    spark.conf.set("spark.graft.autoKernel", "true")
+    val (onPlan, onRows) =
+      try {
+        val d = fn(spark, sfDir)
+        (d.queryExecution.optimizedPlan.toString, d.collect().toSeq)
+      } finally spark.conf.set("spark.graft.autoKernel", "false")
+    val offRows = fn(spark, sfDir).collect().toSeq
+    assert(onPlan.contains("graft_cos") && !onPlan.contains("graft_dot"),
+      s"q147 did not fuse under autoKernel=true:\n$onPlan")
+    assert(onRows == offRows,
+      "q147 results differ between fused and unfused plans")
+    assert(onRows.nonEmpty)
+  }
+
   test("every partition-less Window in every registered plan consumes " +
       "a summary-sized (aggregated/limited) input") {
     // A WindowExec with no partition key moves ALL rows to one
