@@ -14,7 +14,7 @@ object Bench {
     * session pays (the artifact reuse IS the design; the first
     * querying pass pays the build). */
   private def dropCheckpoints(spark: SparkSession): Unit = {
-    val keep = Memo.liveIds
+    val keep = Memo.liveIds(spark)
     spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !keep(id) }
       .values.foreach(_.unpersist(blocking = false))
@@ -173,7 +173,15 @@ object Bench {
       spreadOf(n) > SpreadThresh }
     val sampleCounts = names.map { case (n, _) =>
       samples.getOrElse(n, Nil).size }
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
+    // Shared-artifact build cost (ADVICE r9): min-of-samples hides the
+    // Memo build inside discarded first samples — surface it so
+    // q87/q89/q92 totals stay comparable across memo changes. Keyed by
+    // artifact (rec_ui/rec_cf/rec_cn), timed-SF entries only.
+    val memoSec = Memo.buildSeconds(spark).toSeq.collect {
+      case (k, v) if k.startsWith(s"$sfDir#") =>
+        s"\"${k.substring(sfDir.length + 1)}\":${r3(v)}"
+    }.sorted.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
     // The driver's tail capture clipped the FRONT of the full line in
     // round 6 (17 of 85 per-query timings lost) — persist the complete
     // per-query map as its own artifact so it survives any stdout

@@ -1,10 +1,11 @@
 package graft
 
-import scala.collection.mutable
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Session-scoped cache of shared query artifacts, keyed on (session,
-  * dataset path, artifact name).
+/** Session-scoped cache of shared query artifacts, keyed on (context
+  * identity, dataset path, artifact name).
   *
   * Why this exists: the recommender family deliberately composes —
   * q92 (hybrid) = q87's CF top-k ⊕ q89's content top-k — so a session
@@ -16,6 +17,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * an artifact builds and localCheckpoints it, later queries get the
   * checkpointed frame back — their plans show one ExistingRDD scan
   * per shared artifact instead of a rebuild.
+  *
+  * Lifecycle (ADVICE r9): entries are keyed on the owning context's
+  * `(applicationId, startTime)` — NOT `identityHashCode`, whose values
+  * (and whose persisted-RDD ids) can alias across a stop/restart.
+  * Every lookup first drops entries from any other context identity:
+  * a restarted context therefore never sees a stale frame, and the
+  * dead entries' RDD ids leave [[liveIds]] so they cannot shadow the
+  * new context's recycled ids in a hygiene sweep.
+  *
+  * Concurrency (ADVICE r9): one lazily-built cell per key — builds of
+  * the SAME artifact serialize on their cell (concurrent warmup
+  * threads get one build, not eight), builds of DISTINCT artifacts
+  * proceed in parallel (the old implementation held one global
+  * monitor across the whole build).
   *
   * Scale stance: only DIMENSION-sized artifacts belong here (top-k
   * frames, item×M neighbor tables, the capped ui matrix — all bounded
@@ -30,37 +45,105 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Memo {
 
-  private val entries = mutable.Map[(Int, String), DataFrame]()
-  private val owned = mutable.Set[Int]()
+  private case class Key(app: String, start: Long, name: String)
 
-  /** Get-or-build the artifact `name` for dataset dir `d`. The builder
-    * runs under the memo lock (builds of the same artifact serialize;
-    * concurrent warmup threads get one build, not eight). All RDDs the
-    * build persists (the final localCheckpoint plus any intermediate
-    * checkpoints inside the builder) are recorded as memo-owned so
-    * hygiene sweeps keep them alive. */
-  def of(s: SparkSession, d: String, name: String)
-      (build: => DataFrame): DataFrame = synchronized {
-    val key = (System.identityHashCode(s.sparkContext), s"$d#$name")
-    entries.getOrElseUpdate(key, {
-      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val df = build.localCheckpoint()
-      owned ++= s.sparkContext.getPersistentRDDs.keySet
-        .filterNot(before)
-      df
-    })
+  /** Built artifact: the checkpointed frame, the RDD ids its build
+    * persisted (the final localCheckpoint plus any intermediate
+    * checkpoints inside the builder — kept alive by hygiene sweeps),
+    * and what the build cost (surfaced by Bench as memo_build_sec). */
+  private case class Entry(df: DataFrame, owned: Set[Int],
+      buildSec: Double)
+
+  /** Per-key build cell: `lazy val` gives per-CELL locking — same
+    * artifact builds once, distinct artifacts don't serialize. The
+    * owned-id set is the persisted-RDD diff around the build; a
+    * concurrent build's ids can land in both diffs, which only means
+    * both entries keep them alive — over-retention, never loss. */
+  private final class Cell(s: SparkSession, build: () => DataFrame,
+      pre: Option[Entry] = None) {
+    /** Completed entry, or null while un-built / building — lets
+      * [[liveIds]]/[[buildSeconds]] PEEK without forcing (a hygiene
+      * sweep must neither trigger a build nor block behind one). */
+    @volatile var built: Entry = pre.orNull
+    lazy val entry: Entry = pre.getOrElse {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val t0 = System.nanoTime()
+      val df = build().localCheckpoint()
+      val owned = sc.getPersistentRDDs.keySet.toSet -- before
+      val e = Entry(df, owned, (System.nanoTime() - t0) / 1e9)
+      built = e
+      e
+    }
   }
 
-  /** RDD ids that back live memo entries — exclude these from any
-    * bulk unpersist. */
-  def liveIds: Set[Int] = synchronized { owned.toSet }
+  private val entries = new ConcurrentHashMap[Key, Cell]()
+
+  private def contextKey(s: SparkSession): (String, Long) =
+    (s.sparkContext.applicationId, s.sparkContext.startTime)
+
+  /** Drop every entry owned by a context OTHER than `s`'s (one
+    * SparkContext lives per JVM, so any non-matching entry is dead).
+    * No unpersist: the dead context's blocks died with it. */
+  private def evictDead(s: SparkSession): Unit = {
+    val (app, start) = contextKey(s)
+    entries.keySet.asScala
+      .filter(k => k.app != app || k.start != start)
+      .foreach(entries.remove)
+  }
+
+  /** Get-or-build the artifact `name` for dataset dir `d`. */
+  def of(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    evictDead(s)
+    val (app, start) = contextKey(s)
+    val cell = entries.computeIfAbsent(Key(app, start, s"$d#$name"),
+      _ => new Cell(s, () => build))
+    cell.entry.df
+  }
+
+  /** RDD ids that back live memo entries of `s`'s context — exclude
+    * these from any bulk unpersist. Evicts dead-context entries first
+    * so a recycled RDD id can never hide behind a stale one. */
+  def liveIds(s: SparkSession): Set[Int] = {
+    evictDead(s)
+    entries.values.asScala.flatMap(c => Option(c.built))
+      .flatMap(_.owned).toSet
+  }
+
+  /** Seconds each BUILT artifact of `s`'s context cost, keyed
+    * "dir#name" — Bench reports these so the shared-artifact build
+    * cost is visible next to the warm per-query timings. */
+  def buildSeconds(s: SparkSession): Map[String, Double] = {
+    evictDead(s)
+    entries.asScala.flatMap { case (k, c) =>
+      Option(c.built).map(e => k.name -> e.buildSec) }.toMap
+  }
 
   /** Drop every memo entry and unpersist its blocks (test hygiene). */
-  def clear(s: SparkSession): Unit = synchronized {
+  def clear(s: SparkSession): Unit = {
+    evictDead(s)
+    val owned = entries.values.asScala.flatMap(c => Option(c.built))
+      .flatMap(_.owned).toSet
     s.sparkContext.getPersistentRDDs
       .filter { case (id, _) => owned(id) }
       .values.foreach(_.unpersist(blocking = false))
     entries.clear()
-    owned.clear()
   }
+
+  /** TEST SEAM: register a fake entry under an arbitrary context
+    * identity, as if a PREVIOUS (now-restarted) context had built it —
+    * lets MemoSpec prove the eviction/no-stale-alias invariants
+    * without stopping the suite's shared SparkContext (one context
+    * lives per JVM; a real stop would kill every later suite). */
+  private[graft] def injectForTest(app: String, start: Long,
+      name: String, df: DataFrame, owned: Set[Int]): Unit = {
+    entries.put(Key(app, start, name),
+      new Cell(null, () => df, Some(Entry(df, owned, 0.0))))
+  }
+
+  /** TEST SEAM: whether an entry exists for the given identity. */
+  private[graft] def containsForTest(app: String, start: Long,
+      name: String): Boolean =
+    entries.containsKey(Key(app, start, name))
 }

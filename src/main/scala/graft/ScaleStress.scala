@@ -140,7 +140,7 @@ object ScaleStress {
         SparkEntry.queries("q97_kcore")(spark, d)))
 
     def hygiene(): Unit = {
-      val keep = Memo.liveIds
+      val keep = Memo.liveIds(spark)
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => !keep(id) }
         .values.foreach(_.unpersist(blocking = false))

@@ -375,31 +375,59 @@ object GirvanNewman {
     * whose fingerprint matches no golden errors loudly instead of
     * diffing against the wrong constant (same posture as q37's
     * BFS-cap guard); regenerate with the tool to admit a new SF. */
-  lazy val gnCommunitiesSql: Option[String] = {
-    val res = getClass.getResourceAsStream("/graft/gn_golden.txt")
-    if (res == null) None
-    else {
-      val lines = scala.io.Source.fromInputStream(res, "UTF-8")
-        .getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-        .toSeq
-      // format: "G <n_edges> <xor>" opens a group; "R <community>
-      // <csize> <best_q>" rows belong to the open group
+  def gnCommunitiesSql: Option[String] = {
+    // Merge BOTH copies of the golden, freshest last (ADVICE r9): the
+    // compiled classpath resource is what a packaged jar ships, but a
+    // GoldenRefreshSpec regeneration writes the SOURCE-TREE file — a
+    // same-run refresh+verify must agree without a recompile, so any
+    // source-tree group overrides its classpath twin (fingerprint
+    // keyed; a refresh only ever adds/replaces whole groups). A `def`,
+    // not a `lazy val`: a refresh earlier in the same JVM run must be
+    // visible to every later oracle read.
+    val cpLines = Option(getClass.getResourceAsStream("/graft/gn_golden.txt"))
+      .map(r => scala.io.Source.fromInputStream(r, "UTF-8").getLines().toSeq)
+      .getOrElse(Seq.empty)
+    val srcPath = java.nio.file.Paths.get(
+      "src", "main", "resources", "graft", "gn_golden.txt")
+    val srcLines =
+      if (java.nio.file.Files.exists(srcPath))
+        scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(srcPath)).asScala
+          .toSeq
+      else Seq.empty
+    // format: "G <n_edges> <xor>" opens a group; "R <community>
+    // <csize> <best_q>" rows belong to the open group
+    def groups(lines: Seq[String]): Seq[((String, String), Seq[String])] = {
       var fp: (String, String) = null
-      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-      lines.foreach { l =>
-        val p = l.split("\\s+")
-        p(0) match {
-          case "G" => fp = (p(1), p(2))
-          case "R" =>
-            rows += s"(CAST(${fp._1} AS BIGINT), CAST(${fp._2} AS BIGINT), " +
-              s"CAST(${p(1)} AS BIGINT), CAST(${p(2)} AS BIGINT), " +
-              s"CAST(${p(3)} AS DOUBLE))"
-          case other =>
-            throw new IllegalStateException(s"gn_golden.txt: bad tag $other")
+      val out = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), scala.collection.mutable.ArrayBuffer[String]]
+      lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .foreach { l =>
+          val p = l.split("\\s+")
+          p(0) match {
+            case "G" =>
+              fp = (p(1), p(2))
+              out.getOrElseUpdate(fp,
+                scala.collection.mutable.ArrayBuffer.empty)
+            case "R" =>
+              out(fp) += s"(CAST(${fp._1} AS BIGINT), " +
+                s"CAST(${fp._2} AS BIGINT), " +
+                s"CAST(${p(1)} AS BIGINT), CAST(${p(2)} AS BIGINT), " +
+                s"CAST(${p(3)} AS DOUBLE))"
+            case other =>
+              throw new IllegalStateException(s"gn_golden.txt: bad tag $other")
+          }
         }
-      }
-      if (rows.isEmpty) None
-      else Some(
+      out.toSeq.map { case (k, v) => k -> v.toSeq }
+    }
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Seq[String]]
+    (groups(cpLines) ++ groups(srcLines)).foreach { case (k, v) =>
+      merged(k) = v // source tree parsed second → wins on collision
+    }
+    val rows = merged.values.flatten.toSeq
+    if (rows.isEmpty) None
+    else Some(
         s"""WITH ${Graphs.edgesSql(Some(GnNations), GnThreshold)},
            |fp AS (SELECT count(*) AS n, coalesce(bit_xor(
            |    ${graft.functions.Hashing.h60Sql("concat_ws(',', src, dst)")}
@@ -416,7 +444,6 @@ object GirvanNewman {
            |FROM golden g, fp, guard
            |WHERE g.gn = fp.n AND g.gx = fp.x
            |ORDER BY g.csize DESC, g.community ASC""".stripMargin)
-    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,8 +452,10 @@ object GirvanNewman {
 
   /** q37 replays Brandes in unrolled SQL; q38 compares against the
     * independently-generated golden partition (fingerprint-dispatched);
-    * GraphSpec additionally holds the loop's structural goldens. */
-  val oracle: Map[String, String] =
+    * GraphSpec additionally holds the loop's structural goldens. A
+    * `def`: the q38 oracle must re-read the golden so a same-run
+    * refresh is visible (see [[gnCommunitiesSql]]). */
+  def oracle: Map[String, String] =
     Map("q37_betweenness" -> betweennessTopSql) ++
       gnCommunitiesSql.map("q38_gn_communities" -> _)
 }

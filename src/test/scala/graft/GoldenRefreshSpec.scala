@@ -57,6 +57,33 @@ class GoldenRefreshSpec extends AnyFunSuite {
     } finally Files.deleteIfExists(tmp)
   }
 
+  test("a source-tree refresh is visible to the q38 oracle in the SAME " +
+      "run, without a recompile") {
+    // the oracle used to read only the COMPILED classpath resource, so
+    // a refresh and its verify disagreed until the next sbt compile
+    // (ADVICE r9); it now merges the source-tree file over the
+    // classpath copy on every read
+    val before = Files.readAllBytes(resource)
+    try {
+      // a fingerprint no real testdata can produce (synthetic ids)
+      val edges: Seq[(Long, Long)] =
+        Seq((900001L, 900002L), (900002L, 900003L))
+      val fp = GirvanNewman.edgeFingerprint(edges)
+      assert(!GirvanNewman.gnCommunitiesSql.get.contains(
+        s"(CAST(${fp._1} AS BIGINT), CAST(${fp._2} AS BIGINT)"),
+        "test fingerprint must start absent")
+      GirvanNewman.refreshGolden(edges, resource)
+      val sql = GirvanNewman.gnCommunitiesSql.get
+      assert(sql.contains(
+        s"(CAST(${fp._1} AS BIGINT), CAST(${fp._2} AS BIGINT)"),
+        "refreshed source-tree group is not visible to the oracle " +
+          "within the same JVM run")
+      // and the oracle map re-reads too (it must not be a cached val)
+      assert(SparkEntry.oracleSql("q38_gn_communities").contains(
+        s"(CAST(${fp._1} AS BIGINT), CAST(${fp._2} AS BIGINT)"))
+    } finally Files.write(resource, before)
+  }
+
   test("shipped golden covers every testdata SF (regenerates on miss)" +
       " and the replay agrees with the engine at each") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
