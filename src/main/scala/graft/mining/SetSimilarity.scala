@@ -555,16 +555,29 @@ object SetSimilarity {
     * Multi-band hits are deduped within the watermark when `incoming`
     * is a stream (needs a `ts` column), or exactly in batch.
     * Output: (doc_a incoming, dup_of reference, jaccard). */
+  /** Below this many REFERENCE-CORPUS docs, [[screenAgainstIndex]]
+    * broadcasts its static index tables into the stream-static joins.
+    * Why it matters: the index frames are localCheckpointed (ExistingRDD
+    * scans with no stats), so without the hint Spark plans sort-merge
+    * joins that RE-EXCHANGE AND RE-SORT the static index on every
+    * micro-batch — measured 1.7–10k rows/s on the r9 STREAMBENCH vs 90k+
+    * for the sibling streams. Broadcast turns both probes map-side.
+    * At threshold size the payload is ~150 MB (sigs + shingle arrays);
+    * a larger index keeps the shuffle plan, which is the correct shape
+    * when the index itself is corpus-scale. Override per session with
+    * `spark.graft.screenBroadcastDocs`. */
+  val ScreenBroadcastDocsDefault = 200000L
+
   def screenAgainstIndex(incoming: DataFrame, corpus: DataFrame,
       watermark: String = "1 hour"): DataFrame = {
     // the band table carries only the 32-long signature through the ×8
     // explode; the (heavy) shingle arrays stay in a separate static
     // table joined AFTER the sig-agreement filter — an 8× storage
     // amplification of the whole reference index otherwise
-    val idxSh = shingleSetsOf(corpus)
+    val idxSh0 = shingleSetsOf(corpus)
       .select(col("doc_id").as("dup_of"), col("ts").as("sh_b"))
       .localCheckpoint()
-    val idxBands = shingleSetsOf(corpus)
+    val idxBands0 = shingleSetsOf(corpus)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .withColumn("sig", expr("graft_minhash(xs)"))
@@ -573,6 +586,15 @@ object SetSimilarity {
       .select(col("dup_of"), col("sig_b"),
         col("b.band").as("band"), col("b.key").as("key"))
       .localCheckpoint()
+    // index is already materialized — one cheap count decides the plan
+    // (an AQE-style runtime choice the checkpointed frames' missing
+    // stats would otherwise forfeit)
+    val bcastDocs = incoming.sparkSession.conf
+      .getOption("spark.graft.screenBroadcastDocs")
+      .map(_.toLong).getOrElse(ScreenBroadcastDocsDefault)
+    val small = idxSh0.count() <= bcastDocs
+    val idxSh = if (small) broadcast(idxSh0) else idxSh0
+    val idxBands = if (small) broadcast(idxBands0) else idxBands0
     val hasTs = incoming.columns.contains("ts")
     val tsCols = if (hasTs) Seq(col("ts")) else Seq.empty
     val inFeat = incoming
@@ -588,9 +610,24 @@ object SetSimilarity {
       .select(Seq(col("doc_id").as("doc_a"), col("sh_a"),
         col("sig").as("sig_a"), col("b.band").as("band"),
         col("b.key").as("key")) ++ tsCols: _*)
+    // a pair whose signatures agree on k bands arrives k times (≤8)
+    // from the band join; each copy would pay the eqcount + shingle
+    // verify and feed a row into the dedup state. Keep only the copy
+    // whose join band is the FIRST band where the two sig slices
+    // agree — stateless, map-side, exactly one survivor per genuine
+    // pair (join band key equality ⟺ slice equality under the same
+    // collision-free-h60 premise the banded join itself rests on).
+    val firstAgreeBand = expr(
+      s"""try_element_at(filter(sequence(1, $ShingleBands),
+         |  b -> forall(sequence((b - 1) * $ShingleRows + 1,
+         |              b * $ShingleRows),
+         |    j -> element_at(sig_a, j) = element_at(sig_b, j))), 1)"""
+        .stripMargin)
     val hits = inFeat.join(idxBands, Seq("band", "key"))
       .filter(col("doc_a") =!= col("dup_of"))
+      // native kernel first (cheap, cuts most rows), HOF filter second
       .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $ShingleMinSigMatches"))
+      .filter(col("band") === firstAgreeBand)
       .join(idxSh, "dup_of") // static lookup, post-filter row set only
       .withColumn("inter", expr("graft_isize(sh_a, sh_b)"))
       .withColumn("j", col("inter").cast("double") /
