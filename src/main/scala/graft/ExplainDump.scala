@@ -91,12 +91,13 @@ object ExplainDump {
           "neighbor scoring -> shuffle anti-join on owned"),
       ("_content_build",
         "q89's underlying build (memo-free entry contentRecOn): " +
-          "class-aggregated scoring — profile joins the vocabulary-" +
-          "bounded class-feature table (broadcast), never the catalog-" +
-          "sized item-feature table; scoring volume is users x " +
-          "classes, constant in N; BoundedMinK item lists expand only " +
-          "for each user's top cap+k classes; WindowGroupLimit caps " +
-          "the final per-user rank"),
+          "per-user bounded aggregate — profile rows (<=3*cap per " +
+          "user) feed ONE typed Aggregator that scores against a " +
+          "broadcast vocabulary-bounded class index (top-F profile, " +
+          "un2, integer class dots, both cap+k cuts all inside the " +
+          "buffer), so no users x classes intermediate exists in the " +
+          "plan; then the owned anti-join and the final per-user rank " +
+          "WindowGroupLimit on k-per-user rows"),
       ("q105_attribution",
         "interval join planned as an EQUI hash join on user_id with " +
           "the time range as a residual filter — never a nested loop; " +

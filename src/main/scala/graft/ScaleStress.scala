@@ -4,38 +4,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** 10× scale stress of the recommender/dedup family (VERDICT r7 item 2):
-  * converts the code's WRITTEN scale arguments ("vocabulary-bounded
-  * class count", "candidate generation is bucketed, never all-pairs")
-  * into MEASUREMENTS, by synthesizing a ~10× sf0.1 dataset and running
-  * the heavy queries at both scales in one session.
+/** Multi-point scale stress of the recommender/dedup family (VERDICT
+  * r7 item 2; second point per VERDICT r9 item 4): converts the code's
+  * WRITTEN scale arguments ("vocabulary-bounded class count",
+  * "candidate generation is bucketed, never all-pairs") into
+  * MEASUREMENTS, by synthesizing N× sf0.1 datasets (default 10× and
+  * 30×) and running the heavy queries at every scale in one session.
+  * TWO points turn ratios into SLOPES: a growing constant flattens out
+  * (per-replica cost at 30× ≈ at 10×) while a hidden quadratic keeps
+  * steepening — one point cannot tell them apart.
   *
   * Scaling construction (REPLICAS disjoint copies, ids offset by
   * [[IdOffset]] per replica — preserves every per-entity distribution
   * while multiplying entity counts):
-  *  - orders/lineitem/part: keys offset → 10 disjoint interaction
-  *    graphs over a 10× catalog. Part ATTRIBUTES are kept verbatim, so
+  *  - orders/lineitem/part: keys offset → N disjoint interaction
+  *    graphs over an N× catalog. Part ATTRIBUTES are kept verbatim, so
   *    the feature vocabulary — and with it q89's class count — must
-  *    stay ~CONSTANT while the catalog grows 10×: exactly the claim
-  *    under test (Recommend.contentRecFromUi's scale note).
+  *    stay ~CONSTANT while the catalog grows N×: exactly the claim
+  *    under test (Recommend.contentTop's scale note).
   *  - documents: doc_id offset; every token suffixed "_r<k>" for
   *    replica k>0, so replicas share no shingles — within-replica
-  *    near-dup structure is preserved (dup pairs scale ×10, never
-  *    ×100 via cross-replica matches).
+  *    near-dup structure is preserved (dup pairs scale ×N, never
+  *    ×N² via cross-replica matches).
   *  - embeddings: vec_id offset, vectors verbatim. SemDeDup's knob is
-  *    k ∝ corpus (the paper's own scaling), so the 10× run uses 10×
+  *    k ∝ corpus (the paper's own scaling), so an N× run uses N×
   *    clusters — Σ(cluster)² = n²/k stays ∝ n.
   *
   * Timing: one untimed warm run of each query at sf0.1, then min-of-2
   * timed runs per scale, interleaved. Reported as SCALE.md. Memoized
-  * entry points are bypassed (the *On variants) so both scales pay
-  * their full build — this measures the ALGORITHMS, not the cache.
+  * entry points are bypassed (the *On variants) so every scale pays
+  * its full build — this measures the ALGORITHMS, not the cache.
   *
-  * Run: sbt "runMain graft.ScaleStress" (writes target/scale10 + SCALE.md).
+  * Run: sbt "runMain graft.ScaleStress" (writes target/scale<N> dirs +
+  * SCALE.md). SPARK_GRAFT_SCALE_FACTORS overrides the factors
+  * (comma-separated, e.g. "10,30").
   */
 object ScaleStress {
 
-  val Replicas = 10
   val IdOffset = 10000000L
 
   /** Replicate a frame `n`× with the given id columns offset per
@@ -47,9 +52,8 @@ object ScaleStress {
         d.withColumn(c, col(c) + lit(k * IdOffset)))
     }.reduce(_ unionByName _)
 
-  private def writeScaled(s: SparkSession, src: String, out: String)
-  : Unit = {
-    val n = Replicas
+  private def writeScaled(s: SparkSession, src: String, out: String,
+      n: Int): Unit = {
     replicate(orders(s, src), Seq("o_orderkey", "o_custkey"), n)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     replicate(lineitem(s, src), Seq("l_orderkey", "l_partkey"), n)
@@ -57,7 +61,7 @@ object ScaleStress {
     replicate(part(s, src), Seq("p_partkey"), n)
       .write.mode("overwrite").parquet(s"$out/part.parquet")
     // customers keep their nationkey, so the graph family's bounded
-    // nation-filtered subgraph grows 10x in nodes/edges — the linear
+    // nation-filtered subgraph grows N× in nodes/edges — the linear
     // test the iterative graph queries need
     replicate(customer(s, src), Seq("c_custkey"), n)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
@@ -83,7 +87,8 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,30")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,15 +100,19 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    System.err.println(s"[scale] synthesizing ${Replicas}x of $base → $out")
-    val tGen = System.nanoTime()
-    writeScaled(spark, base, out)
-    System.err.println(
-      f"[scale] synthesis done in ${(System.nanoTime() - tGen) / 1e9}%.0f s")
+    val dirs: Seq[(Int, String)] = factors.map(n => n -> s"target/scale$n")
+    dirs.foreach { case (n, out) =>
+      System.err.println(s"[scale] synthesizing ${n}x of $base → $out")
+      val tGen = System.nanoTime()
+      writeScaled(spark, base, out, n)
+      System.err.println(
+        f"[scale] synthesis done in ${(System.nanoTime() - tGen) / 1e9}%.0f s")
+    }
+    val factorOf: Map[String, Int] = dirs.map(_.swap).toMap
 
     import graft.mining.{Recommend, SetSimilarity, VectorSimilarity}
     import graft.cluster.KMeans
-    // memo-free entry points — both scales pay their full build
+    // memo-free entry points — every scale pays its full build
     val runs: Seq[(String, String => DataFrame)] = Seq(
       "q87_item_cf" -> ((d: String) => Recommend.itemCfOn(
         copurchases(spark, d), Recommend.UserItemCap, Recommend.CoMinUsers,
@@ -122,13 +131,13 @@ object ScaleStress {
         SetSimilarity.neardupLshOn(documents(spark, d))),
       "q58_shingle_neardup" -> ((d: String) =>
         SetSimilarity.shingleNeardupOn(documents(spark, d))),
-      // SemDeDup scales k ∝ corpus (the paper's own knob): 10× data →
-      // 10× clusters, keeping Σ(cluster)² = n²/k linear in n.
+      // SemDeDup scales k ∝ corpus (the paper's own knob): N× data →
+      // N× clusters, keeping Σ(cluster)² = n²/k linear in n.
       "q94_semdedup" -> ((d: String) => VectorSimilarity.semDedupOn(
         KMeans.points(spark, d),
-        if (d == out) KMeans.K * Replicas else KMeans.K,
+        KMeans.K * factorOf.getOrElse(d, 1),
         VectorSimilarity.SemDedupCos)),
-      // the iterative graph family on the 10× co-purchase subgraph
+      // the iterative graph family on the N× co-purchase subgraph
       // (edge-sized joins per round — the linearity claim under test)
       "q33_degree_hist" -> ((d: String) =>
         SparkEntry.queries("q33_degree_hist")(spark, d)),
@@ -157,54 +166,72 @@ object ScaleStress {
       try { fn(base).count(); hygiene() } catch { case _: Throwable => () }
       System.err.println(s"[scale] warm $n done")
     }
-    // interleaved min-of-2 per scale
-    val t1 = scala.collection.mutable.Map[String, (Double, Long)]()
-    val t10 = scala.collection.mutable.Map[String, (Double, Long)]()
-    for (pass <- 1 to 2; (name, fn) <- runs) {
-      val (sBase, rBase) = time(fn, base)
-      val (sBig, rBig) = time(fn, out)
-      def upd(m: scala.collection.mutable.Map[String, (Double, Long)],
-          v: (Double, Long)): Unit =
-        m(name) = if (!m.contains(name) || v._1 < m(name)._1) v else m(name)
-      upd(t1, (sBase, rBase)); upd(t10, (sBig, rBig))
+    // interleaved min-of-2 per scale point
+    val best = scala.collection.mutable
+      .Map[(String, String), (Double, Long)]()
+    val points: Seq[String] = base +: dirs.map(_._2)
+    for (pass <- 1 to 2; (name, fn) <- runs; d <- points) {
+      val (sec, rows) = time(fn, d)
+      val key = (name, d)
+      if (!best.contains(key) || sec < best(key)._1)
+        best(key) = (sec, rows)
       System.err.println(
-        f"[scale] p$pass $name: base $sBase%.1f s ($rBase rows), " +
-          f"${Replicas}x $sBig%.1f s ($rBig rows)")
+        f"[scale] p$pass $name @$d: $sec%.1f s ($rows rows)")
     }
 
-    // the vocabulary-bounded claim, measured
-    val classesBase = Recommend.itemClasses(
-      Recommend.contentFeats(part(spark, base)))
-      .select(col("ck")).distinct().count()
-    val classesBig = Recommend.itemClasses(
-      Recommend.contentFeats(part(spark, out)))
-      .select(col("ck")).distinct().count()
+    // the vocabulary-bounded claim, measured at every scale
+    val classCounts = points.map { d =>
+      d -> Recommend.itemClasses(
+        Recommend.contentFeats(part(spark, d)))
+        .select(col("ck")).distinct().count()
+    }
 
     val md = new StringBuilder
-    md ++= "# SCALE — measured 10× stress of the recommender/dedup family\n\n"
-    md ++= s"Synthesized `${Replicas}×` sf0.1 (construction: disjoint\n"
-    md ++= "id-offset replicas; part attributes verbatim → constant\n"
-    md ++= "feature vocabulary; per-replica token suffix on documents →\n"
-    md ++= "no cross-replica near-dups; SemDeDup runs k ∝ corpus).\n"
-    md ++= "Times are min-of-2, interleaved, one warmed session,\n"
-    md ++= s"local[$cpus]; memo-free entry points (the algorithms, not\n"
-    md ++= "the session cache). Regenerate: `sbt \"runMain graft.ScaleStress\"`.\n\n"
-    md ++= "| query | sf0.1 sec | 10× sec | time ratio | sf0.1 rows | 10× rows | row ratio |\n"
-    md ++= "|---|---|---|---|---|---|---|\n"
+    md ++= "# SCALE — measured multi-point stress of the recommender/" +
+      "dedup family\n\n"
+    md ++= s"Synthesized ${factors.mkString("×, ")}× copies of sf0.1\n"
+    md ++= "(construction: disjoint id-offset replicas; part attributes\n"
+    md ++= "verbatim → constant feature vocabulary; per-replica token\n"
+    md ++= "suffix on documents → no cross-replica near-dups; SemDeDup\n"
+    md ++= "runs k ∝ corpus). Times are min-of-2, interleaved, one\n"
+    md ++= s"warmed session, local[$cpus]; memo-free entry points (the\n"
+    md ++= "algorithms, not the session cache). Regenerate:\n"
+    md ++= "`sbt \"runMain graft.ScaleStress\"`.\n\n"
+    val fHdr = factors.map(n => s"${n}× sec | ${n}× ratio").mkString(" | ")
+    md ++= s"| query | sf0.1 sec | $fHdr | slope | sf0.1 rows | " +
+      s"${factors.map(n => s"${n}× rows").mkString(" | ")} |\n"
+    md ++= "|---" + "|---" * (2 + 2 * factors.size + factors.size) + "|\n"
     runs.foreach { case (name, _) =>
-      val (s1, r1) = t1(name); val (s10, r10) = t10(name)
-      md ++= f"| $name | $s1%.1f | $s10%.1f | ${s10 / s1}%.1f× " +
-        f"| $r1 | $r10 | ${r10.toDouble / math.max(r1, 1)}%.1f× |\n"
+      val (s1, r1) = best((name, base))
+      val fCols = factors.map { n =>
+        val (sN, _) = best((name, s"target/scale$n"))
+        f"$sN%.1f | ${sN / s1}%.1f×"
+      }.mkString(" | ")
+      // slope = per-replica cost at the LAST point / at the FIRST:
+      // (tN2/tN1)/(N2/N1). ≈1 → linear; ≫1 → super-linear tail.
+      val slope =
+        if (factors.size < 2) "n/a"
+        else {
+          val (sA, _) = best((name, s"target/scale${factors.head}"))
+          val (sB, _) = best((name, s"target/scale${factors.last}"))
+          f"${(sB / sA) / (factors.last.toDouble / factors.head)}%.2f"
+        }
+      val rCols = factors.map { n =>
+        best((name, s"target/scale$n"))._2.toString }.mkString(" | ")
+      md ++= f"| $name | $s1%.1f | $fCols | $slope | $r1 | $rCols |\n"
     }
-    md ++= f"\n**q89 content classes** (the vocabulary-bounded claim): " +
-      f"$classesBase at sf0.1 → $classesBig at 10× catalog " +
-      f"(${classesBig.toDouble / classesBase}%.2f×; linear-in-catalog " +
-      "would be 10×).\n\n"
-    md ++= "Reading: a time ratio ≲ " + s"${Replicas}× is linear-or-better" +
-      " (10× data on fixed cores costs ≥10× work if the algorithm is " +
-      "linear); super-linear ratios would flag a quadratic candidate " +
-      "stage. Row ratios confirm output structure scaled as designed " +
-      "(dup pairs ×10, recommendations ×10, one summary row stays 1).\n"
+    md ++= "\n**q89 content classes** (the vocabulary-bounded claim): " +
+      classCounts.map { case (d, c) => s"$c @ $d" }.mkString(", ") +
+      " — constant while the catalog grows " +
+      s"${factors.last}× (linear-in-catalog would be ${factors.last}×).\n\n"
+    md ++= "Reading: a time ratio ≲ the data factor is linear-or-better " +
+      "(N× data on fixed cores costs ≥N× work if the algorithm is " +
+      "linear); the SLOPE column is the per-replica cost of the last " +
+      "point relative to the first — ≈1 means the ratio is a constant " +
+      "plus linear work (the constant amortizes), sustained >1.5 would " +
+      "flag a super-linear candidate stage. Row ratios confirm output " +
+      "structure scaled as designed (dup pairs ×N, recommendations ×N, " +
+      "one summary row stays 1).\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
       md.toString.getBytes("UTF-8"))
     println(md.toString)

@@ -72,13 +72,15 @@ object Recommend {
   private def uiArtifact(s: SparkSession, d: String): DataFrame =
     graft.Memo.of(s, d, "rec_ui")(uiMatrix(copurchases(s, d), UserItemCap))
 
+  // the memoized artifacts are the UNORDERED tops: q87/q89 re-sort at
+  // their presentation edge and q92's fusion never needed the sort
   private def cfArtifact(s: SparkSession, d: String): DataFrame =
     graft.Memo.of(s, d, "rec_cf")(
-      itemCfFromUi(uiArtifact(s, d), CoMinUsers, NeighborTopM, RecK))
+      itemCfTop(uiArtifact(s, d), CoMinUsers, NeighborTopM, RecK))
 
   private def cnArtifact(s: SparkSession, d: String): DataFrame =
     graft.Memo.of(s, d, "rec_cn")(
-      contentRecFromUi(uiArtifact(s, d), part(s, d), UserItemCap,
+      contentTop(uiArtifact(s, d), part(s, d), UserItemCap,
         ProfileTopF, RecK))
 
   /** q87: top-[[RecK]] item recommendations per customer. */
@@ -132,8 +134,17 @@ object Recommend {
     itemCfFromUi(uiMatrix(interactions, cap), coMin, topM, k)
 
   /** q87's scoring over a PREBUILT (checkpointed) user-item matrix —
-    * the composition entry q92 uses so the matrix builds once. */
+    * the composition entry q92 uses so the matrix builds once. Ordered
+    * presentation form of [[itemCfTop]]. */
   def itemCfFromUi(ui: DataFrame, coMin: Int, topM: Int, k: Int)
+  : DataFrame =
+    itemCfTop(ui, coMin, topM, k).orderBy(col("custkey"), col("rec_rank"))
+
+  /** The UNORDERED CF top-k — what compositions consume: a global sort
+    * is presentation, not semantics, and an orderBy under q92's fusion
+    * join would buy a range exchange of the whole rec frame for
+    * nothing. */
+  private def itemCfTop(ui: DataFrame, coMin: Int, topM: Int, k: Int)
   : DataFrame = {
     val nbr = neighborTable(ui, coMin, topM)
     // score first, THEN drop owned: the (u, j) aggregate and the
@@ -156,7 +167,6 @@ object Recommend {
       .filter(col("rec_rank") <= k)
       .select(col("u").as("custkey"), col("rec_rank"),
         col("j").as("item"), col("score"))
-      .orderBy(col("custkey"), col("rec_rank"))
   }
 
   /** CombSUM weights for the hybrid blend — powers of two, so the
@@ -181,12 +191,15 @@ object Recommend {
   def hybridRec(s: SparkSession, d: String): DataFrame =
     fuse(cfArtifact(s, d), cnArtifact(s, d), RecK)
 
-  /** q92 over explicit inputs (no memo) — the scale-stress/test entry. */
+  /** q92 over explicit inputs (no memo) — the scale-stress/test entry.
+    * Feeds the UNORDERED arm tops into the fusion: the arms' global
+    * sorts are presentation-only and would otherwise range-exchange
+    * both full rec frames right under the fusion join. */
   def hybridRecOn(interactions: DataFrame, p: DataFrame, cap: Int,
       coMin: Int, topM: Int, profTopF: Int, k: Int): DataFrame = {
     val ui = uiMatrix(interactions, cap)
-    fuse(itemCfFromUi(ui, coMin, topM, k),
-      contentRecFromUi(ui, p, cap, profTopF, k), k)
+    fuse(itemCfTop(ui, coMin, topM, k),
+      contentTop(ui, p, cap, profTopF, k), k)
   }
 
   /** Weighted CombSUM fusion of two (custkey, rec_rank, item, score)
@@ -334,7 +347,100 @@ object Recommend {
     feats.groupBy(col("i"))
       .agg(concat_ws("|", sort_array(collect_list(col("f")))).as("ck"))
 
+  /** The vocabulary-bounded class index the per-user scorer reads:
+    * feature → classes containing it, and per class its feature count
+    * plus the (cap+k) smallest item ids (ascending — items(c)(0) is
+    * the class's min item). Driver-built and broadcast: EXACTLY the
+    * frames the previous plan shipped as three `broadcast(...)` join
+    * sides (classFeats/nfc/classItems), so the driver/executor
+    * footprint is unchanged — only the join mechanics moved into one
+    * aggregate. */
+  private[graft] case class ClassIndex(
+      fToClasses: Map[String, Array[Int]],
+      nf: Array[Long],
+      items: Array[Array[Long]])
+
+  /** Per-USER content scorer — one bounded typed aggregate replacing
+    * the users×classes shuffle chain (VERDICT r9 item 2: q89/q92 10×
+    * time ratios 6.8×/7.3× vs 2-3× siblings). The old plan aggregated
+    * (u, ck) dots (users × ~all-classes rows), joined un² back on u,
+    * and ranked TWO users×classes windows; at 10× users those three
+    * corpus-scale exchanges+sorts were the growing constant. A user's
+    * whole scoring problem is bounded — ≤[[ProfileTopF]] profile rows,
+    * vocabulary-many candidate classes, (cap+k) emitted candidates —
+    * so it fits in one aggregation buffer: reduce keeps the top-F
+    * profile (w desc, f asc — the former window's exact order), finish
+    * computes un², the per-class integer dots, the 6-dp floored scores,
+    * the (score desc, min-item asc) class cut and the (score desc,
+    * item asc) candidate cut, all arithmetic verbatim from the old
+    * column expressions, so the DuckDB oracle is unchanged. Shuffle
+    * volume drops from users×classes to users×3·cap profile rows. */
+  private final class ContentScoreAgg(
+      idx: org.apache.spark.broadcast.Broadcast[ClassIndex],
+      topF: Int, capK: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (String, Long), Seq[(String, Long)], Array[(Long, Double)]] {
+
+    private def ord: Ordering[(String, Long)] =
+      Ordering.by { case (f, w) => (-w, f) }
+
+    def zero: Seq[(String, Long)] = Seq.empty
+    def reduce(b: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] =
+      (b :+ x).sorted(ord).take(topF)
+    def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      (a ++ b).sorted(ord).take(topF)
+
+    def finish(pf: Seq[(String, Long)]): Array[(Long, Double)] = {
+      val ix = idx.value
+      var un2 = 0L
+      pf.foreach { case (_, w) => un2 += w * w }
+      // integer dot per touched class (profile ∩ class features)
+      val dot = new java.util.HashMap[Int, Long]()
+      pf.foreach { case (f, w) =>
+        ix.fToClasses.getOrElse(f, Array.emptyIntArray).foreach { c =>
+          dot.merge(c, w, (a, b) => a + b)
+        }
+      }
+      if (dot.isEmpty) return Array.empty
+      // score = floor(dot / √(un²·nf) · 1e6 + 0.5) / 1e6 — the long
+      // norm product and single √/÷ exactly as the old column expr
+      val classScores = new Array[(Int, Double)](dot.size)
+      var i = 0
+      dot.forEach { (c, d) =>
+        classScores(i) = (c, math.floor(
+          d.toDouble / math.sqrt((un2 * ix.nf(c)).toDouble) * 1e6 + 0.5)
+          / 1e6)
+        i += 1
+      }
+      // top (cap+k) classes by (score desc, min-item asc): every class
+      // above a contributing one either yields an earlier item or
+      // holds one of the user's ≤cap owned items — same cut proof as
+      // the old cw window
+      val kept = classScores
+        .sortBy { case (c, s) => (-s, ix.items(c)(0)) }.take(capK)
+      // explode each kept class's (cap+k) smallest items, rank
+      // (score desc, item asc), keep (cap+k) — the old iw window
+      kept.flatMap { case (c, s) => ix.items(c).map(it => (it, s)) }
+        .sortBy { case (it, s) => (-s, it) }.take(capK)
+    }
+
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(String, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[(Long, Double)]]()
+  }
+
+  /** Ordered presentation form of [[contentTop]]. */
   def contentRecFromUi(ui: DataFrame, p: DataFrame, cap: Int,
+      profTopF: Int, k: Int): DataFrame =
+    contentTop(ui, p, cap, profTopF, k)
+      .orderBy(col("custkey"), col("rec_rank"))
+
+  /** The UNORDERED content top-k (see [[itemCfTop]] for why
+    * compositions consume the unsorted form). */
+  private def contentTop(ui: DataFrame, p: DataFrame, cap: Int,
       profTopF: Int, k: Int): DataFrame = {
     // item-feature pairs: whole name + brand + type, then the df cap.
     // catalog-sized (≤3 rows/item); read by the class build and the
@@ -347,7 +453,6 @@ object Recommend {
       .localCheckpoint() // read by classFeats AND classItems
     val classFeats = feats.join(itemClass, "i")
       .select(col("ck"), col("f")).distinct()
-    val nfc = classFeats.groupBy(col("ck")).agg(count(lit(1)).as("nf"))
     // per class, only the (cap+k) smallest item ids can ever reach a
     // user's top-k: any later item has ≥ k unowned same-score
     // predecessors in its own class (a user owns ≤ cap items). O(k)
@@ -355,57 +460,35 @@ object Recommend {
     val minKItems = udaf(new graft.functions.BoundedMinK(cap + k))
     val classItems = itemClass.groupBy(col("ck"))
       .agg(minKItems(col("i")).as("items"))
-      .withColumn("min_item", col("items").getItem(0))
-    // user profile: weight = #owned items carrying the feature, then
-    // keep the top-F features (w desc, f asc). The window partitions on
-    // one user's features — ≤ UserItemCap×3 rows by construction.
+    // ---- the class index, collected (both frames are the vocabulary-
+    // bounded tables the old plan broadcast — same bytes, now indexed)
+    // and re-broadcast for the per-user scorer
+    val itemsByCk = classItems.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val featPairs = classFeats.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cks = itemsByCk.keys.toArray.sorted
+    val ckIdx = cks.zipWithIndex.toMap
+    val nfArr = new Array[Long](cks.length)
+    featPairs.foreach { case (ck, _) => nfArr(ckIdx(ck)) += 1 }
+    val index = ClassIndex(
+      featPairs.groupBy(_._2).map { case (f, ps) =>
+        f -> ps.map(p => ckIdx(p._1)).sorted.toArray
+      },
+      nfArr,
+      cks.map(itemsByCk))
+    val bcIdx = ui.sparkSession.sparkContext.broadcast(index)
+    // user profile rows: weight = #owned items carrying the feature.
+    // Everything per-user from here happens inside ONE aggregate over
+    // these ≤3·cap rows per user — no users×classes intermediate ever
+    // exists, at any scale.
     val prof0 = ui.join(broadcast(feats), "i")
       .groupBy(col("u"), col("f")).agg(count(lit(1)).as("w"))
-    val pw = Window.partitionBy(col("u"))
-      .orderBy(col("w").desc, col("f").asc)
-    val prof = prof0.withColumn("rn", row_number().over(pw))
-      .filter(col("rn") <= profTopF)
-      .select(col("u"), col("f"), col("w"))
-      .localCheckpoint() // read by un2 AND the scoring join
-    val un2 = prof.groupBy(col("u")).agg(sum(col("w") * col("w")).as("un2"))
-    // score per (user, class) = dot / √(un²·nf): dot is an exact
-    // integer sum, the norm product an exact long (< 2^53) —
-    // cross-engine bit-identical. Work here is users × matched
-    // classes, independent of catalog size.
-    val classScore = prof
-      .join(broadcast(classFeats), "f")
-      .groupBy(col("u"), col("ck")).agg(sum(col("w")).as("dot"))
-      .join(broadcast(nfc), "ck")
-      .join(un2, "u")
-      .withColumn("score", floor(col("dot").cast("double") /
-        sqrt((col("un2") * col("nf")).cast("double")) * 1e6 + 0.5) / 1e6)
-    // per user, only the top (cap+k) classes by (score desc, min-item
-    // asc) can contribute to the top-k: every class ranked above a
-    // contributing class either yields a globally earlier unowned item
-    // or contains ≥1 of the user's ≤cap owned items. The window
-    // partition is one user's matched classes — vocabulary-bounded.
-    val cw = Window.partitionBy(col("u"))
-      .orderBy(col("score").desc, col("min_item").asc)
-    // rank the exploded candidates per user BEFORE the ownership
-    // anti-join: dropping the ≤cap owned items shifts ranks by ≤cap,
-    // so the exact top-k lies within the pre-ownership top (cap+k) —
-    // the anti-join then shuffles ~(cap+k) rows per user instead of
-    // every exploded candidate (WindowGroupLimit prunes map-side).
-    val iw = Window.partitionBy(col("u"))
-      .orderBy(col("score").desc, col("cand").asc)
-    // rank on the narrow (u, ck, score, min_item) frame and attach the
-    // (cap+k)-long item arrays only to the ≤(cap+k)-per-user survivors
-    // — carrying the arrays through the rank window's shuffle+sort was
-    // the dominant cost of this stage.
-    val cand = classScore
-      .join(broadcast(classItems.select(col("ck"), col("min_item"))),
-        "ck")
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= cap + k)
-      .join(broadcast(classItems.select(col("ck"), col("items"))), "ck")
-      .select(col("u"), col("score"), explode(col("items")).as("cand"))
-      .withColumn("irn", row_number().over(iw))
-      .filter(col("irn") <= cap + k).drop("irn")
+    val scoreAgg = udaf(new ContentScoreAgg(bcIdx, profTopF, cap + k))
+    val cand = prof0.groupBy(col("u"))
+      .agg(scoreAgg(col("f"), col("w")).as("cands"))
+      .select(col("u"), explode(col("cands")).as("c"))
+      .select(col("u"), col("c._1").as("cand"), col("c._2").as("score"))
       .join(ui.select(col("u"), col("i").as("cand")),
         Seq("u", "cand"), "left_anti") // drop already-owned
     val rw = Window.partitionBy(col("u"))
@@ -414,7 +497,6 @@ object Recommend {
       .filter(col("rec_rank") <= k)
       .select(col("u").as("custkey"), col("rec_rank"),
         col("cand").as("item"), col("score"))
-      .orderBy(col("custkey"), col("rec_rank"))
   }
 
   val contentRecSql: String =
@@ -548,7 +630,8 @@ object Recommend {
     val train = all.join(
       hold.select(col("u"), col("held").as("i")), Seq("u", "i"),
       "left_anti")
-    val recs = itemCfFromUi(uiMatrix(train, cap), coMin, topM, k)
+    // unordered top: recs only feeds the hit join — no presentation sort
+    val recs = itemCfTop(uiMatrix(train, cap), coMin, topM, k)
     val hits = recs.join(hold,
         recs("custkey") === hold("u") && recs("item") === hold("held"))
       .agg(count(lit(1)).as("n_hit"))
