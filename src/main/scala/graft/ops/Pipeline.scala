@@ -246,6 +246,88 @@ object Pipeline {
        |    - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Context-window capacity for q148's greedy packing (tokens). Docs
+    * average ~120 tokens, so bins hold ~4 docs at the test scales —
+    * the greedy reset rule is exercised constantly, not vacuously. */
+  val PackCapacity = 512L
+
+  /** q148: greedy sequence packing — the training-prep step q67's
+    * continuous sharding deliberately is not: docs are ATOMIC (a
+    * context window never splits a document), bins are fixed-capacity
+    * token windows, and a bin closes when the next doc would overflow
+    * it (an oversized doc gets a bin of its own). The standard packing
+    * pass that turns a curated corpus into fixed-length training
+    * sequences.
+    *
+    * Scale shape: exact greedy packing is SEQUENTIAL — each bin
+    * decision depends on the whole prefix — so the global form cannot
+    * be a window or a prefix sum. Production stacks parallelize it
+    * hierarchically, and so does this: q67's token-budget shards are
+    * the independent units (each holds ≈budget/avg_tokens docs, a
+    * BOUNDED group by construction), exact greedy runs inside each
+    * shard, and the (shard, bin) pair is globally unique with zero
+    * coordination. One bounded typed mapGroups per shard — the same
+    * license as the SON kernel; no group ever exceeds the shard
+    * budget's doc count.
+    *
+    * Determinism: shard assignment is q67's (oracle-green), in-shard
+    * order is doc_id, the greedy rule is pure integer arithmetic —
+    * the DuckDB oracle replays the recursion exactly (recursive CTE
+    * stepping row-rank by row-rank across all shards at once). */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOn(documents(s, d), TokenShardBudget, PackCapacity)
+
+  /** q148 over a caller-supplied (doc_id, text) corpus. */
+  def packSequencesOn(docs: DataFrame, budget: Long, capacity: Long)
+  : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    tokenShardsOn(docs, budget)
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
+        col("shard").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        // one shard ≈ budget tokens of docs — bounded buffer
+        val ds = it.toArray.sortBy(_._1)
+        var bin = 0L
+        var fill = 0L
+        ds.iterator.map { case (id, n, _) =>
+          if (fill > 0 && fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          (id, n, shard, bin, fill)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard", "bin", "bin_fill")
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, CAST(len(${Text.toksSqlExpr}) AS BIGINT)
+       |    AS n_tokens FROM documents),
+       |sh AS (SELECT doc_id, n_tokens,
+       |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens) / $TokenShardBudget) AS BIGINT) AS shard
+       |  FROM t),
+       |r AS (SELECT doc_id, n_tokens, shard,
+       |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |  FROM sh),
+       |pack(shard, rn, doc_id, n_tokens, bin, fill) AS (
+       |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+       |    n_tokens
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+       |    CASE WHEN p.fill + r.n_tokens > $PackCapacity
+       |      THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + r.n_tokens > $PackCapacity
+       |      THEN r.n_tokens ELSE p.fill + r.n_tokens END
+       |  FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+       |SELECT doc_id, n_tokens, shard, bin, fill AS bin_fill
+       |FROM pack ORDER BY doc_id""".stripMargin
+
   /** 2^60 — the h60 hash range, for hash-fraction acceptance tests. */
   private val H60Range = "1152921504606846976.0"
 
@@ -1275,6 +1357,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_rendezvous_shards" -> (rendezvousShards _),
+    "q148_pack_sequences" -> (packSequences _),
     "q132_weighted_median" -> (weightedMedianQuality _),
     "q116_quality_profile" -> (qualityProfile _),
     "q113_containment" -> (containmentDecontam _),
@@ -1297,6 +1380,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q145_rendezvous_shards" -> rendezvousShardsSql,
+    "q148_pack_sequences" -> packSequencesSql,
     "q132_weighted_median" -> weightedMedianQualitySql,
     "q116_quality_profile" -> qualityProfileSql,
     "q113_containment" -> containmentDecontamSql,

@@ -619,4 +619,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("a")._2 > 0 && rows("b")._2 > 0)
     assert(rows.values.map(_._1).toSeq.sorted == Seq(7L, 7L, 7L))
   }
+
+  test("q148 packing: bins respect capacity, docs are atomic, and the " +
+      "greedy property holds (next doc would have overflowed)") {
+    import spark.implicits._
+    // synthetic corpus with doc lengths that exercise the reset rule
+    // AND an oversized doc (> capacity) that must get a bin of its own
+    val cap = 50L
+    val budget = 200L
+    val lengths = Seq(20, 20, 20, 45, 10, 60, 5, 5, 49, 2, 30, 30,
+      30, 30, 30, 30, 30, 30, 30, 30)
+    val docs = lengths.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Pipeline.packSequencesOn(docs, budget, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == lengths.length, "every doc packed exactly once")
+    rows.foreach { case (id, n, _, _, _) =>
+      assert(n == lengths(id.toInt), s"doc $id token count") }
+    // group by (shard, bin): fill = sum of member tokens; fill ≤ cap
+    // unless the bin is a single oversized doc
+    val byBin = rows.groupBy(r => (r._3, r._4)).values
+    byBin.foreach { bin =>
+      val tot = bin.map(_._2).sum
+      assert(bin.map(_._5).max == tot, "bin_fill is the running sum")
+      assert(tot <= cap || bin.length == 1,
+        s"overfull multi-doc bin: $bin")
+      // docs in a bin are consecutive by doc_id (atomic greedy fill)
+      val ids = bin.map(_._1).sorted
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+        s"bin holds non-consecutive docs: $ids")
+    }
+    // greedy property per shard: the first doc of bin b+1 would have
+    // overflowed bin b — no bin closed early
+    rows.groupBy(_._3).values.foreach { shard =>
+      val bins = shard.groupBy(_._4).toSeq.sortBy(_._1)
+      bins.zip(bins.tail).foreach { case ((_, cur), (_, next)) =>
+        val curFill = cur.map(_._2).sum
+        val firstNext = next.minBy(_._1)._2
+        assert(curFill + firstNext > cap,
+          s"bin closed early: fill $curFill + next $firstNext <= $cap")
+      }
+    }
+  }
 }
