@@ -55,6 +55,21 @@ object Recommend {
   /** Recommendations emitted per user. */
   val RecK = 3
 
+  /** Item-keyed "dimension" tables (the items×M neighbor table, the
+    * items×3 feature table) are broadcast into the corpus-sized
+    * scoring joins only below this many rows. An items×M table stops
+    * being dimension-sized when the CATALOG itself is corpus-scale:
+    * at the 30× stress the 11.4M-row neighbor table's single-threaded
+    * broadcast build+ship erased the map-side win (measured 40–60 s
+    * broadcast vs 47.8 s shuffle), and at a 10M-item catalog it would
+    * OOM the driver — above the gate the join falls back to a shuffle
+    * hash join, the correct shape when both sides are big. */
+  val BroadcastDimRows = 4000000L
+
+  private def dimHint(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastDimRows) broadcast(df)
+    else df.hint("shuffle_hash")
+
   /** The co-purchase interaction frame (customer × part via
     * orders/lineitem) every registered recommender trains on. */
   private[graft] def copurchases(s: SparkSession, d: String): DataFrame =
@@ -147,6 +162,11 @@ object Recommend {
   private def itemCfTop(ui: DataFrame, coMin: Int, topM: Int, k: Int)
   : DataFrame = {
     val nbr = neighborTable(ui, coMin, topM)
+    // ≤ nItems×M rows — the size-gate estimate for the scoring join
+    // (counting nbr itself would run the whole pair build twice; the
+    // distinct-item count is one aggregate over the checkpointed ui)
+    val nbrRowBound =
+      ui.select(col("i")).distinct().count() * topM
     // score first, THEN drop owned: the (u, j) aggregate and the
     // ownership anti-join share one hash partitioning, and the
     // anti-join sorts the AGGREGATED candidate set instead of the raw
@@ -155,7 +175,7 @@ object Recommend {
     // the shuffle+sort volume drops ~2×). Shuffle anti-join, not a
     // broadcast: the user-item matrix is corpus-sized at 100 TB.
     val sc = ui
-      .join(broadcast(nbr), "i") // neighbor table is items × M: broadcast
+      .join(dimHint(nbr, nbrRowBound), "i") // items×M, gated (see doc)
       .select(col("u"), col("j"), col("sim"))
       .groupBy(col("u"), col("j"))
       .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
@@ -481,8 +501,9 @@ object Recommend {
     // user profile rows: weight = #owned items carrying the feature.
     // Everything per-user from here happens inside ONE aggregate over
     // these ≤3·cap rows per user — no users×classes intermediate ever
-    // exists, at any scale.
-    val prof0 = ui.join(broadcast(feats), "i")
+    // exists, at any scale. feats is ≤3 rows/item and checkpointed, so
+    // its exact row count is a cheap local scan for the size gate.
+    val prof0 = ui.join(dimHint(feats, feats.count()), "i")
       .groupBy(col("u"), col("f")).agg(count(lit(1)).as("w"))
     val scoreAgg = udaf(new ContentScoreAgg(bcIdx, profTopF, cap + k))
     val cand = prof0.groupBy(col("u"))
