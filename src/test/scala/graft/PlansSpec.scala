@@ -370,6 +370,33 @@ class PlansSpec extends AnyFunSuite {
     assert(onRows.nonEmpty)
   }
 
+  test("every kernel agrees with itself across codegen and interpreted " +
+      "eval on one mixed fixture") {
+    // graft_cos/eqcount/minhash already hold dedicated two-path tests;
+    // this closes the gap for dot/dist2/isize (previously
+    // codegen-path-only) and keeps all five in one place.
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.5, -2.0, 3.25), Seq(4.0, 0.5, -1.0),
+        Seq("a", "b", "d"), Seq("b", "c", "d")),
+      (2L, Seq(0.0, 0.0), Seq(0.25, -0.25),
+        Seq.empty[String], Seq("x")),
+      (3L, Seq.empty[Double], Seq.empty[Double], Seq("k"), Seq("k")))
+      .toDF("id", "a", "b", "sa", "sb")
+    def run(): Seq[Seq[Any]] =
+      df.select(col("id"), expr("graft_dot(a, b)"),
+        expr("graft_dist2(a, b)"), expr("graft_isize(sa, sb)"))
+        .orderBy(col("id")).collect().toSeq.map(_.toSeq)
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen, "interpreted eval diverges from codegen")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("every partition-less Window in every registered plan consumes " +
       "a summary-sized (aggregated/limited) input") {
     // A WindowExec with no partition key moves ALL rows to one

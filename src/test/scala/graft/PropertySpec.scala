@@ -157,4 +157,39 @@ class PropertySpec extends AnyFunSuite {
       got == (a ++ b).sortBy { case (c, w) => (-c, w) }.take(k)
     })
   }
+
+  test("q148 distributed packing == sequential greedy replay on random " +
+      "corpora") {
+    import SparkTestSession._
+    import spark.implicits._
+    // random doc lengths (incl. oversized), random capacity/budget —
+    // the distributed shard-then-pack must equal a single sequential
+    // pass that shards by the same running-token rule then packs
+    // greedily within each shard
+    val lensGen = Gen.listOfN(40, Gen.chooseNum(1, 80))
+    val capGen = Gen.chooseNum(20L, 60L)
+    val budGen = Gen.chooseNum(100L, 300L)
+    check(Prop.forAll(lensGen, capGen, budGen) { (lens, cap, budget) =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.ops.Pipeline.packSequencesOn(docs, budget, cap)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(2), r.getLong(3)))).toMap
+      // reference: one sequential pass over doc_id order
+      var cum = 0L
+      var shardState = Map.empty[Long, (Long, Long)] // shard -> (bin, fill)
+      val want = lens.zipWithIndex.map { case (n, i) =>
+        val shard = cum / budget
+        cum += n
+        val (bin, fill) = shardState.getOrElse(shard, (0L, 0L))
+        val (nb, nf) =
+          if (fill > 0 && fill + n > cap) (bin + 1, n.toLong)
+          else (bin, fill + n)
+        shardState += shard -> (nb, nf)
+        i.toLong -> (shard, nb)
+      }.toMap
+      got == want
+    })
+  }
 }
