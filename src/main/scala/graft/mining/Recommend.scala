@@ -66,7 +66,7 @@ object Recommend {
     * hash join, the correct shape when both sides are big. */
   val BroadcastDimRows = 4000000L
 
-  private def dimHint(df: DataFrame, rows: Long): DataFrame =
+  private[graft] def dimHint(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastDimRows) broadcast(df)
     else df.hint("shuffle_hash")
 

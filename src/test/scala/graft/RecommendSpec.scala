@@ -182,4 +182,25 @@ class RecommendSpec extends AnyFunSuite {
     val uncapped = Recommend.itemCfOn(m, 64, 2, 20, 3).collect()
     assert(uncapped.nonEmpty)
   }
+
+  test("dimension-table broadcast gate: small dims broadcast, " +
+      "corpus-scale dims fall back to a shuffle hash join") {
+    import spark.implicits._
+    // same join, both gate branches — results must agree and the
+    // physical plans must take the promised shapes
+    val facts = (1L to 200L).map(i => (i % 20, i)).toDF("i", "u")
+    val dim = (0L to 19L).map(i => (i, i * 100)).toDF("i", "v")
+    def planOf(rows: Long): (String, Long) = {
+      val j = facts.join(Recommend.dimHint(dim, rows), "i")
+      (j.queryExecution.executedPlan.toString, j.count())
+    }
+    val (small, nSmall) = planOf(Recommend.BroadcastDimRows)
+    val (big, nBig) = planOf(Recommend.BroadcastDimRows + 1)
+    assert(small.contains("BroadcastHashJoin"),
+      s"small dim did not broadcast:\n$small")
+    assert(!big.contains("BroadcastHashJoin") &&
+      big.contains("ShuffledHashJoin"),
+      s"over-gate dim did not fall back to shuffle hash:\n$big")
+    assert(nSmall == nBig && nSmall == 200L)
+  }
 }

@@ -259,6 +259,33 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(batch.toSeq == Seq(1L -> 100L))
+    // broadcast gate: the small index broadcasts by default; forcing
+    // the gate to 0 docs keeps the shuffle plan AND the same verdicts
+    // (the 100 TB shape, where the index itself is corpus-scale)
+    def screen() = graft.mining.SetSimilarity.screenAgainstIndex(
+      Seq(1L -> base.replace("quick", "swift"), 2L -> "novel stuff")
+        .toDF("doc_id", "text"), corpus)
+    assert(screen().queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "small index must broadcast")
+    // with the gate at 0 AND auto-broadcast off, no BroadcastHashJoin
+    // may remain: any one left could only come from the (now-gated)
+    // explicit index hint. (Auto-broadcast must be silenced because
+    // the BATCH probe side here is a tiny LocalRelation the planner
+    // would legitimately broadcast on its own — a stream probe, the
+    // production shape, has no such option.)
+    spark.conf.set("spark.graft.screenBroadcastDocs", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = screen()
+      assert(!gated.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "gate=0 must keep the shuffle join for the band probe")
+      assert(gated.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq == Seq(1L -> 100L), "gated plan changed verdicts")
+    } finally {
+      spark.conf.unset("spark.graft.screenBroadcastDocs")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("streaming session windows match the batch sessionization") {
