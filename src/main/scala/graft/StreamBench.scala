@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Streams covered: stateless curation cascade, within-watermark
   * exact dedup, near-dup screen against a static index (stream-static
-  * joins), latest-state compaction (update-mode aggregate),
-  * TTL'd latest-state (transformWithState/RocksDB), session paths
-  * (session_window state).
+  * joins), ingest-time recommendations (stream-static broadcast join
+  * against the precomputed neighbor index), latest-state compaction
+  * (update-mode aggregate), TTL'd latest-state
+  * (transformWithState/RocksDB), session paths (session_window
+  * state).
   *
   * Event time is synthesized from the rate `value` (1 synthetic second
   * per row ÷ fan-out) so watermarks/session gaps advance ~10³× faster
@@ -126,6 +128,22 @@ object StreamBench {
       "neardup_screen" -> (() =>
         graft.mining.SetSimilarity.screenAgainstIndex(
           rateCorpusDocs(40000), corpusDocs, "10 minutes")),
+      // ingest-time recommendations: the q87 event path — stateless
+      // stream-static broadcast join of incoming (u, i) interactions
+      // against the precomputed item-neighbor index (built once from
+      // the real sf corpus)
+      "ingest_recs" -> (() => {
+        val nbr = graft.mining.Recommend.neighborTable(
+          graft.mining.Recommend
+            .copurchases(spark, corpusDir).distinct().localCheckpoint(),
+          graft.mining.Recommend.CoMinUsers,
+          graft.mining.Recommend.NeighborTopM).localCheckpoint()
+        graft.mining.Recommend.recsForInteractions(
+          rate(500000).select(pmod(col("value"), lit(50000)).as("u"),
+            pmod(col("value") * 31L, lit(20000)).as("i"),
+            synthTs(1).as("ts")),
+          broadcast(nbr))
+      }),
       "latest_state" -> (() =>
         Streams.latestStateStream(rateChangelog(500000))),
       "latest_state_ttl" -> (() =>
