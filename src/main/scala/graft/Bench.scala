@@ -177,11 +177,29 @@ object Bench {
     // Memo build inside discarded first samples — surface it so
     // q87/q89/q92 totals stay comparable across memo changes. Keyed by
     // artifact (rec_ui/rec_cf/rec_cn), timed-SF entries only.
-    val memoSec = Memo.buildSeconds(spark).toSeq.collect {
+    val memoByArtifact = Memo.buildSeconds(spark).toSeq.collect {
       case (k, v) if k.startsWith(s"$sfDir#") =>
-        s"\"${k.substring(sfDir.length + 1)}\":${r3(v)}"
-    }.sorted.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
+        k.substring(sfDir.length + 1) -> v
+    }.toMap
+    val memoSec = memoByArtifact.toSeq
+      .map { case (a, v) => s"\"$a\":${r3(v)}" }
+      .sorted.mkString("{", ",", "}")
+    // Artifact→query mapping (VERDICT r10 item 6): a reader shouldn't
+    // need the memo's artifact naming to reconstruct what a COLD
+    // session pays per recommender query — warm (min-of-samples) +
+    // the builds that query triggers when nothing is memoized yet.
+    val artifactsFor = Seq(
+      "q87_item_cf" -> Seq("rec_ui", "rec_cf"),
+      "q89_content_rec" -> Seq("rec_ui", "rec_cn"),
+      "q92_hybrid_rec" -> Seq("rec_ui", "rec_cf", "rec_cn"))
+    val memoByQuery = artifactsFor.flatMap { case (q, arts) =>
+      results.get(q).map { warm =>
+        val b = arts.map(a => memoByArtifact.getOrElse(a, 0.0)).sum
+        s"\"$q\":{\"warm\":${r3(warm)},\"build\":${r3(b)}," +
+          s"\"cold_total\":${r3(warm + b)}}"
+      }
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
     // The driver's tail capture clipped the FRONT of the full line in
     // round 6 (17 of 85 per-query timings lost) — persist the complete
     // per-query map as its own artifact so it survives any stdout

@@ -65,15 +65,27 @@ object Memo {
       * [[liveIds]]/[[buildSeconds]] PEEK without forcing (a hygiene
       * sweep must neither trigger a build nor block behind one). */
     @volatile var built: Entry = pre.orNull
+    /** Non-null exactly while a build is in flight: the persisted-RDD
+      * snapshot taken at build start (ADVICE r10). A hygiene sweep
+      * running concurrently with the build must treat every id
+      * persisted SINCE this snapshot as potentially owned — the build
+      * localCheckpoints (lineage cut) before `built` publishes, so a
+      * sweep that only consulted `built` could unpersist blocks the
+      * finished entry can never recompute. Over-retention for the
+      * build's duration, never loss. */
+    @volatile var inFlightBefore: Set[Int] = null
     lazy val entry: Entry = pre.getOrElse {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet.toSet
-      val t0 = System.nanoTime()
-      val df = build().localCheckpoint()
-      val owned = sc.getPersistentRDDs.keySet.toSet -- before
-      val e = Entry(df, owned, (System.nanoTime() - t0) / 1e9)
-      built = e
-      e
+      inFlightBefore = before
+      try {
+        val t0 = System.nanoTime()
+        val df = build().localCheckpoint()
+        val owned = sc.getPersistentRDDs.keySet.toSet -- before
+        val e = Entry(df, owned, (System.nanoTime() - t0) / 1e9)
+        built = e
+        e
+      } finally inFlightBefore = null
     }
   }
 
@@ -104,11 +116,23 @@ object Memo {
 
   /** RDD ids that back live memo entries of `s`'s context — exclude
     * these from any bulk unpersist. Evicts dead-context entries first
-    * so a recycled RDD id can never hide behind a stale one. */
+    * so a recycled RDD id can never hide behind a stale one. While any
+    * build is IN FLIGHT, every id persisted after that build's start
+    * snapshot also counts as live (ADVICE r10): the build's
+    * localCheckpointed blocks exist before its entry publishes, and
+    * unpersisting a lineage-cut block is unrecoverable. */
   def liveIds(s: SparkSession): Set[Int] = {
     evictDead(s)
-    entries.values.asScala.flatMap(c => Option(c.built))
+    val cells = entries.values.asScala.toList
+    val builtIds = cells.flatMap(c => Option(c.built))
       .flatMap(_.owned).toSet
+    val inFlight = cells.flatMap(c => Option(c.inFlightBefore))
+    if (inFlight.isEmpty) builtIds
+    else {
+      val current = s.sparkContext.getPersistentRDDs.keySet.toSet
+      builtIds ++ inFlight.map(before => current -- before)
+        .foldLeft(Set.empty[Int])(_ ++ _)
+    }
   }
 
   /** Seconds each BUILT artifact of `s`'s context cost, keyed

@@ -87,8 +87,13 @@ object ScaleStress {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // sorted + distinct (ADVICE r10): the slope and the "last point"
+    // wording assume ascending factors — an override like "30,10"
+    // would otherwise silently invert the slope
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,30")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.distinct.sorted
+    require(factors.nonEmpty && factors.forall(_ > 1),
+      s"SPARK_GRAFT_SCALE_FACTORS must be integers > 1, got $factors")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,8 +117,14 @@ object ScaleStress {
 
     import graft.mining.{Recommend, SetSimilarity, VectorSimilarity}
     import graft.cluster.KMeans
+    // Optional local-iteration filter (comma-separated query names,
+    // empty = stage pass only) — the round artifact covers everything;
+    // when the filter is set the output goes to SCALE_partial.md so a
+    // partial run can never masquerade as the full stress.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // memo-free entry points — every scale pays its full build
-    val runs: Seq[(String, String => DataFrame)] = Seq(
+    val allRuns: Seq[(String, String => DataFrame)] = Seq(
       "q87_item_cf" -> ((d: String) => Recommend.itemCfOn(
         copurchases(spark, d), Recommend.UserItemCap, Recommend.CoMinUsers,
         Recommend.NeighborTopM, Recommend.RecK)),
@@ -137,6 +148,20 @@ object ScaleStress {
         KMeans.points(spark, d),
         KMeans.K * factorOf.getOrElse(d, 1),
         VectorSimilarity.SemDedupCos)),
+      // the two end-to-end COMPOSITIONS a real pipeline actually runs
+      // (VERDICT r10 item 3): the full train-prep DAG and the
+      // ingest-delta screen, at every scale point
+      "q86_train_pipeline" -> ((d: String) =>
+        graft.ops.Pipeline.trainPipelineOn(documents(spark, d))),
+      "q90_delta_screen" -> ((d: String) => {
+        val docs = documents(spark, d)
+          .select(col("doc_id"), col("text"), col("source"))
+        SetSimilarity.screenAgainstIndex(
+          docs.filter(col("source") === SetSimilarity.DeltaSource)
+            .select(col("doc_id"), col("text")),
+          docs.filter(col("source") =!= SetSimilarity.DeltaSource)
+            .select(col("doc_id"), col("text")))
+      }),
       // the iterative graph family on the N× co-purchase subgraph
       // (edge-sized joins per round — the linearity claim under test)
       "q33_degree_hist" -> ((d: String) =>
@@ -147,6 +172,7 @@ object ScaleStress {
         SparkEntry.queries("q63_pagerank")(spark, d)),
       "q97_kcore" -> ((d: String) =>
         SparkEntry.queries("q97_kcore")(spark, d)))
+    val runs = allRuns.filter { case (n, _) => only.forall(_.contains(n)) }
 
     def hygiene(): Unit = {
       val keep = Memo.liveIds(spark)
@@ -177,6 +203,38 @@ object ScaleStress {
         best(key) = (sec, rows)
       System.err.println(
         f"[scale] p$pass $name @$d: $sec%.1f s ($rows rows)")
+    }
+
+    // ---- q87 per-stage attribution (VERDICT r10 item 1): run the CF
+    // chain once per scale with a forced materialization between
+    // stages, so the slope has a NAMED owner instead of one total.
+    // s3's checkpoint is measurement scaffolding (the production plan
+    // feeds the top-M cut straight into the scoring join); it moves
+    // work between s3/s4 but their SUM is the query.
+    val stageNames = Seq("s1_ui_matrix", "s2_sims_f2", "s3_top_m",
+      "s4_scoring")
+    val stageTimes =
+      scala.collection.mutable.Map[(String, String), Double]()
+    points.foreach { d =>
+      hygiene()
+      def timed[T](name: String)(f: => T): T = {
+        val t = System.nanoTime(); val r = f
+        stageTimes((name, d)) = (System.nanoTime() - t) / 1e9
+        r
+      }
+      val ui = timed("s1_ui_matrix")(
+        Recommend.uiMatrix(copurchases(spark, d), Recommend.UserItemCap))
+      val sims = timed("s2_sims_f2")(
+        Recommend.simsTable(ui, Recommend.CoMinUsers))
+      val nbr = timed("s3_top_m")(
+        Recommend.topMFromSims(sims, Recommend.NeighborTopM)
+          .localCheckpoint())
+      val bound =
+        ui.select(col("i")).distinct().count() * Recommend.NeighborTopM
+      timed("s4_scoring")(
+        Recommend.scoreFromNbr(ui, nbr, bound, Recommend.RecK).count())
+      System.err.println(s"[scale] q87 stages @$d: " + stageNames
+        .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
     }
 
     // the vocabulary-bounded claim, measured at every scale
@@ -220,6 +278,28 @@ object ScaleStress {
         best((name, s"target/scale$n"))._2.toString }.mkString(" | ")
       md ++= f"| $name | $s1%.1f | $fCols | $slope | $r1 | $rCols |\n"
     }
+    // q87 stage-attribution table (one timed pass per scale)
+    md ++= "\n## q87 stage attribution (one pass per scale, forced " +
+      "stage boundaries)\n\n"
+    md ++= "s3 is checkpointed for measurement (production fuses s3→s4" +
+      "; their sum is the query). ui = distinct+cap matrix; sims = " +
+      "the f² co-occurrence self-join + cosine; top_m = symmetrize + " +
+      "per-item rank; scoring = candidate join + (u,j) agg + " +
+      "anti-join + top-k.\n\n"
+    md ++= s"| stage | sf0.1 sec | " +
+      factors.map(n => s"${n}× sec").mkString(" | ") + " | slope |\n"
+    md ++= "|---" * (3 + factors.size) + "|\n"
+    stageNames.foreach { n =>
+      val cols = points.map(d => f"${stageTimes((n, d))}%.1f")
+        .mkString(" | ")
+      val slope =
+        if (factors.size < 2) "n/a"
+        else f"${(stageTimes((n, s"target/scale${factors.last}")) /
+          math.max(stageTimes((n, s"target/scale${factors.head}")), 1e-3)) /
+          (factors.last.toDouble / factors.head)}%.2f"
+      md ++= s"| $n | $cols | $slope |\n"
+    }
+
     md ++= "\n**q89 content classes** (the vocabulary-bounded claim): " +
       classCounts.map { case (d, c) => s"$c @ $d" }.mkString(", ") +
       " — constant while the catalog grows " +
@@ -232,7 +312,8 @@ object ScaleStress {
       "flag a super-linear candidate stage. Row ratios confirm output " +
       "structure scaled as designed (dup pairs ×N, recommendations ×N, " +
       "one summary row stays 1).\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.md"),
+    val outFile = if (only.isDefined) "SCALE_partial.md" else "SCALE.md"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       md.toString.getBytes("UTF-8"))
     println(md.toString)
     spark.stop()

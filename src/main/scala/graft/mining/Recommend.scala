@@ -105,7 +105,7 @@ object Recommend {
   /** The deduped, power-user-capped user-item matrix — checkpointed
     * because every downstream stage reads it (degrees, both self-join
     * sides, candidate generation, the ownership anti-join). */
-  private def uiMatrix(interactions: DataFrame, cap: Int): DataFrame = {
+  private[graft] def uiMatrix(interactions: DataFrame, cap: Int): DataFrame = {
     val ui0 = interactions.select(col("u"), col("i")).distinct()
     val keptUsers = ui0.groupBy(col("u"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select(col("u"))
@@ -114,15 +114,25 @@ object Recommend {
 
   /** The item-similarity index: top-`topM` cosine neighbors per item
     * as (i, j, sim) — the static artifact the batch recommender (q87)
-    * and the ingest-time path ([[recsForInteractions]]) both consume. */
-  def neighborTable(ui: DataFrame, coMin: Int, topM: Int): DataFrame = {
+    * and the ingest-time path ([[recsForInteractions]]) both consume.
+    * Split into [[simsTable]] → [[topMFromSims]] so the scale stress
+    * can time the f² pair build and the top-M cut separately (VERDICT
+    * r10 item 1 — attributing q87's 30× slope stage by stage). */
+  def neighborTable(ui: DataFrame, coMin: Int, topM: Int): DataFrame =
+    topMFromSims(simsTable(ui, coMin), topM)
+
+  /** Stage 2 of the CF chain: the f² co-occurrence self-join and the
+    * exact item-item cosine, MATERIALIZED (both symmetrization arms of
+    * the top-M cut read it — without the checkpoint the whole pair
+    * build runs twice; it doubled q87's bench). */
+  private[graft] def simsTable(ui: DataFrame, coMin: Int): DataFrame = {
     val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
     val pairs = ui.select(col("u"), col("i").as("ia"))
       .join(ui.select(col("u"), col("i").as("ib")), "u")
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= coMin)
-    val sims = pairs
+    pairs
       .join(broadcast(ideg.select(col("i").as("ia"),
         col("deg").as("da"))), "ia")
       .join(broadcast(ideg.select(col("i").as("ib"),
@@ -130,9 +140,12 @@ object Recommend {
       .withColumn("sim", floor(col("c").cast("double") /
         sqrt(col("da").cast("double") * col("db")) * 1e6 + 0.5) / 1e6)
       .select(col("ia"), col("ib"), col("sim"))
-      // checkpointed: BOTH symmetrization arms read it — without this
-      // the whole f² pair build runs twice (it doubled q87's bench)
       .localCheckpoint()
+  }
+
+  /** Stage 3: symmetrize the (ia<ib) sims and keep each item's top-M
+    * neighbors (sim desc, id asc) — the items×M dimension table. */
+  private[graft] def topMFromSims(sims: DataFrame, topM: Int): DataFrame = {
     val sym = sims.unionByName(sims.select(col("ib").as("ia"),
       col("ia").as("ib"), col("sim")))
     val nw = Window.partitionBy(col("ia"))
@@ -167,13 +180,20 @@ object Recommend {
     // distinct-item count is one aggregate over the checkpointed ui)
     val nbrRowBound =
       ui.select(col("i")).distinct().count() * topM
-    // score first, THEN drop owned: the (u, j) aggregate and the
-    // ownership anti-join share one hash partitioning, and the
-    // anti-join sorts the AGGREGATED candidate set instead of the raw
-    // cap×M-per-user candidate stream (owned items are ≤ cap of ≤
-    // cap×M candidates, so the wasted partial-agg work is ~5% while
-    // the shuffle+sort volume drops ~2×). Shuffle anti-join, not a
-    // broadcast: the user-item matrix is corpus-sized at 100 TB.
+    scoreFromNbr(ui, nbr, nbrRowBound, k)
+  }
+
+  /** Stage 4: score users' candidates from the neighbor table and cut
+    * the per-user top-k. Score first, THEN drop owned: the (u, j)
+    * aggregate and the ownership anti-join share one hash
+    * partitioning, and the anti-join sorts the AGGREGATED candidate
+    * set instead of the raw cap×M-per-user candidate stream (owned
+    * items are ≤ cap of ≤ cap×M candidates, so the wasted partial-agg
+    * work is ~5% while the shuffle+sort volume drops ~2×). Shuffle
+    * anti-join, not a broadcast: the user-item matrix is corpus-sized
+    * at 100 TB. */
+  private[graft] def scoreFromNbr(ui: DataFrame, nbr: DataFrame,
+      nbrRowBound: Long, k: Int): DataFrame = {
     val sc = ui
       .join(dimHint(nbr, nbrRowBound), "i") // items×M, gated (see doc)
       .select(col("u"), col("j"), col("sim"))
@@ -395,7 +415,7 @@ object Recommend {
     * item asc) candidate cut, all arithmetic verbatim from the old
     * column expressions, so the DuckDB oracle is unchanged. Shuffle
     * volume drops from users×classes to users×3·cap profile rows. */
-  private final class ContentScoreAgg(
+  private[graft] final class ContentScoreAgg(
       idx: org.apache.spark.broadcast.Broadcast[ClassIndex],
       topF: Int, capK: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
@@ -405,8 +425,25 @@ object Recommend {
       Ordering.by { case (f, w) => (-w, f) }
 
     def zero: Seq[(String, Long)] = Seq.empty
-    def reduce(b: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] =
-      (b :+ x).sorted(ord).take(topF)
+    /** Bounded insertion into the (always-sorted) buffer — the
+      * per-input-row hot path (VERDICT r10 item 4: the previous
+      * `(b :+ x).sorted.take(topF)` re-sorted per row). The buffer
+      * stays EXACTLY what the stable sort-then-take produced: a full
+      * buffer whose cutoff ranks ≤ x rejects x outright (stable sort
+      * would place the appended x after its equals and cut it), else
+      * x lands after every element ranked ≤ it. */
+    def reduce(b: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] = {
+      if (b.length >= topF && ord.lteq(b.last, x)) b
+      else {
+        val i = b.indexWhere(e => ord.gt(e, x))
+        val ins =
+          if (i < 0) b :+ x
+          else (b.take(i) :+ x) ++ b.drop(i)
+        if (ins.length > topF) ins.take(topF) else ins
+      }
+    }
+    /** Partition-boundary merges are rare — a sort of 2·topF rows is
+      * fine here; only reduce is per-row. */
     def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
       (a ++ b).sorted(ord).take(topF)
 

@@ -78,7 +78,6 @@ object SetSimilarity {
       // there routinely)
       .select(col("doc_a"), col("doc_b"),
         (floor(col("j") * 1e4 + 0.5) / 1e4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
 
   // ---------------------------------------------------------------- q22
   val JaccardTau = 0.95
@@ -136,7 +135,7 @@ object SetSimilarity {
     * verify candidates exactly; candidates ≈ true pairs and the index
     * stays linear in corpus size. */
   def neardupJaccard(s: SparkSession, d: String): DataFrame =
-    neardupJaccardOn(documents(s, d))
+    neardupJaccardOn(documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
 
   /** q22 over a caller-supplied (doc_id, text) corpus. */
   def neardupJaccardOn(docs: DataFrame): DataFrame = {
@@ -367,7 +366,7 @@ object SetSimilarity {
   }
 
   def neardupLsh(s: SparkSession, d: String): DataFrame =
-    neardupLshOn(documents(s, d))
+    neardupLshOn(documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
 
   /** q24 over a caller-supplied (doc_id, text) corpus. */
   def neardupLshOn(docs: DataFrame): DataFrame =
@@ -519,7 +518,7 @@ object SetSimilarity {
     * feature space). Shares [[lshCandidates]] and the merge-intersect
     * verify; only the feature extractor and thresholds differ. */
   def shingleNeardup(s: SparkSession, d: String): DataFrame =
-    shingleNeardupOn(documents(s, d))
+    shingleNeardupOn(documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
 
   /** q58 over a caller-supplied (doc_id, text) corpus. */
   def shingleNeardupOn(docs: DataFrame): DataFrame = {
@@ -639,7 +638,6 @@ object SetSimilarity {
       hits.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("doc_a", "dup_of")
     else hits.dropDuplicates("doc_a", "dup_of")
-      .orderBy(col("doc_a"), col("dup_of"))
   }
 
   /** The delta slice q90 screens against the rest of the corpus — one
@@ -665,6 +663,7 @@ object SetSimilarity {
         .select(col("doc_id"), col("text")),
       docs.filter(col("source") =!= DeltaSource)
         .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_a"), col("dup_of"))
   }
 
   val deltaScreenSql: String = {

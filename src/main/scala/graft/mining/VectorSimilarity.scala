@@ -195,8 +195,9 @@ object VectorSimilarity {
   def nearDupPairs(s: SparkSession, d: String, threshold: Double)
   : DataFrame = {
     val pts = embeddings(s, d).select(col("vec_id"), expr(vdExpr).as("vd"))
-    if (usesBucketedPath(threshold)) nearDupPairsBucketedOn(pts, threshold)
-    else nearDupPairsExactOn(pts, threshold)
+    (if (usesBucketedPath(threshold)) nearDupPairsBucketedOn(pts, threshold)
+     else nearDupPairsExactOn(pts, threshold))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   private[graft] def usesBucketedPath(threshold: Double): Boolean =
@@ -233,7 +234,6 @@ object VectorSimilarity {
       .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Exact all-pairs cosine scan over an arbitrary (vec_id, vd) frame —
@@ -249,7 +249,6 @@ object VectorSimilarity {
       .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), (floor(col("cos") * 1e6 + 0.5) / 1e6).as("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** q45: embedding-cosine near-duplicate pairs — every pair with
@@ -308,6 +307,7 @@ object VectorSimilarity {
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupOn(graft.cluster.KMeans.points(s, d),
       graft.cluster.KMeans.K, SemDedupCos)
+      .orderBy(col("vec_id"))
 
   /** q94 over an arbitrary (vec_id, vd) frame: seeds are the k
     * smallest vec_ids (the q39 init). */
@@ -334,7 +334,6 @@ object VectorSimilarity {
     asg.join(drops, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cluster"),
         col("dropped").isNull.as("keep"))
-      .orderBy(col("vec_id"))
   }
 
   val semDedupSql: String = {

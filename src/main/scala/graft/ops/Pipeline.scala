@@ -22,7 +22,7 @@ object Pipeline {
     * production choice — no transitive-closure pass). Anti-join on the
     * near-dup pair list, which is tiny relative to the corpus. */
   def corpusPrep(s: SparkSession, d: String): DataFrame =
-    corpusPrepOn(documents(s, d))
+    corpusPrepOn(documents(s, d)).orderBy(col("doc_id"))
 
   /** q61 over a caller-supplied (doc_id, text) corpus — the one-call
     * "clean my corpus" entry point. */
@@ -38,7 +38,6 @@ object Pipeline {
     val dupDropped = neardups
       .select(col("doc_b").as("doc_id")).distinct()
     kept.join(dupDropped, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
   val corpusPrepSql: String =
@@ -99,12 +98,11 @@ object Pipeline {
     * appear (they are their own canon). The pair list is output-sized
     * — tiny relative to the corpus — so the CC rounds are cheap. */
   def dupClusters(s: SparkSession, d: String): DataFrame =
-    dupClustersOn(documents(s, d))
+    dupClustersOn(documents(s, d)).orderBy(col("doc_id"))
 
   /** q65 over a caller-supplied (doc_id, text) corpus. */
   def dupClustersOn(docs: DataFrame): DataFrame =
     dupClustersFrom(SetSimilarity.shingleNeardupOn(docs))
-      .orderBy(col("doc_id"))
 
   /** The q65 canonicalization over an ALREADY-COMPUTED near-dup pair
     * list (doc_a, doc_b) — any of the q22/q24/q25/q45/q58 detectors
@@ -148,6 +146,7 @@ object Pipeline {
     val docs = documents(s, d)
     decontaminateOn(docs.filter(col("doc_id") >= DecontamEvalMax),
       docs.filter(col("doc_id") < DecontamEvalMax))
+      .orderBy(col("doc_id"))
   }
 
   /** q66 over caller-supplied corpus and eval-set DataFrames (both
@@ -161,7 +160,6 @@ object Pipeline {
       .join(broadcast(grams(evalDocs).select(col("g")).distinct()), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hits"))
-      .orderBy(col("doc_id"))
   }
 
   val decontaminateSql: String =
@@ -194,6 +192,7 @@ object Pipeline {
     * partitioning, so the DuckDB window replay verifies it exactly. */
   def tokenShards(s: SparkSession, d: String): DataFrame =
     tokenShardsOn(documents(s, d), TokenShardBudget)
+      .orderBy(col("doc_id"))
 
   /** q67 over a caller-supplied (doc_id, text) corpus. */
   def tokenShardsOn(docs: DataFrame, budget: Long): DataFrame =
@@ -231,7 +230,6 @@ object Pipeline {
         }
       }
       .toDF("doc_id", "n_tokens", "shard")
-      .orderBy(col("doc_id"))
       .localCheckpoint() // materialize before unpersisting the rdd
     rdd.unpersist(false)
     out
@@ -276,6 +274,7 @@ object Pipeline {
     * stepping row-rank by row-rank across all shards at once). */
   def packSequences(s: SparkSession, d: String): DataFrame =
     packSequencesOn(documents(s, d), TokenShardBudget, PackCapacity)
+      .orderBy(col("doc_id"))
 
   /** q148 over a caller-supplied (doc_id, text) corpus. */
   def packSequencesOn(docs: DataFrame, budget: Long, capacity: Long)
@@ -292,14 +291,18 @@ object Pipeline {
         val ds = it.toArray.sortBy(_._1)
         var bin = 0L
         var fill = 0L
+        // first-row flag, not `fill > 0` (ADVICE r10): a ZERO-token doc
+        // opening a shard leaves fill at 0, and the next doc must still
+        // take the overflow test — exactly the oracle CTE's rn>1 rule
+        var first = true
         ds.iterator.map { case (id, n, _) =>
-          if (fill > 0 && fill + n > capacity) { bin += 1; fill = n }
+          if (first) { first = false; fill = n }
+          else if (fill + n > capacity) { bin += 1; fill = n }
           else fill += n
           (id, n, shard, bin, fill)
         }
       }
       .toDF("doc_id", "n_tokens", "shard", "bin", "bin_fill")
-      .orderBy(col("doc_id"))
   }
 
   val packSequencesSql: String =
@@ -340,7 +343,7 @@ object Pipeline {
     * Map-side expression work over one scan; no shuffle but the
     * output sort. */
   def qualitySample(s: SparkSession, d: String): DataFrame =
-    qualitySampleOn(documents(s, d))
+    qualitySampleOn(documents(s, d)).orderBy(col("doc_id"))
 
   /** q68 over a caller-supplied (doc_id, text) corpus. */
   def qualitySampleOn(docs: DataFrame): DataFrame =
@@ -349,7 +352,6 @@ object Pipeline {
       .filter(expr(
         s"${graft.functions.Hashing.h60SparkSql("doc_id")} < " +
           s"CAST(floor(quality * $H60Range) AS BIGINT)"))
-      .orderBy(col("doc_id"))
 
   val qualitySampleSql: String =
     s"""WITH q AS (SELECT doc_id, quality FROM (${Text.docQualitySql}))
@@ -370,6 +372,7 @@ object Pipeline {
     * source's running token count (over that order) is under quota. */
   def sourceMixture(s: SparkSession, d: String): DataFrame =
     sourceMixtureOn(documents(s, d), SourceTokenQuota)
+      .orderBy(col("doc_id"))
 
   /** q69 over a caller-supplied (doc_id, source, text) corpus.
     *
@@ -447,7 +450,6 @@ object Pipeline {
     fullDocs.select(col("doc_id"), col("source"), col("n_tokens"))
       .unionByName(
         bndDocs.select(col("doc_id"), col("source"), col("n_tokens")))
-      .orderBy(col("doc_id"))
   }
 
   val sourceMixtureSql: String =
@@ -481,7 +483,7 @@ object Pipeline {
     * oracle comparison itself. Shuffle keys are pair-list-sized (CC
     * rounds) or `split` (2 groups after doc-keyed partials). */
   def leakageSplit(s: SparkSession, d: String): DataFrame =
-    leakageSplitOn(documents(s, d))
+    leakageSplitOn(documents(s, d)).orderBy(col("split"))
 
   /** q80 over a caller-supplied (doc_id, text) corpus. */
   def leakageSplitOn(docs: DataFrame): DataFrame = {
@@ -510,7 +512,6 @@ object Pipeline {
         sum(col("n_tokens")).as("n_tokens"),
         countDistinct(col("canon")).as("n_groups"))
       .crossJoin(broadcast(viol)) // 1-row scalar audit
-      .orderBy(col("split"))
   }
 
   val leakageSplitSql: String =
@@ -561,7 +562,7 @@ object Pipeline {
     * comparison is parity-safe; avg(quality) sums 4-dp doubles in
     * engine-specific order → the ulp-slack floor-half-up idiom. */
   def lengthCurriculum(s: SparkSession, d: String): DataFrame =
-    lengthCurriculumOn(documents(s, d))
+    lengthCurriculumOn(documents(s, d)).orderBy(col("stage"))
 
   /** q81 over a caller-supplied (doc_id, text) corpus. */
   def lengthCurriculumOn(docs: DataFrame): DataFrame = {
@@ -587,7 +588,6 @@ object Pipeline {
         sum(col("n_tokens")).as("sum_tokens"),
         expr("floor(avg(quality) * 1e4 + 0.5 + 1e-9) / 1e4")
           .as("avg_quality"))
-      .orderBy(col("stage"))
   }
 
   val lengthCurriculumSql: String =
@@ -623,7 +623,7 @@ object Pipeline {
     * the same product; share and epochs are integer ratios (plain
     * floor-half-up). */
   def mixtureWeights(s: SparkSession, d: String): DataFrame =
-    mixtureWeightsOn(documents(s, d), MixtureAlloc)
+    mixtureWeightsOn(documents(s, d), MixtureAlloc).orderBy(col("source"))
 
   /** q83 over a caller-supplied (doc_id, source, text) corpus. */
   def mixtureWeightsOn(docs: DataFrame, budget: Long): DataFrame = {
@@ -646,7 +646,6 @@ object Pipeline {
         "floor(CAST(alloc_tokens AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4"))
       .select(col("source"), col("n_tokens"), col("share"), col("weight"),
         col("alloc_tokens"), col("epochs"))
-      .orderBy(col("source"))
   }
 
   val mixtureWeightsSql: String =
@@ -679,6 +678,7 @@ object Pipeline {
     * join + a shard-keyed aggregate. */
   def shardManifest(s: SparkSession, d: String): DataFrame =
     shardManifestOn(documents(s, d), TokenShardBudget)
+      .orderBy(col("shard"))
 
   /** q84 over a caller-supplied (doc_id, text) corpus. */
   def shardManifestOn(docs: DataFrame, budget: Long): DataFrame =
@@ -697,7 +697,6 @@ object Pipeline {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
         expr("bit_xor(h)").as("checksum"))
-      .orderBy(col("shard"))
 
   val shardManifestSql: String =
     s"""WITH sh AS (SELECT * FROM ($tokenShardsSql)),
@@ -720,6 +719,7 @@ object Pipeline {
     * omitted (inner join). */
   def sourceGramOverlap(s: SparkSession, d: String): DataFrame =
     sourceGramOverlapOn(documents(s, d))
+      .orderBy(col("src_a"), col("src_b"))
 
   /** q85 over a caller-supplied (doc_id, source, text) corpus. */
   def sourceGramOverlapOn(docs: DataFrame): DataFrame = {
@@ -734,7 +734,6 @@ object Pipeline {
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
-      .orderBy(col("src_a"), col("src_b"))
   }
 
   val sourceGramOverlapSql: String =
@@ -771,7 +770,7 @@ object Pipeline {
     * boundary or a checksum, so the oracle compare gates the whole
     * DAG, not just the last stage. */
   def trainPipeline(s: SparkSession, d: String): DataFrame =
-    trainPipelineOn(documents(s, d))
+    trainPipelineOn(documents(s, d)).orderBy(col("shard"))
 
   /** q86 over a caller-supplied (doc_id, source, text) corpus. */
   def trainPipelineOn(docs0: DataFrame): DataFrame = {
@@ -895,7 +894,7 @@ object Pipeline {
       .select(col("key"), Hashing.h60(
         when(col("key") % 13 === 0, upper(col("text")))
           .otherwise(col("text"))).as("h"))
-    snapshotDiffOn(prev, next)
+    snapshotDiffOn(prev, next).orderBy(col("status"))
   }
 
   /** q98 over arbitrary (key, h) snapshots. */
@@ -912,7 +911,6 @@ object Pipeline {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"),
         expr(s"bit_xor(${Hashing.h60SparkSql("key")})").as("key_checksum"))
-      .orderBy(col("status"))
   }
 
   val snapshotDiffSql: String = {
@@ -955,7 +953,7 @@ object Pipeline {
     * Deterministic ties (token asc) keep the cut and the ids identical
     * in both engines. */
   def vocabEncode(s: SparkSession, d: String): DataFrame =
-    vocabEncodeOn(documents(s, d))
+    vocabEncodeOn(documents(s, d)).orderBy(col("id"))
 
   /** q111 over a caller-supplied (doc_id, text) corpus. */
   def vocabEncodeOn(docs: DataFrame): DataFrame = {
@@ -974,7 +972,6 @@ object Pipeline {
       .select(col("id"), col("token"), col("cnt"),
         (floor(col("cum").cast("double") / col("total_tokens")
           .cast("double") * 1e6 + 0.5) / 1e6).as("coverage"))
-      .orderBy(col("id"))
   }
 
   val vocabEncodeSql: String =
@@ -1024,6 +1021,7 @@ object Pipeline {
     val docs = documents(s, d)
     containmentOn(docs.filter(col("doc_id") >= DecontamEvalMax),
       docs.filter(col("doc_id") < DecontamEvalMax))
+      .orderBy(col("eval_id"), col("doc_id"))
   }
 
   /** q113 over caller-supplied corpus and eval-set DataFrames (both
@@ -1050,7 +1048,6 @@ object Pipeline {
       .filter(col("containment") >= ContainMin)
       .select(col("eval_id"), col("doc_id"), col("n_hits"),
         col("n_eval_grams"), col("containment"))
-      .orderBy(col("eval_id"), col("doc_id"))
   }
 
   val containmentDecontamSql: String =
@@ -1095,7 +1092,7 @@ object Pipeline {
     * combines. Reports each source's scaled chi-square and its top
     * drift-contributing token (deterministic argmax). */
   def sourceDrift(s: SparkSession, d: String): DataFrame =
-    sourceDriftOn(documents(s, d))
+    sourceDriftOn(documents(s, d)).orderBy(col("source"))
 
   /** q114 over a caller-supplied (source, text) corpus. */
   def sourceDriftOn(docs: DataFrame): DataFrame = {
@@ -1125,7 +1122,6 @@ object Pipeline {
         sum(col("term_1e6")).as("chi2_1e6"),
         min(struct((-col("term_1e6")).as("neg"), col("token")))
           .getField("token").as("top_token"))
-      .orderBy(col("source"))
   }
 
   val sourceDriftSql: String =
@@ -1182,6 +1178,7 @@ object Pipeline {
     * rows per source of the aggregated matrix, never over documents. */
   def qualityProfile(s: SparkSession, d: String): DataFrame =
     qualityProfileOn(documents(s, d))
+      .orderBy(col("source"), col("quartile"))
 
   /** q116 over a caller-supplied (doc_id, source, text) corpus. */
   def qualityProfileOn(docs: DataFrame): DataFrame = {
@@ -1206,7 +1203,6 @@ object Pipeline {
       .withColumn("frac", floor(col("n_docs").cast("double") /
         sum(col("n_docs")).over(Window.partitionBy(col("source")))
           .cast("double") * 1e4 + 0.5) / 1e4)
-      .orderBy(col("source"), col("quartile"))
   }
 
   val qualityProfileSql: String =
@@ -1240,7 +1236,7 @@ object Pipeline {
     * bounded grid picks the lower weighted median by the integer test
     * 2·cum ≥ total. All arithmetic integral until the final /1e4. */
   def weightedMedianQuality(s: SparkSession, d: String): DataFrame =
-    weightedMedianQualityOn(documents(s, d))
+    weightedMedianQualityOn(documents(s, d)).orderBy(col("source"))
 
   /** q132 over a caller-supplied (doc_id, source, text) corpus. */
   def weightedMedianQualityOn(docs: DataFrame): DataFrame = {
@@ -1265,7 +1261,6 @@ object Pipeline {
       .agg(min(col("qk")).as("qk"), max(col("total")).as("total_tokens"))
       .select(col("source"), (col("qk").cast("double") / 1e4)
         .as("weighted_median_quality"), col("total_tokens"))
-      .orderBy(col("source"))
   }
 
   val weightedMedianQualitySql: String =

@@ -377,7 +377,7 @@ object Text {
     * the per-document top-k window partitions by doc_id, so no skew
     * (documents are bounded). */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
-    tfidfTopTermsOn(documents(s, d))
+    tfidfTopTermsOn(documents(s, d)).orderBy(col("doc_id"), col("rk"))
 
   /** q57 over a caller-supplied (doc_id, text) corpus. */
   def tfidfTopTermsOn(docs: DataFrame): DataFrame = {
@@ -404,7 +404,6 @@ object Text {
       .filter(col("rk") <= TfidfTopK)
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
         (floor(col("score") * 1e4 + 0.5) / 1e4).as("tfidf"))
-      .orderBy(col("doc_id"), col("rk"))
   }
 
   val tfidfTopTermsSql: String =
@@ -438,14 +437,17 @@ object Text {
     * cascade stays linear at 100 TB and the verdict join keys are
     * doc-bounded. */
   def curation(s: SparkSession, d: String): DataFrame =
-    curationOn(documents(s, d))
+    curationOn(documents(s, d)).orderBy(col("doc_id"))
 
   /** q59 over a caller-supplied (doc_id, text) corpus. All stateless
     * signals ride one [[signalChainOn]] projection (no quality⋈
     * repetition join); the single join is the one the semantics force
-    * — the exact-dup survivor rule needs cross-row state (md5 window). */
+    * — the exact-dup survivor rule needs cross-row state (md5 window).
+    * UNORDERED like every `*On` entry point — a corpus-wide
+    * presentation sort under a composition (q61's kept-set filter)
+    * would be pure waste; the registered q59 wrapper sorts. */
   def curationOn(docs: DataFrame): DataFrame =
-    curationFrom(signalChainOn(docs), docs).orderBy(col("doc_id"))
+    curationFrom(signalChainOn(docs), docs)
 
   /** The q59 verdict over a PRE-COMPUTED signal frame (any frame with
     * doc_id, n_tokens, quality, repetitive — usually a checkpointed
@@ -540,6 +542,7 @@ object Text {
     * .xxxx5 boundaries. */
   def bigramLm(s: SparkSession, d: String): DataFrame =
     bigramLmOn(documents(s, d))
+      .orderBy(col("w1"), col("c").desc, col("w2"))
 
   /** q71 over a caller-supplied (doc_id, text) corpus. Top-k and the
     * context total ride ONE w1-keyed aggregate through the bounded
@@ -562,7 +565,6 @@ object Text {
       .select(col("w1"), col("t._2").as("w2"), col("t._1").as("c"),
         (floor(col("t._1").cast("double") / col("total") * 1e4 + 0.5)
           / 1e4).as("p"))
-      .orderBy(col("w1"), col("c").desc, col("w2"))
   }
 
   val bigramLmSql: String =
@@ -590,7 +592,7 @@ object Text {
     * to (term, doc_id, tf), a term-keyed aggregate; posting lists stay
     * bounded by the sample cut so no row grows with the corpus. */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
-    invertedIndexOn(documents(s, d))
+    invertedIndexOn(documents(s, d)).orderBy(col("term"))
 
   /** q72 over a caller-supplied (doc_id, text) corpus. The posting
     * sample comes from a bounded k-smallest Aggregator
@@ -609,7 +611,6 @@ object Text {
         sum(col("tf")).as("total_tf"),
         array_join(minK(col("doc_id")).cast("array<string>"), ",")
           .as("postings"))
-      .orderBy(col("term"))
   }
 
   val invertedIndexSql: String =
@@ -634,7 +635,7 @@ object Text {
     * plain floor-half-up 4-dp needs no ulp slack. Docs with < 3 tokens
     * have no grams and are excluded (both engines). */
   def novelty(s: SparkSession, d: String): DataFrame =
-    noveltyOn(documents(s, d))
+    noveltyOn(documents(s, d)).orderBy(col("doc_id"))
 
   /** q82 over a caller-supplied (doc_id, text) corpus. */
   def noveltyOn(docs: DataFrame): DataFrame = {
@@ -650,7 +651,6 @@ object Text {
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
       .withColumn("novelty",
         expr("floor(CAST(n_unique AS DOUBLE) / n_grams * 1e4 + 0.5) / 1e4"))
-      .orderBy(col("doc_id"))
   }
 
   val noveltySql: String =
@@ -696,7 +696,7 @@ object Text {
     * of a rounding boundary (the only exact case, all-ln(1) = 0, is
     * exact in both), so the slack floor absorbs it. */
   def lmQuality(s: SparkSession, d: String): DataFrame =
-    lmQualityOn(documents(s, d))
+    lmQualityOn(documents(s, d)).orderBy(col("doc_id"))
 
   /** q88 over a caller-supplied (doc_id, text) corpus. Documents with
     * fewer than 2 tokens have no bigrams and are excluded (both
@@ -731,7 +731,6 @@ object Text {
         (col("lp_u6") / 1e6).as("avg_logp"),
         // all-OOV docs have no finite avg_logp — worst quality, flag
         coalesce(col("lp_u6") < col("p25"), lit(true)).as("low_q"))
-      .orderBy(col("doc_id"))
   }
 
   val lmQualitySql: String =
@@ -781,7 +780,7 @@ object Text {
     * corpus chunks embarrassingly parallel; the ~W/S duplication
     * factor is the caller's storage choice, not a join blow-up. */
   def docChunks(s: SparkSession, d: String): DataFrame =
-    docChunksOn(documents(s, d))
+    docChunksOn(documents(s, d)).orderBy(col("doc_id"), col("chunk_idx"))
 
   /** q95 over a caller-supplied (doc_id, text) corpus. */
   def docChunksOn(docs: DataFrame): DataFrame =
@@ -796,7 +795,6 @@ object Text {
         expr(s"size(slice(toks, st, $ChunkWin))").cast("long").as("n_toks"),
         expr(graft.functions.Hashing.h60SparkSql(
           s"concat_ws(' ', slice(toks, st, $ChunkWin))")).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   val docChunksSql: String = {
     val (w, s) = (ChunkWin, ChunkStride)
@@ -954,6 +952,7 @@ object Text {
     * survives an unbounded vocabulary). */
   def sourceTerms(s: SparkSession, d: String): DataFrame =
     sourceTermsOn(graft.Tables.documents(s, d))
+      .orderBy(col("source"), col("score_1e6").desc, col("token"))
 
   /** q120 over a caller-supplied (source, text) corpus. */
   def sourceTermsOn(docs: DataFrame): DataFrame = {
@@ -980,7 +979,6 @@ object Text {
       .select(col("source"), explode(col("tops")).as("t"))
       .select(col("source"), col("t._2").as("token"),
         col("t._1").as("score_1e6"))
-      .orderBy(col("source"), col("score_1e6").desc, col("token"))
   }
 
   val sourceTermsSql: String =

@@ -103,9 +103,18 @@ object KernelRewrite extends Rule[LogicalPlan] {
     * Runs AFTER the HOF pass, so it sees [[DotProductExpr]] children
     * whether the user wrote kernels or HOFs. The norm factors may
     * appear in either order; all three dots must reference the same
-    * two arrays (semantic equality — alias-safe). */
+    * two arrays (semantic equality — alias-safe).
+    *
+    * Error semantics (ADVICE r10): the divide's OWN evalMode — not the
+    * session ANSI flag at optimization time — decides the fused
+    * kernel's zero-norm behavior, so a LEGACY plan optimized under a
+    * later `SET ansi.enabled=true` (or vice versa) keeps its analyzed
+    * semantics. A TRY-mode divide (`try_divide`) must yield NULL on
+    * zero norms under ANSI; the kernel has no TRY path, so TRY never
+    * fuses. */
   private def rewriteCos(div: Divide): Option[Expression] = div match {
-    case Divide(DotProductExpr(a, b), Multiply(p, q, _), _) =>
+    case Divide(DotProductExpr(a, b), Multiply(p, q, _), mode)
+        if mode != EvalMode.TRY =>
       def normOf(e: Expression): Option[Expression] = e match {
         case Sqrt(DotProductExpr(x, y)) if x.semanticEquals(y) => Some(x)
         case _ => None
@@ -114,7 +123,7 @@ object KernelRewrite extends Rule[LogicalPlan] {
         case (Some(x), Some(y))
           if (x.semanticEquals(a) && y.semanticEquals(b)) ||
             (x.semanticEquals(b) && y.semanticEquals(a)) =>
-          Some(CosineSimExpr(a, b))
+          Some(CosineSimExpr(a, b, failOnError = mode == EvalMode.ANSI))
         case _ => None
       }
     case _ => None

@@ -96,6 +96,45 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("liveIds covers blocks persisted by an IN-FLIGHT build — a " +
+      "concurrent hygiene sweep cannot unpersist a lineage-cut block " +
+      "before the entry publishes") {
+    import spark.implicits._
+    val persisted = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var buildIds: Set[Int] = Set.empty
+    val t = new Thread(() => {
+      Memo.of(spark, "d", "inflight") {
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        // the builder checkpoints an intermediate (lineage cut HERE,
+        // long before Cell.built publishes) — exactly the window the
+        // pre-fix liveIds left sweepable
+        val df = Seq((1L, "x")).toDF("id", "tag").localCheckpoint()
+        buildIds = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+        persisted.countDown()
+        assert(release.await(30, TimeUnit.SECONDS), "never released")
+        df
+      }
+      ()
+    })
+    t.start()
+    try {
+      assert(persisted.await(30, TimeUnit.SECONDS), "build never started")
+      assert(buildIds.nonEmpty, "builder persisted no block — test inert")
+      val live = Memo.liveIds(spark)
+      assert(buildIds.subsetOf(live),
+        s"in-flight build's blocks $buildIds missing from liveIds $live" +
+          " — a hygiene sweep running now would unpersist an " +
+          "unrecoverable lineage-cut block")
+    } finally {
+      release.countDown()
+      t.join(60000)
+    }
+    // after the build completes, the same ids are owned the normal way
+    assert(buildIds.subsetOf(Memo.liveIds(spark)))
+    Memo.clear(spark)
+  }
+
   test("buildSeconds reports built artifacts of the live context, " +
       "keyed dir#name") {
     import spark.implicits._

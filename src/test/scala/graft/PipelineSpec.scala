@@ -301,9 +301,12 @@ class PipelineSpec extends AnyFunSuite {
   test("q80-q83 outputs are partitioning-invariant") {
     import org.apache.spark.sql.DataFrame
     val reparted = corpus.repartition(7)
+    // sorted compare: the *On entry points are UNSORTED by contract
+    // (VERDICT r10 item 7), so the invariant is set equality — row
+    // order is the registered wrappers' job
     def same(f: DataFrame => DataFrame): Unit = {
-      val a = f(corpus).collect().map(_.toString).toSeq
-      val b = f(reparted).collect().map(_.toString).toSeq
+      val a = f(corpus).collect().map(_.toString).toSeq.sorted
+      val b = f(reparted).collect().map(_.toString).toSeq.sorted
       assert(a == b)
     }
     same(Pipeline.leakageSplitOn)
@@ -317,14 +320,14 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "s1", "short doc one"), (4L, "s3", good.take(80)))
       .toDF("doc_id", "source", "text")
     val w1 = Pipeline.mixtureWeightsOn(srcd, 5000L)
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     val w2 = Pipeline.mixtureWeightsOn(srcd.repartition(5), 5000L)
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     assert(w1 == w2)
     val o1 = Pipeline.sourceGramOverlapOn(srcd)
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     val o2 = Pipeline.sourceGramOverlapOn(srcd.repartition(5))
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     assert(o1 == o2)
   }
 
@@ -618,6 +621,70 @@ class PipelineSpec extends AnyFunSuite {
     // below c's
     assert(rows("a")._2 > 0 && rows("b")._2 > 0)
     assert(rows.values.map(_._1).toSeq.sorted == Seq(7L, 7L, 7L))
+  }
+
+  test("*On entry points carry no presentation Sort — compositions " +
+      "never inherit a corpus-wide orderBy (VERDICT r10 item 7)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit,
+      LocalLimit, LogicalPlan, Sort}
+    val docs = (0L until 40L).map(i =>
+      (i, s"src${i % 3}", s"the a w$i quick brown fox " * 4))
+      .toDF("doc_id", "source", "text")
+    // a GLOBAL Sort is presentation; Sort-under-Limit is a top-k
+    // (TakeOrdered — semantic, physical plan never full-sorts) and
+    // window/partition-local sorts are global=false
+    def offending(p: LogicalPlan): Seq[Sort] = {
+      val topK = p.collect { case g: GlobalLimit => g.child }.flatMap {
+        case LocalLimit(_, s: Sort) => Seq(s)
+        case s: Sort => Seq(s)
+        case _ => Seq.empty
+      }.toSet
+      p.collect { case s: Sort if s.global && !topK(s) => s }
+    }
+    def noSort(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val bad = offending(df.queryExecution.optimizedPlan)
+      assert(bad.isEmpty,
+        s"$label plan carries a global presentation Sort:\n" +
+          df.queryExecution.optimizedPlan)
+    }
+    noSort(Text.curationOn(docs), "curationOn")
+    noSort(Text.noveltyOn(docs), "noveltyOn")
+    noSort(Text.lmQualityOn(docs), "lmQualityOn")
+    noSort(Text.tfidfTopTermsOn(docs), "tfidfTopTermsOn")
+    noSort(Text.docChunksOn(docs), "docChunksOn")
+    noSort(Text.invertedIndexOn(docs), "invertedIndexOn")
+    noSort(Text.bigramLmOn(docs), "bigramLmOn")
+    noSort(Text.sourceTermsOn(docs), "sourceTermsOn")
+    noSort(Pipeline.corpusPrepOn(docs), "corpusPrepOn")
+    noSort(Pipeline.dupClustersOn(docs), "dupClustersOn")
+    noSort(Pipeline.decontaminateOn(docs, docs.limit(5)), "decontaminateOn")
+    noSort(Pipeline.qualitySampleOn(docs), "qualitySampleOn")
+    noSort(Pipeline.sourceMixtureOn(docs, 500L), "sourceMixtureOn")
+    noSort(Pipeline.leakageSplitOn(docs), "leakageSplitOn")
+    noSort(Pipeline.lengthCurriculumOn(docs), "lengthCurriculumOn")
+    noSort(Pipeline.mixtureWeightsOn(docs, 1000L), "mixtureWeightsOn")
+    noSort(Pipeline.shardManifestOn(docs, 200L), "shardManifestOn")
+    noSort(Pipeline.sourceGramOverlapOn(docs), "sourceGramOverlapOn")
+    noSort(Pipeline.trainPipelineOn(docs), "trainPipelineOn")
+    noSort(Pipeline.tokenShardsOn(docs, 200L), "tokenShardsOn")
+    noSort(Pipeline.packSequencesOn(docs, 200L, 60L), "packSequencesOn")
+    noSort(Pipeline.vocabEncodeOn(docs), "vocabEncodeOn")
+    noSort(Pipeline.containmentOn(docs, docs.limit(5)), "containmentOn")
+    noSort(Pipeline.sourceDriftOn(docs), "sourceDriftOn")
+    noSort(Pipeline.qualityProfileOn(docs), "qualityProfileOn")
+    noSort(Pipeline.weightedMedianQualityOn(docs), "weightedMedianQualityOn")
+    noSort(graft.mining.SetSimilarity.shingleNeardupOn(docs),
+      "shingleNeardupOn")
+    noSort(graft.mining.SetSimilarity.neardupJaccardOn(docs),
+      "neardupJaccardOn")
+    noSort(graft.mining.SetSimilarity.neardupLshOn(docs), "neardupLshOn")
+    // and the registered wrappers DO sort (the user-facing contract)
+    val wrapped = Pipeline.corpusPrep(spark, sfDir)
+    assert(offending(wrapped.queryExecution.optimizedPlan).nonEmpty ||
+      wrapped.queryExecution.optimizedPlan.collect {
+        case s: Sort if s.global => s }.nonEmpty,
+      "registered q61 wrapper lost its presentation sort")
   }
 
   test("q148 packing: bins respect capacity, docs are atomic, and the " +

@@ -353,6 +353,52 @@ class PlansSpec extends AnyFunSuite {
     finally spark.conf.set("spark.graft.autoKernel", "false")
   }
 
+  test("cosine fuse never hardens error semantics: try_divide stays " +
+      "NULL-on-zero-norm under ANSI, and a LEGACY-analyzed divide " +
+      "keeps NULL after the session flips to ANSI") {
+    import spark.implicits._
+    // ADVICE r10: the fuse must take its failOnError from the DIVIDE'S
+    // OWN evalMode, never from the session ANSI flag at optimization
+    // time. try_divide over doubles normalizes upstream to a LEGACY
+    // divide (double TRY ≡ LEGACY — both NULL on zero), so the fuse
+    // MAY fire; what it must never do is capture the session's ANSI
+    // flag and turn that NULL into DIVIDE_BY_ZERO. A genuine TRY-mode
+    // divide (if one ever reaches the rule) is skipped outright.
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(2.0, 1.0)),
+      (2L, Seq(0.0, 0.0), Seq(1.0, 3.0))) // zero norm — the TRY case
+      .toDF("id", "a", "b")
+      .repartition(2) // keep ConvertToLocalRelation from pre-folding
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "test assumes the session default is ANSI")
+    def checkNullOnZero(q: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = q.queryExecution.optimizedPlan.toString
+      // if it fused, the kernel must carry failOnError=false
+      assert("graft_cos\\([^)]*true\\)".r.findFirstIn(plan).isEmpty,
+        s"fuse captured ANSI failOnError for a non-ANSI divide:\n$plan")
+      val got = q.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+      assert(got(2L), "zero norm must be NULL, not DIVIDE_BY_ZERO")
+      assert(!got(1L), "nonzero-norm cosine must still compute")
+    }
+    spark.conf.set("spark.graft.autoKernel", "true")
+    try {
+      checkNullOnZero(df.select(col("id"), expr(
+        "try_divide(graft_dot(a, b), sqrt(graft_dot(a, a)) * " +
+          "sqrt(graft_dot(b, b)))").as("c")))
+      // the ADVICE drift case: `/` ANALYZED under legacy captures
+      // EvalMode.LEGACY in the Divide node; the session then returns
+      // to ANSI before optimization+execution — the fuse must keep
+      // the node's analyzed semantics (NULL), not re-read the flag
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val legacyQ =
+        try df.select(col("id"), expr(
+          "graft_dot(a, b) / (sqrt(graft_dot(a, a)) * " +
+            "sqrt(graft_dot(b, b)))").as("c"))
+        finally spark.conf.set("spark.sql.ansi.enabled", "true")
+      checkNullOnZero(legacyQ)
+    } finally spark.conf.set("spark.graft.autoKernel", "false")
+  }
+
   test("q147 runs UNDER the rewrite: optimized plan holds one fused " +
       "graft_cos and results equal the rule-off run") {
     val fn = SparkEntry.queries("q147_cos_pairs")

@@ -158,6 +158,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ContentScoreAgg profile buffer: bounded insert over any " +
+      "reduce/merge split == stable sort.take(topF)") {
+    import SparkTestSession._
+    // finish() is exercised by the q89 oracle; this pins the BUFFER
+    // law after the per-row sort became a bounded insert (VERDICT r10
+    // item 4): any partitioning of the input rows must produce exactly
+    // the global (w desc, f asc) top-F profile
+    val idx = spark.sparkContext.broadcast(
+      graft.mining.Recommend.ClassIndex(
+        Map.empty, Array.empty[Long], Array.empty))
+    val rowGen = Gen.zip(
+      Gen.oneOf("a", "b", "c", "d", "e", "f", "g"),
+      Gen.chooseNum(1L, 50L))
+    val xsGen = Gen.listOf(rowGen)
+    val fGen = Gen.chooseNum(1, 6)
+    check(Prop.forAll(xsGen, xsGen, fGen) { (a, b, topF) =>
+      val agg = new graft.mining.Recommend.ContentScoreAgg(idx, topF, 4)
+      val got = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      got == (a ++ b).sortBy { case (f, w) => (-w, f) }.take(topF)
+    })
+  }
+
   test("q148 distributed packing == sequential greedy replay on random " +
       "corpora") {
     import SparkTestSession._
@@ -166,7 +190,10 @@ class PropertySpec extends AnyFunSuite {
     // the distributed shard-then-pack must equal a single sequential
     // pass that shards by the same running-token rule then packs
     // greedily within each shard
-    val lensGen = Gen.listOfN(40, Gen.chooseNum(1, 80))
+    // 0-length docs included (ADVICE r10): a zero-token doc opening a
+    // shard followed by an over-capacity doc is exactly the case where
+    // a `fill > 0` guard and the oracle's first-row rule diverge
+    val lensGen = Gen.listOfN(40, Gen.chooseNum(0, 80))
     val capGen = Gen.chooseNum(20L, 60L)
     val budGen = Gen.chooseNum(100L, 300L)
     check(Prop.forAll(lensGen, capGen, budGen) { (lens, cap, budget) =>
@@ -176,16 +203,19 @@ class PropertySpec extends AnyFunSuite {
       val got = graft.ops.Pipeline.packSequencesOn(docs, budget, cap)
         .collect().map(r => (r.getLong(0),
           (r.getLong(2), r.getLong(3)))).toMap
-      // reference: one sequential pass over doc_id order
+      // reference: one sequential pass over doc_id order, first row of
+      // a shard always opens bin 0 (the oracle CTE's rn=1 anchor)
       var cum = 0L
       var shardState = Map.empty[Long, (Long, Long)] // shard -> (bin, fill)
       val want = lens.zipWithIndex.map { case (n, i) =>
         val shard = cum / budget
         cum += n
-        val (bin, fill) = shardState.getOrElse(shard, (0L, 0L))
-        val (nb, nf) =
-          if (fill > 0 && fill + n > cap) (bin + 1, n.toLong)
-          else (bin, fill + n)
+        val (nb, nf) = shardState.get(shard) match {
+          case None => (0L, n.toLong)
+          case Some((bin, fill)) =>
+            if (fill + n > cap) (bin + 1, n.toLong)
+            else (bin, fill + n)
+        }
         shardState += shard -> (nb, nf)
         i.toLong -> (shard, nb)
       }.toMap
