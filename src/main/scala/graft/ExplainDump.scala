@@ -120,6 +120,12 @@ object ExplainDump {
           "max-of-struct argmax per probe (partial aggregation, no " +
           "per-probe window sort); left join preserves probes with " +
           "no prior state"),
+      ("_q68_on_unsorted",
+        "qualitySampleOn — a representative *On entry point: the " +
+          "map-side signal+filter chain ends WITHOUT a Sort (every " +
+          "*On returns unsorted so compositions never inherit a " +
+          "corpus-wide presentation sort; the registered q68 wrapper " +
+          "adds the orderBy)"),
       ("q90_delta_screen",
         "incremental ingest dedup: source=delta pushed into the " +
           "parquet scan (PushedFilters), delta features computed " +
@@ -142,6 +148,8 @@ object ExplainDump {
           Recommend.copurchases(spark, sfDir),
           Tables.part(spark, sfDir), Recommend.UserItemCap,
           Recommend.ProfileTopF, Recommend.RecK)
+        case "_q68_on_unsorted" => graft.ops.Pipeline.qualitySampleOn(
+          Tables.documents(spark, sfDir))
         case _ => SparkEntry.queries(name)(spark, sfDir)
       }
       val plan = df.queryExecution.explainString(

@@ -194,6 +194,15 @@ object StreamBench {
       val progs = allProgs.filterNot(p => skip(p.batchId))
       val inputRows = progs.map(_.numInputRows).sum
       val batches = progs.size.toLong
+      // throughput over the counted batches' PROCESSING time, not the
+      // wall window: with ~3 s batches a 12 s window truncates mid-
+      // batch (rows uncounted, time counted) and quantization noise
+      // swamps the capacity number. Σ triggerExecution is the engine
+      // time that actually produced inputRows.
+      val procMs = progs.map { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+      }.sum
       // PEAK state size across the WHOLE run incl. batch 0 (watermark
       // eviction can empty the store by the last batch — the peak is
       // the capacity number)
@@ -201,7 +210,10 @@ object StreamBench {
         .filter(p => p.stateOperators != null && p.stateOperators.nonEmpty)
         .map(_.stateOperators.map(_.numRowsTotal).sum)
         .foldLeft(0L)(math.max)
-      (inputRows / elapsed, inputRows, batches, stateRows, startupSec)
+      val thr =
+        if (procMs > 0) inputRows * 1000.0 / procMs
+        else inputRows / elapsed
+      (thr, inputRows, batches, stateRows, startupSec)
     }
 
     def r1(v: Double): String =

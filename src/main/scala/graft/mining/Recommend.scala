@@ -156,10 +156,11 @@ object Recommend {
   }
 
   /** Item-CF over any (u, i) interaction frame (need not be distinct —
-    * the matrix build dedups). */
+    * the matrix build dedups). UNORDERED like every `*On` entry point
+    * — the registered q87 wrapper sorts. */
   def itemCfOn(interactions: DataFrame, cap: Int, coMin: Int,
       topM: Int, k: Int): DataFrame =
-    itemCfFromUi(uiMatrix(interactions, cap), coMin, topM, k)
+    itemCfTop(uiMatrix(interactions, cap), coMin, topM, k)
 
   /** q87's scoring over a PREBUILT (checkpointed) user-item matrix —
     * the composition entry q92 uses so the matrix builds once. Ordered
@@ -199,7 +200,13 @@ object Recommend {
       .select(col("u"), col("j"), col("sim"))
       .groupBy(col("u"), col("j"))
       .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
-      .join(ui.select(col("u"), col("i").as("j")),
+      // shuffle-HASH anti-join (hinted): the default sort-merge plan
+      // sorted BOTH sides — the aggregated candidate frame (the
+      // biggest relation in the query) and the corpus ui — purely to
+      // merge on (u, j). Hashing the ui side instead drops both sorts;
+      // per-partition build state is ui/nPartitions, the same bound
+      // any shuffle join carries.
+      .join(ui.select(col("u"), col("i").as("j")).hint("shuffle_hash"),
         Seq("u", "j"), "left_anti") // drop already-owned
     val rw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("j").asc)
@@ -230,6 +237,7 @@ object Recommend {
     * of two ExistingRDD scans. */
   def hybridRec(s: SparkSession, d: String): DataFrame =
     fuse(cfArtifact(s, d), cnArtifact(s, d), RecK)
+      .orderBy(col("custkey"), col("rec_rank"))
 
   /** q92 over explicit inputs (no memo) — the scale-stress/test entry.
     * Feeds the UNORDERED arm tops into the fusion: the arms' global
@@ -260,7 +268,6 @@ object Recommend {
     merged.withColumn("rec_rank", row_number().over(w).cast("long"))
       .filter(col("rec_rank") <= k)
       .select(col("custkey"), col("rec_rank"), col("item"), col("score"))
-      .orderBy(col("custkey"), col("rec_rank"))
   }
 
   // lazy: interpolates itemCfSql/contentRecSql, declared later in this
@@ -353,10 +360,12 @@ object Recommend {
     cnArtifact(s, d).orderBy(col("custkey"), col("rec_rank"))
 
   /** Content-based rec over any (u, i) interaction frame and any
-    * catalog frame with (p_partkey, p_name, p_brand, p_type). */
+    * catalog frame with (p_partkey, p_name, p_brand, p_type).
+    * UNORDERED like every `*On` entry point — the registered q89
+    * wrapper sorts. */
   def contentRecOn(interactions: DataFrame, p: DataFrame, cap: Int,
       profTopF: Int, k: Int): DataFrame =
-    contentRecFromUi(uiMatrix(interactions, cap), p, cap, profTopF, k)
+    contentTop(uiMatrix(interactions, cap), p, cap, profTopF, k)
 
   /** q89's scoring over a PREBUILT (checkpointed) user-item matrix —
     * the composition entry q92 uses so the matrix builds once. `cap`

@@ -679,6 +679,17 @@ class PipelineSpec extends AnyFunSuite {
     noSort(graft.mining.SetSimilarity.neardupJaccardOn(docs),
       "neardupJaccardOn")
     noSort(graft.mining.SetSimilarity.neardupLshOn(docs), "neardupLshOn")
+    val interactions = (0L until 30L).flatMap(u =>
+      Seq((u, u % 7), (u, (u + 1) % 7))).toDF("u", "i")
+    val catalog = (0L until 7L).map(i =>
+      (i, s"name$i", s"brand${i % 2}", "T"))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    noSort(graft.mining.Recommend.itemCfOn(interactions, 64, 2, 20, 3),
+      "itemCfOn")
+    noSort(graft.mining.Recommend.contentRecOn(interactions, catalog,
+      64, 32, 3), "contentRecOn")
+    noSort(graft.mining.Recommend.hybridRecOn(interactions, catalog,
+      64, 2, 20, 32, 3), "hybridRecOn")
     // and the registered wrappers DO sort (the user-facing contract)
     val wrapped = Pipeline.corpusPrep(spark, sfDir)
     assert(offending(wrapped.queryExecution.optimizedPlan).nonEmpty ||

@@ -96,7 +96,7 @@ class RecommendSpec extends AnyFunSuite {
         ui(1L -> 18L, 2L -> 1L, 2L -> 2L, 3L -> 19L, 3L -> 20L),
         parts, cap = 64, profTopF = 32, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toSeq
+        r.getDouble(3))).toSeq.sortBy(t => (t._1, t._2)) // *On is unsorted
     assert(recs == Seq(
       (1L, 1L, 19L, 0.5),
       (3L, 1L, 18L, 0.353553)), s"got $recs")
@@ -118,7 +118,7 @@ class RecommendSpec extends AnyFunSuite {
     val recs = Recommend.contentRecOn(
         ui(9L -> 11L, 9L -> 12L), parts, cap = 2, profTopF = 32, k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toSeq
+        r.getDouble(3))).toSeq.sortBy(t => (t._1, t._2)) // *On is unsorted
     assert(recs == Seq((9L, 1L, 13L, 1.0), (9L, 2L, 14L, 1.0)),
       s"got $recs")
   }
@@ -152,7 +152,7 @@ class RecommendSpec extends AnyFunSuite {
       }.sortBy(t => (t._1, t._2))
     val got = Recommend.hybridRecOn(m, parts, 64, 2, 20, 32, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toSeq
+        r.getDouble(3))).toSeq.sortBy(t => (t._1, t._2)) // *On is unsorted
     assert(cf.nonEmpty && cn.nonEmpty, "fixture must exercise both paths")
     assert(got == expected, s"got $got\nexpected $expected")
   }
@@ -202,5 +202,42 @@ class RecommendSpec extends AnyFunSuite {
       big.contains("ShuffledHashJoin"),
       s"over-gate dim did not fall back to shuffle hash:\n$big")
     assert(nSmall == nBig && nSmall == 200L)
+  }
+
+  test("ContentScoreAgg buffer law: bounded-insert reduce ≡ stable " +
+      "sort-then-take, in any reduce/merge split (200 scalacheck runs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the law the per-row hot path must keep (VERDICT r10 item 4):
+    // folding reduce over any input order, with arbitrary partition
+    // splits merged pairwise, lands on exactly what the old
+    // `(all).sorted(ord).take(topF)` produced — including w ties
+    // (f asc breaks them) and duplicate features.
+    val idx = spark.sparkContext.broadcast(
+      Recommend.ClassIndex(Map.empty, Array.emptyLongArray, Array.empty))
+    val rowGen: Gen[(String, Long)] = for {
+      f <- Gen.chooseNum(0, 9).map(i => s"f$i") // few names → many ties
+      w <- Gen.chooseNum(0L, 5L)
+    } yield (f, w)
+    val caseGen: Gen[(Int, List[(String, Long)], Int)] = for {
+      topF <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOf(rowGen)
+      nSplit <- Gen.chooseNum(1, 4)
+    } yield (topF, rows, nSplit)
+    val ord: Ordering[(String, Long)] =
+      Ordering.by { case (f, w) => (-w, f) }
+    (0 until 200).foreach { i =>
+      val (topF, rows, nSplit) =
+        caseGen(Gen.Parameters.default, Seed(0xC0FFEEL + i)).get
+      val agg = new Recommend.ContentScoreAgg(idx, topF, topF + 2)
+      val parts = rows.grouped(math.max(1, rows.size / nSplit)).toSeq
+      val got = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val want = rows.sorted(ord).take(topF)
+      assert(got == want,
+        s"case $i (topF=$topF, splits=${parts.size}): $got != $want " +
+          s"for $rows")
+    }
+    idx.destroy()
   }
 }
