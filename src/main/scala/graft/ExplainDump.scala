@@ -86,9 +86,10 @@ object ExplainDump {
           "window — nothing is rebuilt when q87/q89 ran in-session"),
       ("_cf_build",
         "q87's underlying build (memo-free entry itemCfOn): capped ui " +
-          "matrix -> co-occurrence self-join -> broadcast degree " +
-          "joins -> top-M neighbor WindowGroupLimit -> broadcast " +
-          "neighbor scoring -> shuffle anti-join on owned"),
+          "matrix -> co-occurrence self-join -> size-gated degree " +
+          "broadcasts (items-scale catalogs fall back to shuffle-" +
+          "hash) -> top-M neighbor WindowGroupLimit -> size-gated " +
+          "neighbor scoring -> shuffle-hash anti-join on owned"),
       ("_content_build",
         "q89's underlying build (memo-free entry contentRecOn): " +
           "per-user bounded aggregate — profile rows (<=3*cap per " +

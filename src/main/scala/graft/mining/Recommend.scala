@@ -119,13 +119,33 @@ object Recommend {
     * can time the f² pair build and the top-M cut separately (VERDICT
     * r10 item 1 — attributing q87's 30× slope stage by stage). */
   def neighborTable(ui: DataFrame, coMin: Int, topM: Int): DataFrame =
-    topMFromSims(simsTable(ui, coMin), topM)
+    neighborTable(ui, coMin, topM,
+      ui.select(col("i")).distinct().count())
+
+  /** [[neighborTable]] with the distinct-item count already known —
+    * callers that need the count anyway (the CF chain sizes its
+    * scoring join with it) pass it in so it's computed once. */
+  def neighborTable(ui: DataFrame, coMin: Int, topM: Int,
+      nItems: Long): DataFrame =
+    topMFromSims(simsTable(ui, coMin, nItems), topM)
 
   /** Stage 2 of the CF chain: the f² co-occurrence self-join and the
     * exact item-item cosine, MATERIALIZED (both symmetrization arms of
     * the top-M cut read it — without the checkpoint the whole pair
-    * build runs twice; it doubled q87's bench). */
-  private[graft] def simsTable(ui: DataFrame, coMin: Int): DataFrame = {
+    * build runs twice; it doubled q87's bench). The degree joins are
+    * size-gated like every other dimension join in this family: ideg
+    * is ITEMS-sized, and a catalog past [[BroadcastDimRows]] must not
+    * be forced through a driver-built broadcast — above the gate both
+    * degree joins fall back to shuffle-hash on the pair frame's keys. */
+  private[graft] def simsTable(ui: DataFrame, coMin: Int,
+      nItems: Long): DataFrame =
+    simsPlan(ui, coMin, nItems).localCheckpoint()
+
+  /** The un-checkpointed pair-build plan — split out so tests can
+    * assert the degree-join gate's physical shape (localCheckpoint
+    * replaces the plan with an ExistingRDD scan). */
+  private[graft] def simsPlan(ui: DataFrame, coMin: Int,
+      nItems: Long): DataFrame = {
     val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
     val pairs = ui.select(col("u"), col("i").as("ia"))
       .join(ui.select(col("u"), col("i").as("ib")), "u")
@@ -133,14 +153,13 @@ object Recommend {
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= coMin)
     pairs
-      .join(broadcast(ideg.select(col("i").as("ia"),
-        col("deg").as("da"))), "ia")
-      .join(broadcast(ideg.select(col("i").as("ib"),
-        col("deg").as("db"))), "ib")
+      .join(dimHint(ideg.select(col("i").as("ia"),
+        col("deg").as("da")), nItems), "ia")
+      .join(dimHint(ideg.select(col("i").as("ib"),
+        col("deg").as("db")), nItems), "ib")
       .withColumn("sim", floor(col("c").cast("double") /
         sqrt(col("da").cast("double") * col("db")) * 1e6 + 0.5) / 1e6)
       .select(col("ia"), col("ib"), col("sim"))
-      .localCheckpoint()
   }
 
   /** Stage 3: symmetrize the (ia<ib) sims and keep each item's top-M
@@ -175,13 +194,13 @@ object Recommend {
     * nothing. */
   private def itemCfTop(ui: DataFrame, coMin: Int, topM: Int, k: Int)
   : DataFrame = {
-    val nbr = neighborTable(ui, coMin, topM)
-    // ≤ nItems×M rows — the size-gate estimate for the scoring join
-    // (counting nbr itself would run the whole pair build twice; the
-    // distinct-item count is one aggregate over the checkpointed ui)
-    val nbrRowBound =
-      ui.select(col("i")).distinct().count() * topM
-    scoreFromNbr(ui, nbr, nbrRowBound, k)
+    // one aggregate over the checkpointed ui sizes BOTH gates: the
+    // degree broadcasts inside the pair build (nItems) and the
+    // neighbor-table scoring join (nItems×M — counting nbr itself
+    // would run the whole pair build twice)
+    val nItems = ui.select(col("i")).distinct().count()
+    val nbr = neighborTable(ui, coMin, topM, nItems)
+    scoreFromNbr(ui, nbr, nItems * topM, k)
   }
 
   /** Stage 4: score users' candidates from the neighbor table and cut

@@ -204,6 +204,34 @@ class RecommendSpec extends AnyFunSuite {
     assert(nSmall == nBig && nSmall == 200L)
   }
 
+  test("degree joins in the f² pair build are size-gated: an " +
+      "items-scale catalog falls back to shuffle hash, same results") {
+    import spark.implicits._
+    val ui = (1L to 60L).map(u => (u, u % 6)).toDF("u", "i")
+      .unionByName((1L to 60L).map(u => (u, (u + 1) % 6)).toDF("u", "i"))
+      .distinct()
+    def run(nItems: Long): (String, Seq[(Long, Long, Double)]) = {
+      val p = Recommend.simsPlan(ui, 1, nItems)
+      (p.queryExecution.executedPlan.toString,
+        p.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq.sortBy(t => (t._1, t._2)))
+    }
+    val (small, rSmall) = run(6L)
+    val (big, rBig) = run(Recommend.BroadcastDimRows + 1)
+    // key the asserts on the degree-join keys (ia/ib) — the u-key
+    // self-join upstream broadcasts legitimately in both branches
+    assert(small.contains("BroadcastHashJoin [ia") &&
+      small.contains("BroadcastHashJoin [ib"),
+      s"small catalog's degree joins did not broadcast:\n$small")
+    assert(big.contains("ShuffledHashJoin [ia") &&
+      big.contains("ShuffledHashJoin [ib") &&
+      !big.contains("BroadcastHashJoin [ia") &&
+      !big.contains("BroadcastHashJoin [ib"),
+      s"items-scale catalog did not fall back to shuffle hash:\n$big")
+    assert(rSmall == rBig && rSmall.nonEmpty,
+      "gate branches must agree on the similarity table")
+  }
+
   test("ContentScoreAgg buffer law: bounded-insert reduce ≡ stable " +
       "sort-then-take, in any reduce/merge split (200 scalacheck runs)") {
     import org.scalacheck.Gen
