@@ -86,10 +86,15 @@ object ExplainDump {
           "window — nothing is rebuilt when q87/q89 ran in-session"),
       ("_cf_build",
         "q87's underlying build (memo-free entry itemCfOn): capped ui " +
-          "matrix -> co-occurrence self-join -> size-gated degree " +
-          "broadcasts (items-scale catalogs fall back to shuffle-" +
-          "hash) -> top-M neighbor WindowGroupLimit -> size-gated " +
-          "neighbor scoring -> shuffle-hash anti-join on owned"),
+          "matrix -> co-occurrence self-join with the pair aggregate " +
+          "repartitioned at cardinality-scaled parallelism (exact " +
+          "sum n(n-1)/2 estimate; session partitions remain the " +
+          "floor) -> size-gated degree broadcasts (items-scale " +
+          "catalogs fall back to shuffle-hash) -> top-M neighbor " +
+          "WindowGroupLimit -> size-gated neighbor scoring at " +
+          "|ui|*M-scaled parallelism -> shuffle-hash anti-join on " +
+          "owned -> volume-gated per-user clustering for the top-k " +
+          "window"),
       ("_content_build",
         "q89's underlying build (memo-free entry contentRecOn): " +
           "per-user bounded aggregate — profile rows (<=3*cap per " +

@@ -43,6 +43,44 @@ object ScaleStress {
 
   val IdOffset = 10000000L
 
+  /** Task-metrics tape for the q87 stage pass: separates LINEAR work
+    * (bytes shuffled, CPU burned) from the super-linear WALL symptoms
+    * a single shared disk + one JVM produce at 30× (spill passes,
+    * page-cache misses on shuffle reads, GC). On a real cluster the
+    * per-node share of these bytes is constant as data and executors
+    * scale together; the byte columns are what "linear algorithm"
+    * means there. */
+  private final class TaskTape extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
+    val spillDisk = new AtomicLong; val spillMem = new AtomicLong
+    val gcMs = new AtomicLong; val cpuNs = new AtomicLong
+    val runMs = new AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        gcMs.addAndGet(m.jvmGCTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+      }
+    }
+    def snap: Tape = Tape(shufWrite.get, shufRead.get, spillDisk.get,
+      spillMem.get, gcMs.get, cpuNs.get, runMs.get)
+  }
+  private case class Tape(shufWrite: Long, shufRead: Long,
+      spillDisk: Long, spillMem: Long, gcMs: Long, cpuNs: Long,
+      runMs: Long) {
+    def -(o: Tape): Tape = Tape(shufWrite - o.shufWrite,
+      shufRead - o.shufRead, spillDisk - o.spillDisk,
+      spillMem - o.spillMem, gcMs - o.gcMs, cpuNs - o.cpuNs,
+      runMs - o.runMs)
+  }
+
   /** Replicate a frame `n`× with the given id columns offset per
     * replica (replica 0 is the original rows). */
   private def replicate(df: DataFrame, idCols: Seq[String], n: Int)
@@ -231,21 +269,37 @@ object ScaleStress {
       "s4_scoring", "s4_scoring_shuffle")
     val stageTimes =
       scala.collection.mutable.Map[(String, String), Double]()
+    val stageTapes =
+      scala.collection.mutable.Map[(String, String), Tape]()
+    val tape = new TaskTape
+    spark.sparkContext.addSparkListener(tape)
     for (pass <- 1 to 2; d <- points) {
       hygiene()
       // min-of-2 like the query table: single-pass stage numbers
-      // swung ±40% on this host's noise windows
+      // swung ±40% on this host's noise windows. The metrics tape is
+      // kept from the min-WALL pass so bytes and seconds describe the
+      // same run (bytes themselves are deterministic across passes).
       def timed[T](name: String)(f: => T): T = {
+        org.apache.spark.GraftSparkInternals
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        val before = tape.snap
         val t = System.nanoTime(); val r = f
         val sec = (System.nanoTime() - t) / 1e9
+        org.apache.spark.GraftSparkInternals
+          .waitUntilListenerBusEmpty(spark.sparkContext)
         val key = (name, d)
-        if (!stageTimes.contains(key) || sec < stageTimes(key))
+        if (!stageTimes.contains(key) || sec < stageTimes(key)) {
           stageTimes(key) = sec
+          stageTapes(key) = tape.snap - before
+        }
         r
       }
       val ui = timed("s1_ui_matrix")(
         Recommend.uiMatrix(copurchases(spark, d), Recommend.UserItemCap))
-      val nItems = ui.select(col("i")).distinct().count()
+      val stats = ui.agg(count(lit(1)),
+        count_distinct(col("i"))).first()
+      val (uiRows, nItems) = (stats.getLong(0), stats.getLong(1))
+      val candEst = uiRows * Recommend.NeighborTopM
       val sims = timed("s2_sims_f2")(
         Recommend.simsTable(ui, Recommend.CoMinUsers, nItems))
       val nbr = timed("s3_top_m")(
@@ -253,14 +307,15 @@ object ScaleStress {
           .localCheckpoint())
       val bound = nItems * Recommend.NeighborTopM
       timed("s4_scoring")(
-        Recommend.scoreFromNbr(ui, nbr, bound, Recommend.RecK).count())
+        Recommend.scoreFromNbr(ui, nbr, bound, Recommend.RecK, candEst)
+          .count())
       // same stage with the shuffle-hash fallback FORCED at every
       // point: within one strategy the slope isolates scaling from the
       // size-gate's broadcast→shuffle switch (which otherwise makes
       // the 10× and 30× points measure different plans)
       timed("s4_scoring_shuffle")(
-        Recommend.scoreFromNbr(ui, nbr, Long.MaxValue, Recommend.RecK)
-          .count())
+        Recommend.scoreFromNbr(ui, nbr, Long.MaxValue, Recommend.RecK,
+          candEst).count())
       System.err.println(s"[scale] q87 stages p$pass @$d: " + stageNames
         .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
     }
@@ -332,6 +387,28 @@ object ScaleStress {
           math.max(stageTimes((n, s"target/scale${factors.head}")), 1e-3)) /
           (factors.last.toDouble / factors.head)}%.2f"
       md ++= s"| $n | $cols | $slope |\n"
+    }
+
+    // the same stages in BYTES and CPU (from the min-wall pass): if
+    // shuffle bytes and CPU grow ∝ data while wall grows faster, the
+    // algorithm is linear and the excess is this host's one disk and
+    // one heap absorbing 30× the traffic — on a cluster the per-node
+    // share of these bytes is constant as executors scale with data.
+    md ++= "\n### stage I/O + CPU (min-wall pass; GiB = 2^30 bytes)\n\n"
+    md ++= "| stage | point | wall s | shuffle w+r GiB | spill " +
+      "mem/disk GiB | gc s | cpu s | run s |\n"
+    md ++= "|---|---|---|---|---|---|---|---|\n"
+    stageNames.foreach { n =>
+      points.foreach { d =>
+        val tp = stageTapes((n, d))
+        val gib = (b: Long) => f"${b / math.pow(2, 30)}%.2f"
+        val label = factorOf.get(d).map(f => s"${f}×").getOrElse("1×")
+        md ++= f"| $n | $label | ${stageTimes((n, d))}%.1f | " +
+          f"${gib(tp.shufWrite)}+${gib(tp.shufRead)} | " +
+          f"${gib(tp.spillMem)}/${gib(tp.spillDisk)} | " +
+          f"${tp.gcMs / 1e3}%.1f | ${tp.cpuNs / 1e9}%.1f | " +
+          f"${tp.runMs / 1e3}%.1f |\n"
+      }
     }
 
     md ++= "\n**q89 content classes** (the vocabulary-bounded claim): " +

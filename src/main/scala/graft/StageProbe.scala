@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** One-shot physical-plan metric dump for the q87 hot stages — names
+  * the exact operator that spills at 30× (the stage-pass counters in
+  * [[ScaleStress]] are per-STAGE sums; this is per-NODE). Run:
+  * `java ... graft.StageProbe [dir]` (default target/scale30). Prints
+  * every executed node with its spill/peak-memory/output-rows metrics.
+  * Diagnostic scaffolding only — no library code path uses it. */
+object StageProbe {
+
+  private def walk(p: SparkPlan, depth: Int,
+      out: StringBuilder): Unit = {
+    val interesting = p.metrics.filter { case (k, m) =>
+      (k.contains("spill") || k.contains("peak") ||
+        k.contains("numOutputRows") || k.contains("sortTime") ||
+        k.contains("aggTime") || k.contains("buildTime") ||
+        k.contains("dataSize") || k.contains("shuffleBytes") ||
+        k.contains("bytesWritten") || k.contains("recordsRead")) &&
+        m.value != 0
+    }
+    val ms = interesting.map { case (k, m) =>
+      val v = m.value
+      val h = if (k.toLowerCase.contains("time")) s"${v}ms"
+        else if (k.contains("spill") || k.contains("peak") ||
+          k.contains("Size") || k.contains("Bytes") ||
+          k.contains("bytes")) f"${v / math.pow(2, 20)}%.0fMiB"
+        else v.toString
+      s"$k=$h"
+    }.mkString(", ")
+    out ++= ("  " * depth) + p.nodeName +
+      (if (ms.nonEmpty) s"  [$ms]" else "") + "\n"
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    kids.foreach(walk(_, depth + 1, out))
+  }
+
+  private def probe(name: String, df: DataFrame): Unit = {
+    val t = System.nanoTime()
+    // run THIS df's own QueryExecution (count()/write both plan a
+    // fresh one, leaving these nodes' metrics at zero)
+    val rdd = df.queryExecution.toRdd
+    df.sparkSession.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        it.foreach(_ => ()))
+    val sec = (System.nanoTime() - t) / 1e9
+    val out = new StringBuilder
+    out ++= f"\n===== $name (${sec}%.1f s) =====\n"
+    walk(df.queryExecution.executedPlan, 0, out)
+    println(out.toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("target/scale30")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.mining.Recommend
+
+    val ui = Recommend.uiMatrix(
+      Recommend.copurchases(spark, d), Recommend.UserItemCap)
+    val stats = ui.agg(count(lit(1)), count_distinct(col("i"))).first()
+    val (uiRows, nItems) = (stats.getLong(0), stats.getLong(1))
+    probe("s2_sims_f2 (un-checkpointed plan)",
+      Recommend.simsPlan(ui, Recommend.CoMinUsers, nItems))
+    val sims = Recommend.simsTable(ui, Recommend.CoMinUsers, nItems)
+    val nbr = Recommend.topMFromSims(sims, Recommend.NeighborTopM)
+      .localCheckpoint()
+    probe("s4_scoring (gated)",
+      Recommend.scoreFromNbr(ui, nbr,
+        nItems * Recommend.NeighborTopM, Recommend.RecK,
+        uiRows * Recommend.NeighborTopM))
+    spark.stop()
+  }
+}

@@ -70,6 +70,29 @@ object Recommend {
     if (rows <= BroadcastDimRows) broadcast(df)
     else df.hint("shuffle_hash")
 
+  /** Target rows per reduce partition for this family's CORPUS-scale
+    * shuffles (the f² pair stream, the candidate scoring stream).
+    * Sized so one partition's aggregate hash map / window sort stays
+    * ~100–200 MB of unsafe rows — measured at the 30× stress: the
+    * fixed 32-partition plan put 9–10M keys in every aggregate map,
+    * which fell back to sort-based aggregation and spilled 27–30 GiB
+    * PER STAGE (StageProbe, 2× wall); at ~2M rows a partition the
+    * same stages run entirely in memory. */
+  val ShuffleRowsPerPartition = 2000000L
+
+  /** Reduce parallelism for an estimated shuffle volume: the
+    * session's `spark.sql.shuffle.partitions` is the FLOOR (small
+    * inputs keep the session plan exactly), and the count grows with
+    * the data so per-task aggregate state stays bounded — on a real
+    * cluster this is the "size your shuffle to the data" rule every
+    * 100 TB job applies, derived here from an exact cardinality
+    * estimate instead of a guess. */
+  private[graft] def scaledParts(df: DataFrame, estRows: Long): Int = {
+    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(floor,
+      math.min(4096L, estRows / ShuffleRowsPerPartition).toInt)
+  }
+
   /** The co-purchase interaction frame (customer × part via
     * orders/lineitem) every registered recommender trains on. */
   private[graft] def copurchases(s: SparkSession, d: String): DataFrame =
@@ -143,13 +166,36 @@ object Recommend {
 
   /** The un-checkpointed pair-build plan — split out so tests can
     * assert the degree-join gate's physical shape (localCheckpoint
-    * replaces the plan with an ExistingRDD scan). */
+    * replaces the plan with an ExistingRDD scan).
+    *
+    * The pair aggregate is repartitioned by its own grouping keys at
+    * [[scaledParts]] parallelism, sized from the EXACT pair count
+    * Σ n_u·(n_u−1)/2 (one cheap aggregate over the checkpointed
+    * matrix — the cost-based "estimate cardinality, then size the
+    * shuffle" step). Two measured reasons (StageProbe @30×): the
+    * pre-shuffle partial aggregate deduped 0.09% of 338M pair rows —
+    * co-occurrence counts ≥2 are rare, so map-side combine bought
+    * nothing — while spilling 30 GiB; and the final aggregate held
+    * 10M keys per task at 32 partitions, spilling another 29 GiB.
+    * With the explicit repartition both aggregate passes run
+    * co-partitioned AFTER the exchange on ~2M-row partitions, fully
+    * in memory; the shuffle itself carries the same bytes the failed
+    * partial combine shipped. */
   private[graft] def simsPlan(ui: DataFrame, coMin: Int,
       nItems: Long): DataFrame = {
     val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
+    // n ≤ the power-user cap, so n·(n−1)/2 ≤ 2016 and the sum fits a
+    // long at any corpus size
+    val pairsEst = (ui.groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1))).cast("long"))
+      .first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }) / 2
     val pairs = ui.select(col("u"), col("i").as("ia"))
       .join(ui.select(col("u"), col("i").as("ib")), "u")
       .filter(col("ia") < col("ib"))
+      .repartition(scaledParts(ui, pairsEst), col("ia"), col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= coMin)
     pairs
@@ -194,13 +240,15 @@ object Recommend {
     * nothing. */
   private def itemCfTop(ui: DataFrame, coMin: Int, topM: Int, k: Int)
   : DataFrame = {
-    // one aggregate over the checkpointed ui sizes BOTH gates: the
-    // degree broadcasts inside the pair build (nItems) and the
+    // one aggregate over the checkpointed ui sizes EVERY gate: the
+    // degree broadcasts inside the pair build (nItems), the
     // neighbor-table scoring join (nItems×M — counting nbr itself
-    // would run the whole pair build twice)
-    val nItems = ui.select(col("i")).distinct().count()
+    // would run the whole pair build twice), and the scoring
+    // shuffle's parallelism (|ui|×M candidates)
+    val stats = ui.agg(count(lit(1)), count_distinct(col("i"))).first()
+    val (uiRows, nItems) = (stats.getLong(0), stats.getLong(1))
     val nbr = neighborTable(ui, coMin, topM, nItems)
-    scoreFromNbr(ui, nbr, nItems * topM, k)
+    scoreFromNbr(ui, nbr, nItems * topM, k, uiRows * topM)
   }
 
   /** Stage 4: score users' candidates from the neighbor table and cut
@@ -213,10 +261,21 @@ object Recommend {
     * anti-join, not a broadcast: the user-item matrix is corpus-sized
     * at 100 TB. */
   private[graft] def scoreFromNbr(ui: DataFrame, nbr: DataFrame,
-      nbrRowBound: Long, k: Int): DataFrame = {
+      nbrRowBound: Long, k: Int, candEst: Long): DataFrame = {
+    // candidate volume is EXACTLY bounded by |ui| × M — the caller
+    // passes that product and the scoring shuffle is sized from it
+    // (StageProbe @30×: at fixed 32 partitions the candidate
+    // aggregate's partial pass deduped 0.24% of 315M rows while
+    // spilling 29 GiB, and the final pass held 9M keys per task,
+    // spilling 27 GiB; at ~2M-row partitions both passes stay in
+    // memory)
+    val p = scaledParts(ui, candEst)
+    val floorP =
+      ui.sparkSession.sessionState.conf.numShufflePartitions
     val sc = ui
       .join(dimHint(nbr, nbrRowBound), "i") // items×M, gated (see doc)
       .select(col("u"), col("j"), col("sim"))
+      .repartition(p, col("u"), col("j"))
       .groupBy(col("u"), col("j"))
       .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
       // shuffle-HASH anti-join (hinted): the default sort-merge plan
@@ -227,9 +286,19 @@ object Recommend {
       // any shuffle join carries.
       .join(ui.select(col("u"), col("i").as("j")).hint("shuffle_hash"),
         Seq("u", "j"), "left_anti") // drop already-owned
+    // Volume-gated layout for the per-user top-k: at dimension-scale
+    // volumes the planner's two-phase WindowGroupLimit (partial cut on
+    // the (u,j) layout, exchange the survivors, final cut) wins — keep
+    // it. At corpus-scale volumes that partial SORT is the spiller
+    // (StageProbe @30×: 18 GiB peak, 27 GiB spilled, because a
+    // 32-partition layout puts 9M rows under each sort), so cluster
+    // each user's candidates explicitly at scaled parallelism and cut
+    // top-k in ONE in-memory stage per ~2M-row partition.
+    val clustered =
+      if (p > floorP) sc.repartition(p, col("u")) else sc
     val rw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("j").asc)
-    sc.withColumn("rec_rank", row_number().over(rw).cast("long"))
+    clustered.withColumn("rec_rank", row_number().over(rw).cast("long"))
       .filter(col("rec_rank") <= k)
       .select(col("u").as("custkey"), col("rec_rank"),
         col("j").as("item"), col("score"))
