@@ -84,6 +84,10 @@ object StageProbe {
       Recommend.scoreFromNbr(ui, nbr,
         nItems * Recommend.NeighborTopM, Recommend.RecK,
         uiRows * Recommend.NeighborTopM))
+    probe("q89_content (full contentRecOn)",
+      Recommend.contentRecOn(Recommend.copurchases(spark, d),
+        graft.Tables.part(spark, d), Recommend.UserItemCap,
+        Recommend.ProfileTopF, Recommend.RecK))
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.mining
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -70,27 +70,38 @@ object Recommend {
     if (rows <= BroadcastDimRows) broadcast(df)
     else df.hint("shuffle_hash")
 
-  /** Target rows per reduce partition for this family's CORPUS-scale
-    * shuffles (the f² pair stream, the candidate scoring stream).
-    * Sized so one partition's aggregate hash map / window sort stays
-    * ~100–200 MB of unsafe rows — measured at the 30× stress: the
-    * fixed 32-partition plan put 9–10M keys in every aggregate map,
-    * which fell back to sort-based aggregation and spilled 27–30 GiB
-    * PER STAGE (StageProbe, 2× wall); at ~2M rows a partition the
-    * same stages run entirely in memory. */
+  /** Per-task row volume above which this family's 30-50 B unsafe
+    * rows overflow a task's aggregate hash map / window sort and fall
+    * back to spill — measured, not guessed (StageProbe @sf: 3.4M
+    * rows/task ran fully in memory at 10×; 9–10M rows/task fell back
+    * to sort-based aggregation and spilled 27–30 GiB per stage at
+    * 30×). Below the guard the stock plan is ALWAYS kept: its
+    * map-side partial aggregate and two-phase WindowGroupLimit cut
+    * shuffle volume, which wins whenever memory isn't the binding
+    * constraint. */
+  val SpillGuardRowsPerTask = 4000000L
+
+  /** Target rows per reduce partition once a shuffle IS rewritten
+    * past the guard — ~100–200 MB of unsafe rows per task, fully
+    * in-memory with headroom for co-resident operators. */
   val ShuffleRowsPerPartition = 2000000L
 
-  /** Reduce parallelism for an estimated shuffle volume: the
-    * session's `spark.sql.shuffle.partitions` is the FLOOR (small
-    * inputs keep the session plan exactly), and the count grows with
-    * the data so per-task aggregate state stays bounded — on a real
-    * cluster this is the "size your shuffle to the data" rule every
-    * 100 TB job applies, derived here from an exact cardinality
-    * estimate instead of a guess. */
-  private[graft] def scaledParts(df: DataFrame, estRows: Long): Int = {
-    val floor = df.sparkSession.sessionState.conf.numShufflePartitions
-    math.max(floor,
-      math.min(4096L, estRows / ShuffleRowsPerPartition).toInt)
+  /** Volume-gated layout for a corpus-scale shuffle: BELOW the spill
+    * guard, return the frame untouched (the session's
+    * `spark.sql.shuffle.partitions` plan — partial aggregation,
+    * two-phase window limits — is proven and fastest). ABOVE it,
+    * cluster by the downstream keys at cardinality-scaled
+    * parallelism so per-task state stays in memory — the "size your
+    * shuffle to the data" rule every 100 TB job applies, here from
+    * an EXACT cardinality estimate instead of a guess. */
+  private[graft] def sizedByCardinality(df: DataFrame, estRows: Long,
+      keys: Column*): DataFrame = {
+    val floor = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    if (estRows / floor <= SpillGuardRowsPerTask) df
+    else df.repartition(
+      math.min(4096L, estRows / ShuffleRowsPerPartition).toInt,
+      keys: _*)
   }
 
   /** The co-purchase interaction frame (customer × part via
@@ -168,19 +179,20 @@ object Recommend {
     * assert the degree-join gate's physical shape (localCheckpoint
     * replaces the plan with an ExistingRDD scan).
     *
-    * The pair aggregate is repartitioned by its own grouping keys at
-    * [[scaledParts]] parallelism, sized from the EXACT pair count
-    * Σ n_u·(n_u−1)/2 (one cheap aggregate over the checkpointed
-    * matrix — the cost-based "estimate cardinality, then size the
-    * shuffle" step). Two measured reasons (StageProbe @30×): the
-    * pre-shuffle partial aggregate deduped 0.09% of 338M pair rows —
-    * co-occurrence counts ≥2 are rare, so map-side combine bought
-    * nothing — while spilling 30 GiB; and the final aggregate held
-    * 10M keys per task at 32 partitions, spilling another 29 GiB.
-    * With the explicit repartition both aggregate passes run
-    * co-partitioned AFTER the exchange on ~2M-row partitions, fully
-    * in memory; the shuffle itself carries the same bytes the failed
-    * partial combine shipped. */
+    * The pair aggregate goes through [[sizedByCardinality]] with the
+    * EXACT pair count Σ n_u·(n_u−1)/2 (one cheap aggregate over the
+    * checkpointed matrix — the cost-based "estimate cardinality, then
+    * size the shuffle" step). Below the spill guard the stock plan is
+    * kept; above it the pairs are repartitioned by their grouping
+    * keys. Two measured reasons (StageProbe @30×): the pre-shuffle
+    * partial aggregate deduped 0.09% of 338M pair rows — co-occurrence
+    * counts ≥2 are rare, so map-side combine bought nothing — while
+    * spilling 30 GiB; and the final aggregate held 10M keys per task
+    * at 32 partitions, spilling another 29 GiB. With the explicit
+    * repartition both aggregate passes run co-partitioned AFTER the
+    * exchange on ~2M-row partitions, fully in memory; the shuffle
+    * itself carries the same bytes the failed partial combine
+    * shipped. */
   private[graft] def simsPlan(ui: DataFrame, coMin: Int,
       nItems: Long): DataFrame = {
     val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
@@ -192,10 +204,11 @@ object Recommend {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }) / 2
-    val pairs = ui.select(col("u"), col("i").as("ia"))
+    val rawPairs = ui.select(col("u"), col("i").as("ia"))
       .join(ui.select(col("u"), col("i").as("ib")), "u")
       .filter(col("ia") < col("ib"))
-      .repartition(scaledParts(ui, pairsEst), col("ia"), col("ib"))
+    val pairs = sizedByCardinality(rawPairs, pairsEst,
+        col("ia"), col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= coMin)
     pairs
@@ -263,19 +276,17 @@ object Recommend {
   private[graft] def scoreFromNbr(ui: DataFrame, nbr: DataFrame,
       nbrRowBound: Long, k: Int, candEst: Long): DataFrame = {
     // candidate volume is EXACTLY bounded by |ui| × M — the caller
-    // passes that product and the scoring shuffle is sized from it
-    // (StageProbe @30×: at fixed 32 partitions the candidate
+    // passes that product and the scoring shuffle is volume-gated on
+    // it (StageProbe @30×: at fixed 32 partitions the candidate
     // aggregate's partial pass deduped 0.24% of 315M rows while
     // spilling 29 GiB, and the final pass held 9M keys per task,
     // spilling 27 GiB; at ~2M-row partitions both passes stay in
-    // memory)
-    val p = scaledParts(ui, candEst)
-    val floorP =
-      ui.sparkSession.sessionState.conf.numShufflePartitions
-    val sc = ui
-      .join(dimHint(nbr, nbrRowBound), "i") // items×M, gated (see doc)
-      .select(col("u"), col("j"), col("sim"))
-      .repartition(p, col("u"), col("j"))
+    // memory — while at ≤10× the stock partial-aggregate plan never
+    // spilled and wins, so below the guard nothing changes)
+    val sc = sizedByCardinality(
+      ui.join(dimHint(nbr, nbrRowBound), "i") // items×M, gated
+        .select(col("u"), col("j"), col("sim")),
+      candEst, col("u"), col("j"))
       .groupBy(col("u"), col("j"))
       .agg((floor(sum(col("sim")) * 1e4 + 0.5 + 1e-9) / 1e4).as("score"))
       // shuffle-HASH anti-join (hinted): the default sort-merge plan
@@ -294,8 +305,7 @@ object Recommend {
     // 32-partition layout puts 9M rows under each sort), so cluster
     // each user's candidates explicitly at scaled parallelism and cut
     // top-k in ONE in-memory stage per ~2M-row partition.
-    val clustered =
-      if (p > floorP) sc.repartition(p, col("u")) else sc
+    val clustered = sizedByCardinality(sc, candEst, col("u"))
     val rw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("j").asc)
     clustered.withColumn("rec_rank", row_number().over(rw).cast("long"))

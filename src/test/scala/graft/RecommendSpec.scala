@@ -232,6 +232,36 @@ class RecommendSpec extends AnyFunSuite {
       "gate branches must agree on the similarity table")
   }
 
+  test("scoring shuffles are volume-gated: below the spill guard the " +
+      "stock plan is untouched, above it the candidate stream is " +
+      "repartitioned at cardinality-scaled parallelism, same results") {
+    import spark.implicits._
+    val ui = (1L to 40L).map(u => (u, u % 8)).toDF("u", "i")
+      .unionByName((1L to 40L).map(u => (u, (u + 1) % 8)).toDF("u", "i"))
+      .distinct()
+    val nbr = (0L to 7L).flatMap(i => Seq((i, (i + 2) % 8, 0.5),
+      (i, (i + 3) % 8, 0.25))).toDF("i", "j", "sim")
+    def run(candEst: Long): (String, Seq[(Long, Long, Long)]) = {
+      val r = Recommend.scoreFromNbr(ui, nbr, 16L, 3, candEst)
+      (r.queryExecution.executedPlan.toString,
+        r.collect().map(x => (x.getLong(0), x.getLong(1),
+          x.getLong(2))).toSeq.sortBy(t => (t._1, t._2)))
+    }
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val (small, rSmall) = run(Recommend.SpillGuardRowsPerTask * floor)
+    val (big, rBig) = run(Recommend.ShuffleRowsPerPartition * 100L)
+    // repartition(n, cols) plans as an Exchange tagged
+    // REPARTITION_BY_NUM — absent below the guard, present (with the
+    // scaled count) above it
+    assert(!small.contains("REPARTITION_BY_NUM"),
+      s"below-guard plan must be the stock session plan:\n$small")
+    assert(big.contains("REPARTITION_BY_NUM") &&
+      big.contains("hashpartitioning(u#") && big.contains(", 100)"),
+      s"over-guard plan must repartition at est/2M = 100:\n$big")
+    assert(rSmall == rBig && rSmall.nonEmpty,
+      "guard branches must agree on the recommendations")
+  }
+
   test("ContentScoreAgg buffer law: bounded-insert reduce ≡ stable " +
       "sort-then-take, in any reduce/merge split (200 scalacheck runs)") {
     import org.scalacheck.Gen
