@@ -336,11 +336,17 @@ object ScaleStress {
     md ++= "suffix on documents → no cross-replica near-dups; SemDeDup\n"
     md ++= "runs k ∝ corpus). Times are min-of-2, interleaved, one\n"
     md ++= s"warmed session, local[$cpus]; memo-free entry points (the\n"
-    md ++= "algorithms, not the session cache). Shuffle partitions stay\n"
-    md ++= "at the session's 32 at every scale (a 32·N-at-N× variant was\n"
-    md ++= "tried and rejected: the stage table was unchanged, full\n"
-    md ++= "queries got slower, and the 30× run hit shuffle-file\n"
-    md ++= "pressure). Regenerate: `SPARK_DRIVER_MEM=48g sbt \"runMain " +
+    md ++= "algorithms, not the session cache). Session shuffle\n"
+    md ++= "partitions stay at 32 at every scale; the CF chain's two\n"
+    md ++= "corpus-scale shuffles are volume-gated INSIDE the operator\n"
+    md ++= "(Recommend.sizedByCardinality): past a measured 4M-rows-per-\n"
+    md ++= "task spill guard they repartition by their grouping keys at\n"
+    md ++= "exact-cardinality-scaled parallelism, which is what removed\n"
+    md ++= "the 27-30 GiB per-stage aggregate spills the fixed-width\n"
+    md ++= "32-partition plan produced at 30× (blanket 32·N partitions\n"
+    md ++= "and AQE initialPartitionNum were both tried and measured\n"
+    md ++= "worse: they fatten or starve the SMALL stages too).\n"
+    md ++= "Regenerate: `SPARK_DRIVER_MEM=48g sbt \"runMain " +
       "graft.ScaleStress\"` — the 30× points hold two recommender arms' " +
       "state in one JVM (this run: " +
       s"${Runtime.getRuntime.maxMemory / (1L << 30)} GiB heap).\n\n"
