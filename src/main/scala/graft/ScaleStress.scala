@@ -225,7 +225,12 @@ object ScaleStress {
       val keep = Memo.liveIds(spark)
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => !keep(id) }
-        .values.foreach(_.unpersist(blocking = false))
+        // BLOCKING: async unpersist let the next timed query start
+        // while the previous one's checkpoint blocks still held
+        // storage memory, squeezing its execution share — measured
+        // +62 s on q93-after-q92 at 30× (standalone probe: 68.9 s vs
+        // 132.8 s in-session)
+        .values.foreach(_.unpersist(blocking = true))
     }
     // Partitions stay at the session's 32 at EVERY scale — measured,
     // not assumed: a 32·N-partitions-at-N× variant was tried and

@@ -71,6 +71,13 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.mining.Recommend
 
+    if (args.contains("q93")) {
+      probe("q93_cf_eval (full cfEvalOn)",
+        Recommend.cfEvalOn(Recommend.copurchases(spark, d),
+          Recommend.UserItemCap, Recommend.CoMinUsers,
+          Recommend.NeighborTopM, Recommend.RecK))
+      spark.stop(); return
+    }
     val ui = Recommend.uiMatrix(
       Recommend.copurchases(spark, d), Recommend.UserItemCap)
     val stats = ui.agg(count(lit(1)), count_distinct(col("i"))).first()
