@@ -78,6 +78,25 @@ object StageProbe {
           Recommend.NeighborTopM, Recommend.RecK))
       spark.stop(); return
     }
+    // in-session inflation repro: q92 first (builds several broadcast
+    // variables per arm), then q93 — with "gc", a forced GC between
+    // them lets ContextCleaner reclaim the dead broadcasts' storage
+    // blocks before q93 starts
+    if (args.contains("seq")) {
+      probe("q92 predecessor",
+        Recommend.hybridRecOn(Recommend.copurchases(spark, d),
+          graft.Tables.part(spark, d), Recommend.UserItemCap,
+          Recommend.CoMinUsers, Recommend.NeighborTopM,
+          Recommend.ProfileTopF, Recommend.RecK))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      if (args.contains("gc")) { System.gc(); Thread.sleep(3000) }
+      probe("q93 after q92" + (if (args.contains("gc")) " + gc" else ""),
+        Recommend.cfEvalOn(Recommend.copurchases(spark, d),
+          Recommend.UserItemCap, Recommend.CoMinUsers,
+          Recommend.NeighborTopM, Recommend.RecK))
+      spark.stop(); return
+    }
     val ui = Recommend.uiMatrix(
       Recommend.copurchases(spark, d), Recommend.UserItemCap)
     val stats = ui.agg(count(lit(1)), count_distinct(col("i"))).first()
