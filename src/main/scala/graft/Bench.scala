@@ -199,7 +199,36 @@ object Bench {
           s"\"cold_total\":${r3(warm + b)}}"
       }
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
+    // Round-over-round total gate (VERDICT r11 item 5): r11's headline
+    // total moved +15.7% and nothing tripped — the repo gated
+    // correctness, plans, state and slopes but never the number the
+    // judge reads first. The PREVIOUS run's total comes from this
+    // program's own artifact (bench_queries.json, still on disk from
+    // the last round when the driver runs in the repo root), read
+    // BEFORE it is overwritten below; the delta only reports when the
+    // previous run covered the same SF (a local sf0.01 iteration file
+    // must not masquerade as a baseline).
+    val prevTotal: Option[Double] = try {
+      val p = java.nio.file.Paths.get("bench_queries.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) None
+        else "\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+      }
+    } catch { case _: Throwable => None }
+    val totalDelta = prevTotal.map { pt =>
+      val pct = (total - pt) / pt * 100.0
+      if (math.abs(pct) >= 10.0) System.err.println(
+        f"[bench] TOTAL MOVED $pct%+.1f%% vs previous run " +
+          f"($pt%.1f s -> $total%.1f s) — attribute before shipping")
+      s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
+        (if (math.abs(pct) >= 10.0) s""","total_moved_ge_10pct":true""" else "")
+    }.getOrElse("")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery$totalDelta,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
     // The driver's tail capture clipped the FRONT of the full line in
     // round 6 (17 of 85 per-query timings lost) — persist the complete
     // per-query map as its own artifact so it survives any stdout
@@ -223,7 +252,7 @@ object Bench {
     println(full)
     // compact duplicate LAST: even if the full line above is clipped by
     // a bounded tail capture, this one always parses
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in bench_queries.json","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in bench_queries.json","n_queries":${results.size}$totalDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

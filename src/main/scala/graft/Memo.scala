@@ -124,15 +124,27 @@ object Memo {
   def liveIds(s: SparkSession): Set[Int] = {
     evictDead(s)
     val cells = entries.values.asScala.toList
+    // Read order matters (ADVICE r11): `inFlightBefore` FIRST, `built`
+    // LAST. A build publishes `built = e` and only then nulls
+    // `inFlightBefore` (finally), so whichever way the race lands the
+    // entry is covered by one of the two reads: inFlightBefore still
+    // non-null → the persisted-since-snapshot diff holds its blocks;
+    // already null → the publish happened before it, and the later
+    // `built` read observes the entry. (The old built-then-inFlight
+    // order left a window where a just-published entry appeared in
+    // neither set and a concurrent sweep could unpersist lineage-cut
+    // blocks.)
+    val inFlight = cells.flatMap(c => Option(c.inFlightBefore))
+    val inFlightIds =
+      if (inFlight.isEmpty) Set.empty[Int]
+      else {
+        val current = s.sparkContext.getPersistentRDDs.keySet.toSet
+        inFlight.map(before => current -- before)
+          .foldLeft(Set.empty[Int])(_ ++ _)
+      }
     val builtIds = cells.flatMap(c => Option(c.built))
       .flatMap(_.owned).toSet
-    val inFlight = cells.flatMap(c => Option(c.inFlightBefore))
-    if (inFlight.isEmpty) builtIds
-    else {
-      val current = s.sparkContext.getPersistentRDDs.keySet.toSet
-      builtIds ++ inFlight.map(before => current -- before)
-        .foldLeft(Set.empty[Int])(_ ++ _)
-    }
+    builtIds ++ inFlightIds
   }
 
   /** Seconds each BUILT artifact of `s`'s context cost, keyed

@@ -147,15 +147,26 @@ object ScaleStress {
     dirs.foreach { case (n, out) =>
       // synthesis is deterministic in (base, n) — a sentinel written
       // AFTER the last table lets re-runs skip the multi-minute
-      // regeneration; any interrupted write leaves no sentinel
+      // regeneration; any interrupted write leaves no sentinel. The
+      // sentinel RECORDS the base path (ADVICE r11): a factor-only
+      // sentinel would silently reuse data scaled from a DIFFERENT
+      // base dir, corrupting every slope in SCALE.md.
       val sentinel = java.nio.file.Paths.get(s"$out/.synthesized_${n}x")
-      if (java.nio.file.Files.exists(sentinel)) {
-        System.err.println(s"[scale] reusing existing $out (${n}x)")
+      val sentinelBase =
+        if (!java.nio.file.Files.exists(sentinel)) None
+        else Some(new String(
+          java.nio.file.Files.readAllBytes(sentinel), "UTF-8").trim)
+      if (sentinelBase.contains(base)) {
+        System.err.println(s"[scale] reusing existing $out (${n}x of $base)")
       } else {
+        sentinelBase.foreach { stale =>
+          System.err.println(s"[scale] $out was synthesized from " +
+            s"'$stale' (want '$base') — regenerating")
+        }
       System.err.println(s"[scale] synthesizing ${n}x of $base → $out")
       val tGen = System.nanoTime()
       writeScaled(spark, base, out, n)
-      java.nio.file.Files.write(sentinel, Array.emptyByteArray)
+      java.nio.file.Files.write(sentinel, base.getBytes("UTF-8"))
       System.err.println(
         f"[scale] synthesis done in ${(System.nanoTime() - tGen) / 1e9}%.0f s")
       }
@@ -325,6 +336,51 @@ object ScaleStress {
         .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
     }
 
+    // ---- q92 per-stage attribution (VERDICT r11 item 2): the hybrid's
+    // 30× slope (1.32) exceeded both arms' (1.17/1.09) with no owner.
+    // Serializing the arms behind checkpoint boundaries separates the
+    // three hypotheses — a super-linear fusion join, a super-linear
+    // arm, or CO-RESIDENCY (the fused single plan runs both arms'
+    // shuffle/aggregate state concurrently in one heap + one disk).
+    // h-stage sum = the serialized cost; the main table's q92 row is
+    // the fused one-plan cost; their gap at each scale IS the
+    // co-residency tax, which the table below prints per point.
+    val q92StageNames = Seq("h1_ui_matrix", "h2_cf_arm", "h3_cn_arm",
+      "h4_fusion")
+    for (pass <- 1 to 2; d <- points) {
+      hygiene()
+      def timed92[T](name: String)(f: => T): T = {
+        org.apache.spark.GraftSparkInternals
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        val before = tape.snap
+        val t = System.nanoTime(); val r = f
+        val sec = (System.nanoTime() - t) / 1e9
+        org.apache.spark.GraftSparkInternals
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        val key = (name, d)
+        if (!stageTimes.contains(key) || sec < stageTimes(key)) {
+          stageTimes(key) = sec
+          stageTapes(key) = tape.snap - before
+        }
+        r
+      }
+      val ui = timed92("h1_ui_matrix")(
+        Recommend.uiMatrix(copurchases(spark, d), Recommend.UserItemCap))
+      // localCheckpoint is EAGER: each arm fully materializes inside
+      // its own timed window, and the fusion then reads two
+      // ExistingRDD scans — exactly the memoized-session plan shape
+      val cfT = timed92("h2_cf_arm")(
+        Recommend.itemCfTop(ui, Recommend.CoMinUsers,
+          Recommend.NeighborTopM, Recommend.RecK).localCheckpoint())
+      val cnT = timed92("h3_cn_arm")(
+        Recommend.contentTop(ui, part(spark, d), Recommend.UserItemCap,
+          Recommend.ProfileTopF, Recommend.RecK).localCheckpoint())
+      timed92("h4_fusion")(
+        Recommend.fuse(cfT, cnT, Recommend.RecK).count())
+      System.err.println(s"[scale] q92 stages p$pass @$d: " + q92StageNames
+        .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
+    }
+
     // the vocabulary-bounded claim, measured at every scale
     val classCounts = points.map { d =>
       d -> Recommend.itemClasses(
@@ -400,6 +456,49 @@ object ScaleStress {
       md ++= s"| $n | $cols | $slope |\n"
     }
 
+    // q92 stage-attribution table: serialized arms + fusion vs the
+    // fused one-plan run from the main table
+    md ++= "\n## q92 stage attribution (min-of-2 per scale, arms " +
+      "serialized behind checkpoint boundaries)\n\n"
+    md ++= "ui = the shared capped matrix; cf_arm = q87's full CF " +
+      "top-k over it; cn_arm = q89's full content top-k over it; " +
+      "fusion = the full-outer CombSUM join + per-user re-rank over " +
+      "two k-per-user checkpointed frames. `h_sum` is the SERIALIZED " +
+      "cost (arms run one after the other, each with the whole " +
+      "heap/disk to itself); `q92 fused` is the main table's " +
+      "one-plan run where both arms execute concurrently inside one " +
+      "plan; `co-residency gap` = fused − sum: the cost of the two " +
+      "arms' shuffle/aggregate state sharing one JVM heap and one " +
+      "spill disk. On a real cluster the gap prices contention, not " +
+      "algorithm — executors scale with data and each arm's per-node " +
+      "state share stays constant.\n\n"
+    md ++= s"| stage | sf0.1 sec | " +
+      factors.map(n => s"${n}× sec").mkString(" | ") + " | slope |\n"
+    md ++= "|---" * (3 + factors.size) + "|\n"
+    def slopeOf(times: String => Double): String =
+      if (factors.size < 2) "n/a"
+      else f"${(times(s"target/scale${factors.last}") /
+        math.max(times(s"target/scale${factors.head}"), 1e-3)) /
+        (factors.last.toDouble / factors.head)}%.2f"
+    q92StageNames.foreach { n =>
+      val cols = points.map(d => f"${stageTimes((n, d))}%.1f")
+        .mkString(" | ")
+      md ++= s"| $n | $cols | ${slopeOf(d => stageTimes((n, d)))} |\n"
+    }
+    val hSum = (d: String) => q92StageNames.map(n => stageTimes((n, d))).sum
+    md ++= s"| h_sum (serialized) | " +
+      points.map(d => f"${hSum(d)}%.1f").mkString(" | ") +
+      s" | ${slopeOf(hSum)} |\n"
+    if (best.contains(("q92_hybrid_rec", base))) {
+      val fused = (d: String) => best(("q92_hybrid_rec", d))._1
+      md ++= s"| q92 fused (one plan) | " +
+        points.map(d => f"${fused(d)}%.1f").mkString(" | ") +
+        s" | ${slopeOf(fused)} |\n"
+      md ++= s"| co-residency gap | " +
+        points.map(d => f"${fused(d) - hSum(d)}%.1f").mkString(" | ") +
+        " | — |\n"
+    }
+
     // the same stages in BYTES and CPU (from the min-wall pass): if
     // shuffle bytes and CPU grow ∝ data while wall grows faster, the
     // algorithm is linear and the excess is this host's one disk and
@@ -409,7 +508,7 @@ object ScaleStress {
     md ++= "| stage | point | wall s | shuffle w+r GiB | spill " +
       "mem/disk GiB | gc s | cpu s | run s |\n"
     md ++= "|---|---|---|---|---|---|---|---|\n"
-    stageNames.foreach { n =>
+    (stageNames ++ q92StageNames).foreach { n =>
       points.foreach { d =>
         val tp = stageTapes((n, d))
         val gib = (b: Long) => f"${b / math.pow(2, 30)}%.2f"
@@ -422,6 +521,38 @@ object ScaleStress {
       }
     }
 
+    // The s4 shuffle-byte OWNERS (VERDICT r11 item 3) — measured once
+    // per-node with `graft.StageProbe <dir> s4` (r12 artifacts:
+    // target/diag/s4probe_{10x,30x}.out); prose pinned here so the
+    // regenerated SCALE.md always carries the attribution. Bytes are
+    // deterministic per plan+data, unlike walls, so a pinned
+    // decomposition stays valid until the plan itself changes.
+    md ++= "\n**s4_scoring's super-linear-looking shuffle bytes are a " +
+      "one-time regime shift at the spill-guard boundary, not " +
+      "growth** (per-node decomposition, `graft.StageProbe " +
+      "target/scale30 s4`): below the guard (1×/10×) the stock plan " +
+      "ships ONE full-stream-sized exchange — at 10×: 1.14 GiB of " +
+      "partial-aggregated candidates (the 105.2M-row stream enters a " +
+      "map-side partial aggregate first, deduping only 5%, " +
+      "105.2M→99.5M) plus 0.17 GiB of WindowGroupLimit partial-cut " +
+      "survivors (95.6M→13.7M rows cut before the exchange) and a " +
+      "0.05 GiB anti-join side; the candidate join itself is a " +
+      "broadcast (320 MiB neighbor table), shuffle-free. Above the " +
+      "guard (30×) the operator deliberately trades bytes for " +
+      "memory: the 315.7M-row candidate stream is clustered by " +
+      "(u, j) BEFORE aggregation (4.12 GiB — replacing the partial " +
+      "aggregate that deduped 5% while spilling 29 GiB), the scored " +
+      "286.8M-row stream is clustered by (u) for the top-k window " +
+      "(3.86 GiB — replacing the per-task partial sort that spilled " +
+      "27 GiB), and the neighbor table rides shuffle-hash exchanges " +
+      "instead of a driver broadcast (0.40 GiB of join sides). Sum " +
+      "8.38 GiB vs ~4.1 GiB if the 10× regime scaled linearly — a " +
+      "2× constant factor for two full-stream exchanges instead of " +
+      "one, bought back as 0.00 GiB spill (the spill columns above) " +
+      "where the stock plan spilled ~56 GiB across the two stages. " +
+      "Within each regime bytes are linear in data; the stage wall " +
+      "slope (>1.5 across the boundary) prices this shift plus " +
+      "single-host GC, not algorithmic super-linearity.\n"
     md ++= "\n**q89 content classes** (the vocabulary-bounded claim): " +
       classCounts.map { case (d, c) => s"$c @ $d" }.mkString(", ") +
       " — constant while the catalog grows " +

@@ -101,8 +101,12 @@ object StageProbe {
       Recommend.copurchases(spark, d), Recommend.UserItemCap)
     val stats = ui.agg(count(lit(1)), count_distinct(col("i"))).first()
     val (uiRows, nItems) = (stats.getLong(0), stats.getLong(1))
-    probe("s2_sims_f2 (un-checkpointed plan)",
-      Recommend.simsPlan(ui, Recommend.CoMinUsers, nItems))
+    // "s4": skip the expensive s2 probe — build the chain silently and
+    // dump only s4's per-node metrics (the shuffle-bytes decomposition
+    // VERDICT r11 item 3 needs: which Exchange owns the bytes)
+    if (!args.contains("s4"))
+      probe("s2_sims_f2 (un-checkpointed plan)",
+        Recommend.simsPlan(ui, Recommend.CoMinUsers, nItems))
     val sims = Recommend.simsTable(ui, Recommend.CoMinUsers, nItems)
     val nbr = Recommend.topMFromSims(sims, Recommend.NeighborTopM)
       .localCheckpoint()
@@ -110,10 +114,11 @@ object StageProbe {
       Recommend.scoreFromNbr(ui, nbr,
         nItems * Recommend.NeighborTopM, Recommend.RecK,
         uiRows * Recommend.NeighborTopM))
-    probe("q89_content (full contentRecOn)",
-      Recommend.contentRecOn(Recommend.copurchases(spark, d),
-        graft.Tables.part(spark, d), Recommend.UserItemCap,
-        Recommend.ProfileTopF, Recommend.RecK))
+    if (!args.contains("s4"))
+      probe("q89_content (full contentRecOn)",
+        Recommend.contentRecOn(Recommend.copurchases(spark, d),
+          graft.Tables.part(spark, d), Recommend.UserItemCap,
+          Recommend.ProfileTopF, Recommend.RecK))
     spark.stop()
   }
 }

@@ -252,34 +252,51 @@ object StreamBench {
     // previous file is this program's own output — a regex over the
     // rows_per_sec arrays is format-stable.
     val roundN = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-    val deltaJs = roundN.flatMap { r =>
+    // Deltas are only meaningful when BOTH rounds used the same
+    // throughput accounting (ADVICE r11: r11 switched to
+    // processing-time/excludes-first-batch, so an unguarded r10→r11
+    // delta compared accounting regimes, not engines — ingest_recs
+    // printed +398%). The marker is this program's own
+    // `"excludes_first_batch":true` field; a previous artifact without
+    // it gets a `not comparable` note instead of numbers. prevBest ≤ 0
+    // (zero-batch run) is skipped too — the division would emit
+    // Infinity/NaN and break the JSON.
+    val deltaField = roundN.map { r =>
       val prevPath = java.nio.file.Paths.get(f"STREAMBENCH_r${r - 1}%02d.json")
-      if (!java.nio.file.Files.exists(prevPath)) None
+      if (!java.nio.file.Files.exists(prevPath)) ""
       else {
         val prevTxt = new String(
           java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        val parts = results.flatMap { case (name, runs) =>
-          val re = ("\"" + name + "\":\\{\"rows_per_sec\":\\[([0-9.,]+)\\]")
-            .r.unanchored
-          prevTxt match {
-            case re(arr) =>
-              val prevBest = arr.split(",").map(_.toDouble).max
-              val curBest = runs.map(_._1).max
-              val pct = (curBest - prevBest) / prevBest * 100.0
-              val tag = if (pct <= -30.0) "  <<< REGRESSION ≥30%" else ""
-              System.err.println(
-                f"[streambench] Δ r${r - 1}→r$r $name: " +
-                  f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%)$tag")
-              Some(s""""$name":${r1(pct)}""")
-            case _ => None
+        if (!prevTxt.contains("\"excludes_first_batch\":true")) {
+          System.err.println(s"[streambench] r${r - 1} artifact uses a " +
+            "different accounting — deltas not comparable, omitted")
+          s""","delta_vs_prev_round_pct":"not comparable: r${r - 1} """ +
+            s"""artifact predates processing-time accounting""""
+        } else {
+          val parts = results.flatMap { case (name, runs) =>
+            val re = ("\"" + name + "\":\\{\"rows_per_sec\":\\[([0-9.,]+)\\]")
+              .r.unanchored
+            prevTxt match {
+              case re(arr) =>
+                val prevBest = arr.split(",").map(_.toDouble).max
+                if (prevBest <= 0.0) None
+                else {
+                  val curBest = runs.map(_._1).max
+                  val pct = (curBest - prevBest) / prevBest * 100.0
+                  val tag = if (pct <= -30.0) "  <<< REGRESSION ≥30%" else ""
+                  System.err.println(
+                    f"[streambench] Δ r${r - 1}→r$r $name: " +
+                      f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%)$tag")
+                  Some(s""""$name":${r1(pct)}""")
+                }
+              case _ => None
+            }
           }
+          if (parts.isEmpty) ""
+          else s""","delta_vs_prev_round_pct":${parts.mkString("{", ",", "}")}"""
         }
-        if (parts.isEmpty) None
-        else Some(parts.mkString("{", ",", "}"))
       }
-    }
-    val deltaField = deltaJs
-      .map(d => s""","delta_vs_prev_round_pct":$d""").getOrElse("")
+    }.getOrElse("")
     val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"streams":$js$deltaField}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -175,9 +175,36 @@ object Recommend {
       nItems: Long): DataFrame =
     simsPlan(ui, coMin, nItems).localCheckpoint()
 
+  /** The EXACT pair count Σ n_u·(n_u−1)/2 of the co-occurrence
+    * self-join — the cardinality that sizes the pair aggregate's
+    * shuffle. Runs ONE eager aggregate job over `ui`, so callers must
+    * hand in the CHECKPOINTED matrix (ADVICE r11: a non-checkpointed
+    * ui recomputes its whole upstream DAG just for this count). n ≤
+    * the power-user cap, so n·(n−1)/2 ≤ 2016 and the sum fits a long
+    * at any corpus size. */
+  private[graft] def pairsEstimate(ui: DataFrame): Long =
+    (ui.groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1))).cast("long"))
+      .first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }) / 2
+
+  /** [[simsPlan]] computing its own [[pairsEstimate]] — convenience
+    * for tests/probes. NOT lazy: constructing the plan runs the
+    * estimate's aggregate job, so `ui` must be checkpointed (every
+    * production caller reaches this through [[simsTable]], whose
+    * input contract is the checkpointed [[uiMatrix]]). Callers that
+    * only need the PLAN (explain dumps) should pass an estimate to
+    * the 4-arg overload instead. */
+  private[graft] def simsPlan(ui: DataFrame, coMin: Int,
+      nItems: Long): DataFrame =
+    simsPlan(ui, coMin, nItems, pairsEstimate(ui))
+
   /** The un-checkpointed pair-build plan — split out so tests can
     * assert the degree-join gate's physical shape (localCheckpoint
-    * replaces the plan with an ExistingRDD scan).
+    * replaces the plan with an ExistingRDD scan). Plan construction
+    * is LAZY: `pairsEst` comes in like `nItems` does.
     *
     * The pair aggregate goes through [[sizedByCardinality]] with the
     * EXACT pair count Σ n_u·(n_u−1)/2 (one cheap aggregate over the
@@ -194,16 +221,8 @@ object Recommend {
     * itself carries the same bytes the failed partial combine
     * shipped. */
   private[graft] def simsPlan(ui: DataFrame, coMin: Int,
-      nItems: Long): DataFrame = {
+      nItems: Long, pairsEst: Long): DataFrame = {
     val ideg = ui.groupBy(col("i")).agg(count(lit(1)).as("deg"))
-    // n ≤ the power-user cap, so n·(n−1)/2 ≤ 2016 and the sum fits a
-    // long at any corpus size
-    val pairsEst = (ui.groupBy(col("u")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - lit(1))).cast("long"))
-      .first() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }) / 2
     val rawPairs = ui.select(col("u"), col("i").as("ia"))
       .join(ui.select(col("u"), col("i").as("ib")), "u")
       .filter(col("ia") < col("ib"))
@@ -251,7 +270,7 @@ object Recommend {
     * is presentation, not semantics, and an orderBy under q92's fusion
     * join would buy a range exchange of the whole rec frame for
     * nothing. */
-  private def itemCfTop(ui: DataFrame, coMin: Int, topM: Int, k: Int)
+  private[graft] def itemCfTop(ui: DataFrame, coMin: Int, topM: Int, k: Int)
   : DataFrame = {
     // one aggregate over the checkpointed ui sizes EVERY gate: the
     // degree broadcasts inside the pair build (nItems), the
@@ -350,7 +369,7 @@ object Recommend {
 
   /** Weighted CombSUM fusion of two (custkey, rec_rank, item, score)
     * top-k frames. */
-  private def fuse(cfRecs: DataFrame, cnRecs: DataFrame, k: Int)
+  private[graft] def fuse(cfRecs: DataFrame, cnRecs: DataFrame, k: Int)
   : DataFrame = {
     val cf = cfRecs
       .select(col("custkey"), col("item"), col("score").as("cf_score"))
@@ -604,7 +623,7 @@ object Recommend {
 
   /** The UNORDERED content top-k (see [[itemCfTop]] for why
     * compositions consume the unsorted form). */
-  private def contentTop(ui: DataFrame, p: DataFrame, cap: Int,
+  private[graft] def contentTop(ui: DataFrame, p: DataFrame, cap: Int,
       profTopF: Int, k: Int): DataFrame = {
     // item-feature pairs: whole name + brand + type, then the df cap.
     // catalog-sized (≤3 rows/item); read by the class build and the
