@@ -20,6 +20,24 @@ object Bench {
       .values.foreach(_.unpersist(blocking = false))
   }
 
+  /** Previous round's headline total from a `bench_queries.json` body,
+    * or None when it can't serve as a baseline: different SF (a local
+    * sf0.01 iteration file must not masquerade as the round baseline),
+    * a non-positive/absent total, or malformed content. The value
+    * match is anchored on the headline `"metric":"total","value":`
+    * prefix so a per-query number can never be mistaken for the
+    * total. Unit-tested (CountsSpec) — this string surgery is the one
+    * piece of the round-over-round gate that regexes could silently
+    * get wrong. */
+  private[graft] def parsePrevTotal(
+      txt: String, sfDir: String): Option[Double] = {
+    val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    if (!sfOk) None
+    else "\"metric\":\"total\",\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).filter(_ > 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -211,14 +229,8 @@ object Bench {
     val prevTotal: Option[Double] = try {
       val p = java.nio.file.Paths.get("bench_queries.json")
       if (!java.nio.file.Files.exists(p)) None
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
-        if (!sfOk) None
-        else "\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).filter(_ > 0)
-      }
+      else parsePrevTotal(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
     } catch { case _: Throwable => None }
     val totalDelta = prevTotal.map { pt =>
       val pct = (total - pt) / pt * 100.0

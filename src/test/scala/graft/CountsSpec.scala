@@ -50,4 +50,30 @@ class CountsSpec extends AnyFunSuite {
     assert(now.contains(s"$nOracles hash-compared"))
     assert(now.contains(s"$nTests ScalaTests"))
   }
+
+  test("Bench.parsePrevTotal gates the round-over-round baseline") {
+    // shape of the artifact Bench itself writes (headline first, then
+    // per-query values that must NOT be mistaken for the total)
+    val art = """{"metric":"total","value":131.75,"unit":"sec",""" +
+      """"queries":{"q01_pricing_summary":0.42,"q93_cf_eval":10.4},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePrevTotal(art, "/root/testdata/sf0.1")
+      .contains(131.75))
+    // a different SF is not a baseline (a local sf0.01 iteration file
+    // must not masquerade as the round total)
+    assert(Bench.parsePrevTotal(art, "/root/testdata/sf0.01").isEmpty)
+    // the anchored match skips a "value" key that is not the headline
+    // metric: an earlier stray "value" does not shadow the total, and
+    // a body with per-query values but no headline yields no baseline
+    val shuffled = """{"queries":{"value":9.9},"metric":"total",""" +
+      """"value":42.0,"sf":"d"}"""
+    assert(Bench.parsePrevTotal(shuffled, "d").contains(42.0))
+    assert(Bench.parsePrevTotal(
+      """{"queries":{"value":9.9},"sf":"d"}""", "d").isEmpty)
+    // non-positive totals and garbage never produce a baseline
+    assert(Bench.parsePrevTotal(
+      """{"metric":"total","value":0,"sf":"d"}""", "d").isEmpty)
+    assert(Bench.parsePrevTotal("", "d").isEmpty)
+    assert(Bench.parsePrevTotal("not json at all", "d").isEmpty)
+  }
 }
