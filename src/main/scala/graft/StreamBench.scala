@@ -30,6 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
 
+  /** True when a previous STREAMBENCH artifact was produced under the
+    * same throughput accounting as this program (processing-time,
+    * first batch excluded) — a delta against any other artifact
+    * compares accounting regimes, not engines (ADVICE r11: the
+    * unguarded r10→r11 delta printed +398% on ingest_recs). */
+  private[graft] def sameAccounting(prevTxt: String): Boolean =
+    prevTxt.contains("\"excludes_first_batch\":true")
+
+  /** Best (max) rows/s recorded for stream `name` in a STREAMBENCH
+    * artifact body, or None when the stream is absent or its best is
+    * non-positive — a zero-batch run's 0.0 would turn the delta
+    * division into Infinity/NaN and break the JSON (ADVICE r11).
+    * Unit-tested (CountsSpec): the regex over this program's own
+    * output format is the fragile piece of the round gate. */
+  private[graft] def prevBestRate(
+      prevTxt: String, name: String): Option[Double] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(name) +
+      "\":\\{\"rows_per_sec\":\\[([0-9.,]+)\\]").r.unanchored
+    prevTxt match {
+      case re(arr) =>
+        Some(arr.split(",").map(_.toDouble).max).filter(_ > 0.0)
+      case _ => None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val durSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "12").toInt
@@ -267,29 +292,21 @@ object StreamBench {
       else {
         val prevTxt = new String(
           java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        if (!prevTxt.contains("\"excludes_first_batch\":true")) {
+        if (!sameAccounting(prevTxt)) {
           System.err.println(s"[streambench] r${r - 1} artifact uses a " +
             "different accounting — deltas not comparable, omitted")
           s""","delta_vs_prev_round_pct":"not comparable: r${r - 1} """ +
             s"""artifact predates processing-time accounting""""
         } else {
           val parts = results.flatMap { case (name, runs) =>
-            val re = ("\"" + name + "\":\\{\"rows_per_sec\":\\[([0-9.,]+)\\]")
-              .r.unanchored
-            prevTxt match {
-              case re(arr) =>
-                val prevBest = arr.split(",").map(_.toDouble).max
-                if (prevBest <= 0.0) None
-                else {
-                  val curBest = runs.map(_._1).max
-                  val pct = (curBest - prevBest) / prevBest * 100.0
-                  val tag = if (pct <= -30.0) "  <<< REGRESSION ≥30%" else ""
-                  System.err.println(
-                    f"[streambench] Δ r${r - 1}→r$r $name: " +
-                      f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%)$tag")
-                  Some(s""""$name":${r1(pct)}""")
-                }
-              case _ => None
+            prevBestRate(prevTxt, name).map { prevBest =>
+              val curBest = runs.map(_._1).max
+              val pct = (curBest - prevBest) / prevBest * 100.0
+              val tag = if (pct <= -30.0) "  <<< REGRESSION ≥30%" else ""
+              System.err.println(
+                f"[streambench] Δ r${r - 1}→r$r $name: " +
+                  f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%)$tag")
+              s""""$name":${r1(pct)}"""
             }
           }
           if (parts.isEmpty) ""

@@ -76,4 +76,25 @@ class CountsSpec extends AnyFunSuite {
     assert(Bench.parsePrevTotal("", "d").isEmpty)
     assert(Bench.parsePrevTotal("not json at all", "d").isEmpty)
   }
+
+  test("StreamBench delta guard: accounting marker + prev-rate parse") {
+    // shape of the artifact StreamBench itself writes
+    val art = """{"duration_sec_per_run":12,"runs":2,"warm_runs":1,""" +
+      """"cpus":8,"excludes_first_batch":true,"streams":{""" +
+      """"curation_stateless":{"rows_per_sec":[100127.4,115098.9],""" +
+      """"input_rows":[1100000,1100000]},""" +
+      """"zero_batch":{"rows_per_sec":[0.0,0.0],"input_rows":[0,0]}}}"""
+    assert(StreamBench.sameAccounting(art))
+    // a pre-r11 artifact (wall-clock accounting) is not comparable
+    assert(!StreamBench.sameAccounting(
+      """{"duration_sec_per_run":12,"streams":{}}"""))
+    // best = max across runs
+    assert(StreamBench.prevBestRate(art, "curation_stateless")
+      .contains(115098.9))
+    // a zero-batch previous run yields no baseline (the delta division
+    // would emit Infinity/NaN into the JSON)
+    assert(StreamBench.prevBestRate(art, "zero_batch").isEmpty)
+    // absent stream → no delta entry
+    assert(StreamBench.prevBestRate(art, "no_such_stream").isEmpty)
+  }
 }
