@@ -23,6 +23,7 @@ object Bench {
   /** Previous round's headline total from a `bench_queries.json` body,
     * or None when it can't serve as a baseline: different SF (a local
     * sf0.01 iteration file must not masquerade as the round baseline),
+    * a BENCH_ONLY subset artifact (same masquerade at the round SF),
     * a non-positive/absent total, or malformed content. The value
     * match is anchored on the headline `"metric":"total","value":`
     * prefix so a per-query number can never be mistaken for the
@@ -33,7 +34,9 @@ object Bench {
       txt: String, sfDir: String): Option[Double] = {
     val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
       .exists(_.group(1) == sfDir)
-    if (!sfOk) None
+    // a BENCH_ONLY subset artifact covers a handful of queries — its
+    // total must never become a full run's baseline
+    if (!sfOk || txt.contains("\"bench_only\":true")) None
     else "\"metric\":\"total\",\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toDouble).filter(_ > 0)
   }
@@ -226,7 +229,14 @@ object Bench {
     // BEFORE it is overwritten below; the delta only reports when the
     // previous run covered the same SF (a local sf0.01 iteration file
     // must not masquerade as a baseline).
-    val prevTotal: Option[Double] = try {
+    // A BENCH_ONLY subset run can't participate on either side of the
+    // gate: its total covers a handful of queries (comparing it to a
+    // full run is meaningless) and its artifact must not become the
+    // next full run's baseline — same masquerade risk as the
+    // different-SF case, and easier to hit (subset iterations run at
+    // the round SF).
+    val isSubset = only.isDefined
+    val prevTotal: Option[Double] = if (isSubset) None else try {
       val p = java.nio.file.Paths.get("bench_queries.json")
       if (!java.nio.file.Files.exists(p)) None
       else parsePrevTotal(
@@ -240,7 +250,8 @@ object Bench {
       s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
         (if (math.abs(pct) >= 10.0) s""","total_moved_ge_10pct":true""" else "")
     }.getOrElse("")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery$totalDelta,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
+    val subsetField = if (isSubset) s""","bench_only":true""" else ""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery$totalDelta$subsetField,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
     // The driver's tail capture clipped the FRONT of the full line in
     // round 6 (17 of 85 per-query timings lost) — persist the complete
     // per-query map as its own artifact so it survives any stdout

@@ -70,6 +70,11 @@ class CountsSpec extends AnyFunSuite {
     assert(Bench.parsePrevTotal(shuffled, "d").contains(42.0))
     assert(Bench.parsePrevTotal(
       """{"queries":{"value":9.9},"sf":"d"}""", "d").isEmpty)
+    // a BENCH_ONLY subset artifact at the SAME SF is not a baseline
+    // either — its total covers a handful of queries
+    assert(Bench.parsePrevTotal(
+      """{"metric":"total","value":19.2,"bench_only":true,""" +
+        """"sf":"/root/testdata/sf0.1"}""", "/root/testdata/sf0.1").isEmpty)
     // non-positive totals and garbage never produce a baseline
     assert(Bench.parsePrevTotal(
       """{"metric":"total","value":0,"sf":"d"}""", "d").isEmpty)
