@@ -123,6 +123,84 @@ object ScaleStress {
         col("o_custkey").as("u")), "ok")
       .select(col("u"), col("i"))
 
+  /** The 100× decade check (round 12, VERDICT r11 item 7) — measured
+    * by a separate targeted run whose raw artifacts live under
+    * diag/r12/ (scale100_partial.md, scale100_run.log,
+    * stageprobe_100x.out); pinned into every full SCALE.md like the
+    * s4 byte decomposition so regeneration never drops it. Walls are
+    * that run's min-of-2; 30×-relative slopes use the r11 table's 30×
+    * walls (cross-window host drift applies); bytes/rows/spill are
+    * deterministic per plan+data. */
+  private val Decade100Section: String =
+    """## 100× decade check (q87/q92 only — VERDICT r11 item 7)
+      |
+      |Three points fit a line; a fourth decade catches a quadratic term the
+      |30× point can't. Run: a targeted partial stress
+      |(`SPARK_GRAFT_SCALE_FACTORS=100
+      |SPARK_GRAFT_SCALE_ONLY=q87_item_cf,q92_hybrid_rec`, 64 GiB heap —
+      |the two fused arms at 100× did NOT need to be run separately), same
+      |min-of-2 interleaved method; full artifact
+      |`diag/r12/scale100_partial.md`, run log `diag/r12/scale100_run.log`
+      |(an earlier attempt killed mid-run by a session restart corroborates
+      |q87: 304.1 s — `scale100_run_attempt1.log`). 30×-relative slopes
+      |below use the r11 table's 30× walls, so they carry the documented
+      |cross-window host drift; within-run evidence (bytes, rows, spill) is
+      |deterministic.
+      |
+      || query | sf0.1 sec | 100× sec | 100× ratio | per-replica vs 30× |
+      ||---|---|---|---|---|
+      || q87_item_cf | 8.7 | 307.8 | 35.4× | 1.21 |
+      || q92_hybrid_rec | 10.3 | 454.2 | 44.1× | 0.81 |
+      |
+      |**No quadratic term.** A quadratic stage would make the per-replica
+      |slope GROW by ~3.3× each decade; instead q92's fell into the fourth
+      |decade (1.17 across 10×→30× → 0.81 across 30×→100×) and q87's rose
+      |only to 1.21, owned by single-heap pressure, not algorithm: the
+      |in-regime evidence below is linear.
+      |
+      || stage | 30× sec | 100× sec | per-replica | shuffle w+r 30× → 100× GiB | bytes/replica |
+      ||---|---|---|---|---|---|
+      || s1_ui_matrix | 5.2 | 10.4 | 0.60 | 1.43 → 4.80 | 1.01 |
+      || s2_sims_f2 | 19.9 | 96.1 | 1.45 | 6.48 → 22.23 | 1.03 |
+      || s3_top_m | 3.3 | 9.5 | 0.86 | 0.50 → 1.74 | 1.04 |
+      || s4_scoring | 45.7 | 158.9 | 1.04 | 16.76 → 58.56 | 1.05 |
+      || s4_scoring_shuffle | 42.9 | 180.3 | 1.26 | 16.76 → 58.56 | 1.05 |
+      || h2_cf_arm | 70.2 | 259.8 | 1.11 | 23.65 → 82.25 | 1.04 |
+      || h3_cn_arm | 67.7 | 245.2 | 1.09 | 2.86 → 9.56 | 1.00 |
+      || h4_fusion | 2.3 | 4.7 | 0.61 | 0.16 → 0.52 | 0.98 |
+      |
+      |- **s4_scoring is linear within the above-guard regime: wall 1.04,
+      |  bytes 1.05 per replica** — the second in-regime point the r11
+      |  regime-shift explanation predicted (both 30× and 100× sit above the
+      |  spill guard, so no further regime boundary is crossed and the bytes
+      |  scale with data). The r11 flag on s4's 1.52 stage slope was the
+      |  10×→30× boundary crossing, now bracketed on both sides.
+      |- **s2_sims_f2 owns the residual super-linearity (1.45)**, and the
+      |  per-node probe (`diag/r12/stageprobe_100x.out`) shows it is NOT the
+      |  plan: standalone on a dedicated 64 GiB heap, the 1.129B-row pair
+      |  stream rides ONE sized exchange (10.6 GiB, ~565 tasks × 2M rows),
+      |  the (i,j) aggregate holds ~190 MB/task fully in memory with ZERO
+      |  spill, and the CoMinUsers filter cuts 1.097B → 30.7M. In-stress the
+      |  same stage spilled 40.0 GiB (mem) and burned 43.4 s of GC — the
+      |  spill columns at 100× price measurement co-residency (interleaved
+      |  passes + forced-boundary checkpoints sharing one heap), not the
+      |  operator. Same pattern on s4: in-stress 36.0/14.5 GiB spill, probe
+      |  zero — both sized exchanges (14.8 + 13.7 GiB written) feed 2M-row
+      |  in-memory tasks.
+      |- **The co-residency gap flips sign at 100×: fused −66.2 s vs
+      |  serialized arms** (h_sum 520.4 s, fused one-plan 454.2 s; at 30×
+      |  fused was +23.2 s SLOWER). Once each arm's stages are long enough,
+      |  the scheduler fills one arm's GC pauses and shuffle-write stalls
+      |  with the other arm's tasks — concurrency becomes overlap instead of
+      |  contention. This settles the r11 open question: the fused one-plan
+      |  q92 is the right production shape at scale; serializing the arms
+      |  would trade a 30×-only +23 s artifact for a 100× −66 s loss.
+      |- **q89 content classes: 1,600 at 100×** (1× 1,600) — the
+      |  vocabulary-bounded claim holds through the fourth decade while the
+      |  catalog grows 100×.
+      |
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // sorted + distinct (ADVICE r10): the slope and the "last point"
@@ -557,6 +635,12 @@ object ScaleStress {
       classCounts.map { case (d, c) => s"$c @ $d" }.mkString(", ") +
       " — constant while the catalog grows " +
       s"${factors.last}× (linear-in-catalog would be ${factors.last}×).\n\n"
+    // The 100× decade check is a SEPARATE targeted run (r12; VERDICT
+    // r11 item 7) — pinned here like the s4 byte decomposition so a
+    // full regeneration keeps it (its numbers come from the preserved
+    // diag/r12 artifacts, not from this run). Only the full artifact
+    // carries it; a partial run's SCALE_partial.md stays raw.
+    if (only.isEmpty) md ++= Decade100Section
     md ++= "Reading: a time ratio ≲ the data factor is linear-or-better " +
       "(N× data on fixed cores costs ≥N× work if the algorithm is " +
       "linear); the SLOPE column is the per-replica cost of the last " +
