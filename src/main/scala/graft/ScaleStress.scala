@@ -199,6 +199,28 @@ object ScaleStress {
       |  vocabulary-bounded claim holds through the fourth decade while the
       |  catalog grows 100×.
       |
+      |**Dedup family at 100×** (targeted runs; logs + per-node probes in
+      |`diag/r12/`): q58 9.4 s — 30× 3.6 s → per-replica 0.78, linear. q24
+      |carries the corpus's pair mass — 534.5M raw / 328.3M distinct
+      |candidates at 100×, exactly 3.3× the 30× counts (linear in N) — but
+      |the session-width plan crushed it in 32 tasks: the pre-fix per-node
+      |probe (`q24probe_100x.out`) shows a 30 GiB spill in the candidate
+      |dedup and 70–75 GiB spilled PER SORT once AQE's sort-merge lookups
+      |sorted array-carrying pair streams (95–102 GiB dataSize). Fixed in
+      |r12 (`SetSimilarity.lshCandidates`): the pair stream clusters at
+      |parallelism from the EXACT per-bucket pair count Σ n·(n−1)/2 (the
+      |CF chain's `sizedByCardinality`; one cheap aggregate over the
+      |nDocs·nBands band table), and past the same guard the doc-table
+      |lookups hint shuffle_hash, so the pair stream PROBES without ever
+      |sorting. Post-fix probe (`q24probe_100x_fixed.out`): ZERO spill,
+      |~3 s build times, probe wall 380 → 282 s; one exchange writes
+      |31 GiB instead of 4 GiB because unsorted rows compress worse — the
+      |price of dropping a 75 GiB spill. q24's 100× WALLS are
+      |window-dominated either way (the unchanged pre-fix plan measured
+      |272 s and 158.7 s in two windows) — the deterministic spill/sort
+      |evidence is the claim. Below the guard every plan is untouched
+      |(sf0.001/sf0.01/sf0.1 oracle-gated before and after).
+      |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -367,7 +389,14 @@ object ScaleStress {
       scala.collection.mutable.Map[(String, String), Tape]()
     val tape = new TaskTape
     spark.sparkContext.addSparkListener(tape)
-    for (pass <- 1 to 2; d <- points) {
+    // Stage passes follow the `only` filter like the query table does:
+    // a partial run targeting the dedup family must not pay two
+    // recommender stage attributions per scale point (at 100× those
+    // cost more than the queries it came for). Full runs (no filter)
+    // always attribute both.
+    val runQ87Stages = only.forall(_.contains("q87_item_cf"))
+    val runQ92Stages = only.forall(_.contains("q92_hybrid_rec"))
+    if (runQ87Stages) for (pass <- 1 to 2; d <- points) {
       hygiene()
       // min-of-2 like the query table: single-pass stage numbers
       // swung ±40% on this host's noise windows. The metrics tape is
@@ -425,7 +454,7 @@ object ScaleStress {
     // co-residency tax, which the table below prints per point.
     val q92StageNames = Seq("h1_ui_matrix", "h2_cf_arm", "h3_cn_arm",
       "h4_fusion")
-    for (pass <- 1 to 2; d <- points) {
+    if (runQ92Stages) for (pass <- 1 to 2; d <- points) {
       hygiene()
       def timed92[T](name: String)(f: => T): T = {
         org.apache.spark.GraftSparkInternals
@@ -513,6 +542,7 @@ object ScaleStress {
       md ++= f"| $name | $s1%.1f | $fCols | $slope | $r1 | $rCols |\n"
     }
     // q87 stage-attribution table (one timed pass per scale)
+    if (runQ87Stages) {
     md ++= "\n## q87 stage attribution (min-of-2 per scale, forced " +
       "stage boundaries)\n\n"
     md ++= "s3 is checkpointed for measurement (production fuses s3→s4" +
@@ -533,9 +563,11 @@ object ScaleStress {
           (factors.last.toDouble / factors.head)}%.2f"
       md ++= s"| $n | $cols | $slope |\n"
     }
+    }
 
     // q92 stage-attribution table: serialized arms + fusion vs the
     // fused one-plan run from the main table
+    if (runQ92Stages) {
     md ++= "\n## q92 stage attribution (min-of-2 per scale, arms " +
       "serialized behind checkpoint boundaries)\n\n"
     md ++= "ui = the shared capped matrix; cf_arm = q87's full CF " +
@@ -576,17 +608,21 @@ object ScaleStress {
         points.map(d => f"${fused(d) - hSum(d)}%.1f").mkString(" | ") +
         " | — |\n"
     }
+    }
 
     // the same stages in BYTES and CPU (from the min-wall pass): if
     // shuffle bytes and CPU grow ∝ data while wall grows faster, the
     // algorithm is linear and the excess is this host's one disk and
     // one heap absorbing 30× the traffic — on a cluster the per-node
     // share of these bytes is constant as executors scale with data.
+    val ioStages = (if (runQ87Stages) stageNames else Nil) ++
+      (if (runQ92Stages) q92StageNames else Nil)
+    if (ioStages.nonEmpty) {
     md ++= "\n### stage I/O + CPU (min-wall pass; GiB = 2^30 bytes)\n\n"
     md ++= "| stage | point | wall s | shuffle w+r GiB | spill " +
       "mem/disk GiB | gc s | cpu s | run s |\n"
     md ++= "|---|---|---|---|---|---|---|---|\n"
-    (stageNames ++ q92StageNames).foreach { n =>
+    ioStages.foreach { n =>
       points.foreach { d =>
         val tp = stageTapes((n, d))
         val gib = (b: Long) => f"${b / math.pow(2, 30)}%.2f"
@@ -598,6 +634,7 @@ object ScaleStress {
           f"${tp.runMs / 1e3}%.1f |\n"
       }
     }
+    }
 
     // The s4 shuffle-byte OWNERS (VERDICT r11 item 3) — measured once
     // per-node with `graft.StageProbe <dir> s4` (r12 artifacts:
@@ -605,7 +642,7 @@ object ScaleStress {
     // regenerated SCALE.md always carries the attribution. Bytes are
     // deterministic per plan+data, unlike walls, so a pinned
     // decomposition stays valid until the plan itself changes.
-    md ++= "\n**s4_scoring's super-linear-looking shuffle bytes are a " +
+    if (runQ87Stages) md ++= "\n**s4_scoring's super-linear-looking shuffle bytes are a " +
       "one-time regime shift at the spill-guard boundary, not " +
       "growth** (per-node decomposition, `graft.StageProbe " +
       "target/scale30 s4`): below the guard (1×/10×) the stock plan " +

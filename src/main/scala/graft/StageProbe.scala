@@ -71,6 +71,12 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.mining.Recommend
 
+    if (args.contains("q24")) {
+      probe("q24_neardup_lsh (full neardupLshOn)",
+        graft.mining.SetSimilarity.neardupLshOn(
+          graft.Tables.documents(spark, d)))
+      spark.stop(); return
+    }
     if (args.contains("q93")) {
       probe("q93_cf_eval (full cfEvalOn)",
         Recommend.cfEvalOn(Recommend.copurchases(spark, d),

@@ -60,15 +60,21 @@ object SetSimilarity {
     * sets ([[graft.plans.SortedIntersectSizeExpr]]) — `array_intersect`
     * hash-builds and materializes per row, which was 72 of q24's 76
     * bench seconds over 1.7M candidates at sf0.1. */
-  private def verifyExact(cand: DataFrame, toks: DataFrame, tau: Double)
+  private def verifyExact(cand: DataFrame, toks: DataFrame, tau: Double,
+      lookupHint: DataFrame => DataFrame = identity)
   : DataFrame =
     cand
       // sort on the corpus-sized side (cheap), not per candidate pair:
-      // the merge kernel needs ascending input whatever the caller fed
-      .join(toks.select(col("doc_id").as("doc_a"),
-        sort_array(col("ts")).as("ts_a")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"),
-        sort_array(col("ts")).as("ts_b")), "doc_b")
+      // the merge kernel needs ascending input whatever the caller fed.
+      // `lookupHint` is the caller's volume gate: LSH callers pass a
+      // shuffle-hash hint once the candidate stream is pair-mass-scale
+      // (sorting millions of rows PER TASK with token arrays attached
+      // spilled 75 GiB at the 100× stress); small-candidate callers
+      // leave Catalyst's own choice (broadcast) alone.
+      .join(lookupHint(toks.select(col("doc_id").as("doc_a"),
+        sort_array(col("ts")).as("ts_a"))), "doc_a")
+      .join(lookupHint(toks.select(col("doc_id").as("doc_b"),
+        sort_array(col("ts")).as("ts_b"))), "doc_b")
       .withColumn("inter", expr("graft_isize(ts_a, ts_b)"))
       .withColumn("j", col("inter").cast("double") /
         (size(col("ts_a")) + size(col("ts_b")) - col("inter")))
@@ -336,8 +342,11 @@ object SetSimilarity {
     s"array($structs)"
   }
 
+  /** Returns the candidate pairs AND the volume-gated lookup hint the
+    * caller must apply to its own verify-join doc-table sides (the
+    * gate's input — the exact pair count — is computed here). */
   private def lshCandidates(sigTable: DataFrame, nBands: Int, nRows: Int,
-      minMatches: Int): DataFrame = {
+      minMatches: Int): (DataFrame, DataFrame => DataFrame) = {
     // band key = h60 of the comma-joined row values, not an r-long
     // struct: the bucket self-join emits millions of pairs out of hot
     // buckets, and comparing one long per advance beats an r-field
@@ -345,37 +354,84 @@ object SetSimilarity {
     // CANDIDATES only, which the agreement filter + exact verify
     // remove; the oracle applies the same hash, so both engines see
     // identical buckets at every scale.
-    val bands = sigTable
+    val bands0 = sigTable
       .select(col("doc_id"),
         explode(expr(bandStructsExpr(nBands, nRows))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-    val cand0 = bands.as("x").join(bands.as("y"),
+    // Volume gate — the CF chain's knob (Recommend.sizedByCardinality)
+    // applied to this family's one corpus-explosive shuffle: the
+    // candidate dedup. The band table itself is small (nDocs·nBands
+    // rows — its self-join BROADCASTS well past 30×, per-node probe
+    // diag/r12/q24probe_30x.out), but its self-join's output is the
+    // corpus's pair mass: 160.7M raw pairs / 98.6M distinct at 30×,
+    // ~3.3× that at 100× — hash-aggregated at the session's fixed
+    // width that is ~10M groups per task, the exact memory-starved
+    // dedup shape that spilled 30 GiB/stage in the pre-r11 CF chain
+    // (and measured here: q24's 30×→100× decade ran ~6× super-linear
+    // per replica while 1×→30× stayed linear). The EXACT pre-distinct
+    // pair count Σ n·(n−1)/2 is one cheap aggregate over the band
+    // table (nDocs·nBands rows, NOT pair-scale), so it runs
+    // unconditionally; below the guard sizedByCardinality returns the
+    // frame untouched and the proven stock plan stands at every
+    // oracle-gated SF. The band frame keeps its own (band, key) gate
+    // for the far decade where even nDocs·nBands stops being small.
+    val nDocs = sigTable.count()
+    val bandRows = nDocs * nBands
+    val bands =
+      Recommend.sizedByCardinality(bands0, bandRows, col("band"), col("key"))
+    val candEst = (bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1))).cast("long"))
+      .first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }) / 2
+    val rawPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand0 = Recommend.sizedByCardinality(rawPairs, candEst,
+        col("doc_a"), col("doc_b"))
       .distinct()
-    cand0
-      .join(sigTable.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        "doc_a")
-      .join(sigTable.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        "doc_b")
+    // The doc-table lookups (sig here, token sets in the caller's
+    // verify) join the PAIR-MASS stream against a doc-count-sized
+    // table. Below the guard Catalyst's own pick (broadcast) is
+    // proven; past it AQE falls back to sort-merge and sorts millions
+    // of array-carrying rows PER TASK — the 100× per-node probe
+    // (diag/r12/q24probe_100x.out) shows 70–75 GiB spilled per sort
+    // on 95–102 GiB payload streams. A shuffle-hash join is the scale
+    // shape: the doc table is the per-task build map (nDocs/width
+    // rows), the pair stream PROBES without ever sorting or
+    // materializing.
+    val floor = math.max(1, sigTable.sparkSession
+      .sessionState.conf.numShufflePartitions).toLong
+    val lookupHint: DataFrame => DataFrame =
+      if (candEst / floor <= Recommend.SpillGuardRowsPerTask) identity
+      else _.hint("shuffle_hash")
+    val cand = cand0
+      .join(lookupHint(sigTable
+        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
+      .join(lookupHint(sigTable
+        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       // native codegen eq-count (graft.plans.ArrayKernels) — the HOF
       // zip_with/aggregate form ran interpreted (q24 was 125 s at sf0.1)
       .filter(expr(s"graft_eqcount(sig_a, sig_b) >= $minMatches"))
       .select(col("doc_a"), col("doc_b"))
+    (cand, lookupHint)
   }
 
   def neardupLsh(s: SparkSession, d: String): DataFrame =
     neardupLshOn(documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
 
   /** q24 over a caller-supplied (doc_id, text) corpus. */
-  def neardupLshOn(docs: DataFrame): DataFrame =
+  def neardupLshOn(docs: DataFrame): DataFrame = {
     // same reuse story as q58: the signature and token-set tables feed
     // multiple join branches — materialize each once
-    verifyExact(
-      lshCandidates(sigsOf(docs).localCheckpoint(), LshBands, LshRows,
-        LshMinSigMatches),
-      tokenSetsOf(docs).localCheckpoint(), LshVerifyTau)
+    val (cand, lookupHint) = lshCandidates(
+      sigsOf(docs).localCheckpoint(), LshBands, LshRows, LshMinSigMatches)
+    verifyExact(cand, tokenSetsOf(docs).localCheckpoint(), LshVerifyTau,
+      lookupHint)
+  }
 
   val neardupLshSql: String = {
     val bandCols = (1 to LshRows)
@@ -534,10 +590,9 @@ object SetSimilarity {
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
       .localCheckpoint()
-    verifyExact(
-      lshCandidates(sigTable, ShingleBands, ShingleRows,
-        ShingleMinSigMatches),
-      sh, ShingleTau)
+    val (cand, lookupHint) = lshCandidates(sigTable, ShingleBands,
+      ShingleRows, ShingleMinSigMatches)
+    verifyExact(cand, sh, ShingleTau, lookupHint)
   }
 
   /** Ingest-time near-dup screen: flag each INCOMING document whose
