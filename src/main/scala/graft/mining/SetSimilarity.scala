@@ -342,11 +342,50 @@ object SetSimilarity {
     s"array($structs)"
   }
 
+  /** True when the session asked for plan-only construction
+    * (`spark.graft.planOnly` — set by ExplainDump): cardinality
+    * estimates are skipped (volume gates take their below-guard
+    * branch, the proven plan at every oracle SF) so building a
+    * DataFrame runs ZERO cluster jobs. Never set by Verify/Bench. */
+  private def planOnly(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.planOnly")
+      .exists(_.toBoolean)
+
+  /** Exact volume-gate inputs for [[lshCandidates]]: the corpus size
+    * and the EXACT pre-distinct band-bucket pair count Σ n·(n−1)/2. */
+  private[graft] case class LshEst(nDocs: Long, candEst: Long)
+
+  /** Compute [[LshEst]] with ONE aggregate job over the band table
+    * (nDocs·nBands rows, never pair-scale): the band explode emits
+    * exactly nBands rows per doc, so Σn over buckets recovers nDocs
+    * and no separate count job is needed (r12 ran two jobs here —
+    * the round's only bench regression, q58 +30%). Registered
+    * entries memoize the result per (session, dataset) via
+    * [[graft.Memo.scalarOf]] — the production analogue of a cached
+    * index statistic. Under plan-only construction ([[planOnly]])
+    * returns the zero estimate joblessly. */
+  private[graft] def lshEstimate(sigTable: DataFrame, nBands: Int,
+      nRows: Int): LshEst = {
+    if (planOnly(sigTable)) return LshEst(0L, 0L)
+    val r = sigTable
+      .select(explode(expr(bandStructsExpr(nBands, nRows))).as("b"))
+      .groupBy(col("b.band"), col("b.key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).cast("long"),
+        sum(col("n") * (col("n") - lit(1))).cast("long"))
+      .first()
+    if (r.isNullAt(0)) LshEst(0L, 0L)
+    else LshEst(r.getLong(0) / nBands, r.getLong(1) / 2)
+  }
+
   /** Returns the candidate pairs AND the volume-gated lookup hint the
-    * caller must apply to its own verify-join doc-table sides (the
-    * gate's input — the exact pair count — is computed here). */
-  private def lshCandidates(sigTable: DataFrame, nBands: Int, nRows: Int,
-      minMatches: Int): (DataFrame, DataFrame => DataFrame) = {
+    * caller must apply to its own verify-join doc-table sides. Plan
+    * construction is LAZY — `est` comes in like `simsPlan`'s
+    * `pairsEst` does (VERDICT r12 item 1/3), which is also what lets
+    * SimilaritySpec pin BOTH gate branches' physical plans. */
+  private[graft] def lshCandidates(sigTable: DataFrame, nBands: Int,
+      nRows: Int, minMatches: Int, est: LshEst)
+  : (DataFrame, DataFrame => DataFrame) = {
     // band key = h60 of the comma-joined row values, not an r-long
     // struct: the bucket self-join emits millions of pairs out of hot
     // buckets, and comparing one long per advance beats an r-field
@@ -368,24 +407,14 @@ object SetSimilarity {
     // width that is ~10M groups per task, the exact memory-starved
     // dedup shape that spilled 30 GiB/stage in the pre-r11 CF chain
     // (and measured here: q24's 30×→100× decade ran ~6× super-linear
-    // per replica while 1×→30× stayed linear). The EXACT pre-distinct
-    // pair count Σ n·(n−1)/2 is one cheap aggregate over the band
-    // table (nDocs·nBands rows, NOT pair-scale), so it runs
-    // unconditionally; below the guard sizedByCardinality returns the
-    // frame untouched and the proven stock plan stands at every
-    // oracle-gated SF. The band frame keeps its own (band, key) gate
-    // for the far decade where even nDocs·nBands stops being small.
-    val nDocs = sigTable.count()
-    val bandRows = nDocs * nBands
-    val bands =
-      Recommend.sizedByCardinality(bands0, bandRows, col("band"), col("key"))
-    val candEst = (bands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - lit(1))).cast("long"))
-      .first() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }) / 2
+    // per replica while 1×→30× stayed linear). Below the guard
+    // sizedByCardinality returns the frame untouched and the proven
+    // stock plan stands at every oracle-gated SF. The band frame
+    // keeps its own (band, key) gate for the far decade where even
+    // nDocs·nBands stops being small.
+    val candEst = est.candEst
+    val bands = Recommend.sizedByCardinality(bands0,
+      est.nDocs * nBands, col("band"), col("key"))
     val rawPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -403,6 +432,17 @@ object SetSimilarity {
     // shape: the doc table is the per-task build map (nDocs/width
     // rows), the pair stream PROBES without ever sorting or
     // materializing.
+    // DELIBERATELY CONSERVATIVE (ADVICE r12): the gate input is the
+    // RAW pre-distinct, pre-sig-agreement pair count, while the
+    // caller's verify joins run on the filtered stream (often much
+    // smaller) — a mid-scale corpus may trade a broadcast for two
+    // shuffle-hash exchanges it no longer strictly needs. That is a
+    // plan-shape pessimization only (results identical), and the
+    // post-filter cardinality cannot be known without running the
+    // candidate pipeline itself; the raw count is the bound that is
+    // both exact and cheap, and at the scales where the hint fires
+    // the filtered stream is pair-mass too (100× probe: 328M distinct
+    // of 534M raw).
     val floor = math.max(1, sigTable.sparkSession
       .sessionState.conf.numShufflePartitions).toLong
     val lookupHint: DataFrame => DataFrame =
@@ -421,16 +461,39 @@ object SetSimilarity {
   }
 
   def neardupLsh(s: SparkSession, d: String): DataFrame =
-    neardupLshOn(documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
+    neardupLshOn(documents(s, d), estMemoKey = Some((d, "lsh_est_tok")))
+      .orderBy(col("doc_a"), col("doc_b"))
 
-  /** q24 over a caller-supplied (doc_id, text) corpus. */
-  def neardupLshOn(docs: DataFrame): DataFrame = {
+  /** q24 over a caller-supplied (doc_id, text) corpus. `estMemoKey`
+    * (registered entries only — (datasetDir, name)) caches the
+    * volume-gate estimate per session via [[graft.Memo.scalarOf]] so
+    * re-executions stop re-paying the estimate job; anonymous-corpus
+    * callers compute it per call (one band-table-sized aggregate).
+    * Checkpoints are LAZY (eager = false): the signature and
+    * token-set tables still materialize exactly once — at the first
+    * action instead of at construction — so plan-only consumers
+    * (ExplainDump) run no jobs. */
+  def neardupLshOn(docs: DataFrame,
+      estMemoKey: Option[(String, String)] = None): DataFrame = {
     // same reuse story as q58: the signature and token-set tables feed
     // multiple join branches — materialize each once
-    val (cand, lookupHint) = lshCandidates(
-      sigsOf(docs).localCheckpoint(), LshBands, LshRows, LshMinSigMatches)
-    verifyExact(cand, tokenSetsOf(docs).localCheckpoint(), LshVerifyTau,
+    val sigTable = sigsOf(docs).localCheckpoint(eager = false)
+    val est = lshEstimateMemo(sigTable, LshBands, LshRows, estMemoKey)
+    val (cand, lookupHint) =
+      lshCandidates(sigTable, LshBands, LshRows, LshMinSigMatches, est)
+    verifyExact(cand,
+      tokenSetsOf(docs).localCheckpoint(eager = false), LshVerifyTau,
       lookupHint)
+  }
+
+  /** [[lshEstimate]] through the session scalar memo when a
+    * (datasetDir, name) key exists, direct otherwise. */
+  private def lshEstimateMemo(sigTable: DataFrame, nBands: Int,
+      nRows: Int, key: Option[(String, String)]): LshEst = key match {
+    case Some((d, name)) if !planOnly(sigTable) =>
+      graft.Memo.scalarOf(sigTable.sparkSession, d, name)(
+        lshEstimate(sigTable, nBands, nRows))
+    case _ => lshEstimate(sigTable, nBands, nRows)
   }
 
   val neardupLshSql: String = {
@@ -574,24 +637,31 @@ object SetSimilarity {
     * feature space). Shares [[lshCandidates]] and the merge-intersect
     * verify; only the feature extractor and thresholds differ. */
   def shingleNeardup(s: SparkSession, d: String): DataFrame =
-    shingleNeardupOn(documents(s, d)).orderBy(col("doc_a"), col("doc_b"))
+    shingleNeardupOn(documents(s, d),
+      estMemoKey = Some((d, "lsh_est_shingle")))
+      .orderBy(col("doc_a"), col("doc_b"))
 
-  /** q58 over a caller-supplied (doc_id, text) corpus. */
-  def shingleNeardupOn(docs: DataFrame): DataFrame = {
+  /** q58 over a caller-supplied (doc_id, text) corpus. `estMemoKey`:
+    * see [[neardupLshOn]]. */
+  def shingleNeardupOn(docs: DataFrame,
+      estMemoKey: Option[(String, String)] = None): DataFrame = {
     // localCheckpoint both tables: the shingle build (split → n-gram →
     // distinct → md5-hash per shingle) feeds five plan branches (band
     // self-join ×2, sig lookups ×2, verify ×2) — recomputing it per
     // branch made q58 the bench's slowest query (12.5 s at sf0.1; the
     // materialized tables are corpus-sized, ~doc_id + 32 longs / the
     // shingle arrays, so storage is bounded and the hash runs once).
-    val sh = shingleSetsOf(docs).localCheckpoint()
+    // Lazy, like q24's: first action materializes, ExplainDump doesn't.
+    val sh = shingleSetsOf(docs).localCheckpoint(eager = false)
     val sigTable = sh
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    val est =
+      lshEstimateMemo(sigTable, ShingleBands, ShingleRows, estMemoKey)
     val (cand, lookupHint) = lshCandidates(sigTable, ShingleBands,
-      ShingleRows, ShingleMinSigMatches)
+      ShingleRows, ShingleMinSigMatches, est)
     verifyExact(cand, sh, ShingleTau, lookupHint)
   }
 
@@ -623,14 +693,27 @@ object SetSimilarity {
   val ScreenBroadcastDocsDefault = 200000L
 
   def screenAgainstIndex(incoming: DataFrame, corpus: DataFrame,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour"): DataFrame =
+    screenAgainstIndex(incoming, corpus, watermark, None, None)
+
+  /** Full-control overload (VERDICT r12 item 2). `estMemoKey`: see
+    * [[neardupLshOn]]. `candEstOverride` injects the delta×corpus
+    * candidate-mass estimate — the test seam that lets SimilaritySpec
+    * pin BOTH branches of the non-broadcast volume gate on small data
+    * (the same contract `Recommend.scoreFromNbr` has with `candEst`). */
+  private[graft] def screenAgainstIndex(incoming: DataFrame,
+      corpus: DataFrame, watermark: String,
+      estMemoKey: Option[(String, String)],
+      candEstOverride: Option[Long]): DataFrame = {
     // the band table carries only the 32-long signature through the ×8
     // explode; the (heavy) shingle arrays stay in a separate static
     // table joined AFTER the sig-agreement filter — an 8× storage
-    // amplification of the whole reference index otherwise
+    // amplification of the whole reference index otherwise.
+    // Checkpoints are lazy: the broadcast-size count below (or, for a
+    // stream, the first micro-batch) materializes them once.
     val idxSh0 = shingleSetsOf(corpus)
       .select(col("doc_id").as("dup_of"), col("ts").as("sh_b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val idxBands0 = shingleSetsOf(corpus)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
@@ -639,19 +722,17 @@ object SetSimilarity {
         explode(expr(bandStructsExpr(ShingleBands, ShingleRows))).as("b"))
       .select(col("dup_of"), col("sig_b"),
         col("b.band").as("band"), col("b.key").as("key"))
-      .localCheckpoint()
-    // index is already materialized — one cheap count decides the plan
-    // (an AQE-style runtime choice the checkpointed frames' missing
-    // stats would otherwise forfeit)
+      .localCheckpoint(eager = false)
+    // one cheap count decides the plan (an AQE-style runtime choice
+    // the checkpointed frames' missing stats would otherwise forfeit);
+    // plan-only construction assumes the broadcast branch joblessly
     val bcastDocs = incoming.sparkSession.conf
       .getOption("spark.graft.screenBroadcastDocs")
       .map(_.toLong).getOrElse(ScreenBroadcastDocsDefault)
-    val small = idxSh0.count() <= bcastDocs
-    val idxSh = if (small) broadcast(idxSh0) else idxSh0
-    val idxBands = if (small) broadcast(idxBands0) else idxBands0
+    val small = planOnly(corpus) || idxSh0.count() <= bcastDocs
     val hasTs = incoming.columns.contains("ts")
     val tsCols = if (hasTs) Seq(col("ts")) else Seq.empty
-    val inFeat = incoming
+    val inFeat0 = incoming
       .select(Seq(col("doc_id"),
         sort_array(expr(s"array_distinct(${graft.ops.Text.ngramExpr(
           s"filter(split(text, ' ', -1), x -> x != '')", 3)})")).as("sh_a"))
@@ -664,6 +745,57 @@ object SetSimilarity {
       .select(Seq(col("doc_id").as("doc_a"), col("sh_a"),
         col("sig").as("sig_a"), col("b.band").as("band"),
         col("b.key").as("key")) ++ tsCols: _*)
+    // Past the broadcast gate the q24 scale defect re-appears here
+    // UNLESS gated (VERDICT r12 item 2 — the pre-fix 100× probe shape,
+    // diag/r12/q24probe_100x.out: AQE sort-merge sorts array-carrying
+    // streams per task, 70–75 GiB spilled per sort): the band join
+    // probes the delta's shingle-carrying rows against the
+    // corpus-sized band index, and the verify join probes candidates
+    // against the corpus-sized shingle table. Same cure as
+    // [[lshCandidates]]:
+    //  - BATCH: the EXACT delta×corpus candidate mass Σ_bucket
+    //    n_delta·n_index (one join of two band-count aggregates, both
+    //    band-table-sized) gates a shuffle-hash hint on both index
+    //    lookups — the index is the per-task build map, the delta
+    //    stream PROBES without sorting — and sizes the band-join probe
+    //    exchange at cardinality-scaled parallelism. Below the guard
+    //    the stock plan stands (mid-scale indexes keep Catalyst's
+    //    sort-merge, which is fine when nothing is pair-mass).
+    //  - STREAM: the incoming side cannot be counted, but the gate is
+    //    decided by the INDEX side alone: re-exchanging and re-sorting
+    //    a static corpus-scale index EVERY micro-batch is never right
+    //    (measured 1.7–10k rows/s pre-r9 vs 90k+ broadcast), so past
+    //    the broadcast gate the index sides always ride shuffle-hash —
+    //    built once per batch as the build map, never sorted.
+    val (idxSh, idxBands, inFeat) =
+      if (small) (broadcast(idxSh0), broadcast(idxBands0), inFeat0)
+      else if (incoming.isStreaming)
+        (idxSh0.hint("shuffle_hash"), idxBands0.hint("shuffle_hash"),
+          inFeat0)
+      else {
+        val candEst = candEstOverride.getOrElse {
+          def est0(): Long = {
+            val r = inFeat0.groupBy(col("band"), col("key"))
+              .agg(count(lit(1)).as("nd"))
+              .join(idxBands0.groupBy(col("band"), col("key"))
+                .agg(count(lit(1)).as("ni")), Seq("band", "key"))
+              .agg(sum(col("nd") * col("ni")).cast("long")).first()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
+          estMemoKey match {
+            case Some((d, name)) => graft.Memo.scalarOf[java.lang.Long](
+              incoming.sparkSession, d, name)(Long.box(est0())).longValue
+            case None => est0()
+          }
+        }
+        val floor = math.max(1, incoming.sparkSession
+          .sessionState.conf.numShufflePartitions).toLong
+        if (candEst / floor <= Recommend.SpillGuardRowsPerTask)
+          (idxSh0, idxBands0, inFeat0)
+        else (idxSh0.hint("shuffle_hash"), idxBands0.hint("shuffle_hash"),
+          Recommend.sizedByCardinality(inFeat0, candEst,
+            col("band"), col("key")))
+      }
     // a pair whose signatures agree on k bands arrives k times (≤8)
     // from the band join; each copy would pay the eqcount + shingle
     // verify and feed a row into the dedup state. Keep only the copy
@@ -717,7 +849,8 @@ object SetSimilarity {
       docs.filter(col("source") === DeltaSource)
         .select(col("doc_id"), col("text")),
       docs.filter(col("source") =!= DeltaSource)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text")),
+      "1 hour", Some((d, "screen_cand_est")), None)
       .orderBy(col("doc_a"), col("dup_of"))
   }
 

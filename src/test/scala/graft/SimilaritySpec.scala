@@ -366,4 +366,93 @@ class SimilaritySpec extends AnyFunSuite {
     // everything kept
     assert(keeps(0.99999).values.forall(identity))
   }
+
+  test("lshCandidates volume gate: below the spill guard the stock " +
+      "plan stands, above it the pair shuffle is cardinality-sized " +
+      "and the sig lookups ride shuffle-hash; identical candidates") {
+    // synthetic signatures: doc_id % 3 repeated ×32, so docs in the
+    // same residue class agree on every band AND pass the 28/32
+    // agreement filter — genuine candidates on 12 rows
+    val sigTable = spark.range(1, 13)
+      .select(col("id").as("doc_id"),
+        expr("array_repeat(id % 3, 32)").as("sig"))
+    def run(est: SetSimilarity.LshEst)
+    : (String, Set[(Long, Long)], Boolean) = {
+      val (cand, hint) = SetSimilarity.lshCandidates(sigTable,
+        SetSimilarity.LshBands, SetSimilarity.LshRows,
+        SetSimilarity.LshMinSigMatches, est)
+      // the hint the caller must apply to its verify lookups follows
+      // the same gate — observable as plan identity vs a real rewrite
+      val marked = hint(sigTable)
+      (cand.queryExecution.executedPlan.toString,
+        cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        marked.queryExecution.logical ne sigTable.queryExecution.logical)
+    }
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val (small, rSmall, hintSmall) = run(SetSimilarity.LshEst(12L,
+      graft.mining.Recommend.SpillGuardRowsPerTask * floor))
+    val (big, rBig, hintBig) = run(SetSimilarity.LshEst(12L,
+      graft.mining.Recommend.ShuffleRowsPerPartition * 100L))
+    assert(!small.contains("REPARTITION_BY_NUM") &&
+      !small.contains("ShuffledHashJoin"),
+      s"below-guard plan must be the stock session plan:\n$small")
+    assert(!hintSmall, "below-guard lookup hint must be identity")
+    assert(big.contains("REPARTITION_BY_NUM") && big.contains(", 100)"),
+      s"above-guard pair shuffle must repartition at est/2M = 100:\n$big")
+    assert(big.contains("ShuffledHashJoin"),
+      s"above-guard sig lookups must ride shuffle-hash:\n$big")
+    assert(hintBig, "above-guard lookup hint must mark the frame")
+    assert(rSmall == rBig && rSmall.nonEmpty,
+      "gate branches must agree on the candidate pairs")
+  }
+
+  test("screenAgainstIndex volume gate: past the broadcast gate a " +
+      "pair-mass delta screens via shuffle-hash index lookups and a " +
+      "sized band exchange; below the guard the stock plan stands; " +
+      "all three branches agree with the broadcast plan") {
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i,
+      s"corpus doc $i tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "corpus doc 3 tok3a tok3b tok3c tok3d tok3e"), // dup of 3
+      (102L, "a wholly different incoming document body here"))
+      .toDF("doc_id", "text")
+    val floor = spark.sessionState.conf.numShufflePartitions
+    def run(est: Long): (String, Set[(Long, Long, Double)]) = {
+      val r = SetSimilarity.screenAgainstIndex(delta, corpus, "1 hour",
+        None, Some(est))
+      (r.queryExecution.executedPlan.toString,
+        r.collect().map(x => (x.getLong(0), x.getLong(1),
+          x.getDouble(2))).toSet)
+    }
+    spark.conf.set("spark.graft.screenBroadcastDocs", "0")
+    try {
+      val (small, rSmall) = run(
+        graft.mining.Recommend.SpillGuardRowsPerTask * floor)
+      val (big, rBig) = run(
+        graft.mining.Recommend.ShuffleRowsPerPartition * 64L)
+      // "stock" = Catalyst's own choice — on this tiny frame the lazy
+      // checkpoints carry origin stats, so its pick may legitimately
+      // be broadcast; the gate's two rewrites must both be absent
+      assert(!small.contains("REPARTITION_BY_NUM") &&
+        !small.contains("ShuffledHashJoin"),
+        s"below-guard non-broadcast plan must be stock:\n$small")
+      assert(big.contains("ShuffledHashJoin") &&
+        big.contains("REPARTITION_BY_NUM"),
+        s"above-guard plan must hint shuffle-hash and size the band " +
+          s"exchange:\n$big")
+      spark.conf.set("spark.graft.screenBroadcastDocs", "1000000")
+      val bc = SetSimilarity.screenAgainstIndex(delta, corpus)
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "small-index branch must broadcast")
+      val rBc = bc.collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getDouble(2))).toSet
+      assert(rSmall == rBig && rBig == rBc,
+        s"gate branches must agree: $rSmall vs $rBig vs $rBc")
+      assert(rSmall == Set((101L, 3L, 1.0)),
+        s"planted dup must be the one hit: $rSmall")
+    } finally spark.conf.unset("spark.graft.screenBroadcastDocs")
+  }
 }
