@@ -239,8 +239,18 @@ object Bench {
     val prevTotal: Option[Double] = if (isSubset) None else try {
       val p = java.nio.file.Paths.get("bench_queries.json")
       if (!java.nio.file.Files.exists(p)) None
-      else parsePrevTotal(
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+      else {
+        val parsed = parsePrevTotal(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+        // an existing-but-refused baseline must say WHY the delta is
+        // missing (ADVICE r12: a silent skip reopens the unflagged-
+        // headline-move hole the gate exists to close)
+        if (parsed.isEmpty) System.err.println(
+          "[bench] previous artifact not usable as baseline " +
+            "(bench_only subset / different sf / malformed) — " +
+            "delta omitted")
+        parsed
+      }
     } catch { case _: Throwable => None }
     val totalDelta = prevTotal.map { pt =>
       val pct = (total - pt) / pt * 100.0
@@ -267,11 +277,18 @@ object Bench {
         runs.map(r3).mkString("\"runs\":[", ",", "]}")
     }.mkString("{", ",", "}")
     val artifact = full.dropRight(1) + s""","samples":$sampleJson}"""
+    // Subset iterations write to their OWN artifact (ADVICE r12): a
+    // BENCH_ONLY run overwriting bench_queries.json destroyed the full
+    // run's baseline, silently disabling the next full run's
+    // round-over-round gate. parsePrevTotal's bench_only refusal stays
+    // as defense-in-depth for pre-split artifacts.
+    val artifactPath =
+      if (isSubset) "bench_queries_subset.json" else "bench_queries.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries.json"),
+      java.nio.file.Paths.get(artifactPath),
       (artifact + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_queries.json write failed: $e") }
+      System.err.println(s"[bench] $artifactPath write failed: $e") }
     println(full)
     // compact duplicate LAST: even if the full line above is clipped by
     // a bounded tail capture, this one always parses

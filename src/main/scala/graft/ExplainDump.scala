@@ -16,6 +16,10 @@ object ExplainDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // plan-only construction: volume-gate estimates are skipped (the
+      // gates take their below-guard branch — the true plan at this
+      // SF) so dumping plans runs no estimate jobs (VERDICT r12 item 3)
+      .config("spark.graft.planOnly", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -140,8 +144,13 @@ object ExplainDump {
           "asymmetric band join replaces the full n-squared pass"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
-    sb.append("Generated by `graft.ExplainDump` at sf0.01. What to look\n")
-    sb.append("for per plan is noted above each dump.\n")
+    sb.append(s"Generated by `graft.ExplainDump` at sf0.01, commit " +
+      s"${GitStamp.sha}. What to look\n")
+    sb.append("for per plan is noted above each dump. Volume-gated\n")
+    sb.append("operators are dumped in their below-guard (stock) " +
+      "branch —\nthe executing plan at this SF; the above-guard " +
+      "branches are\npinned by plan tests (RecommendSpec/" +
+      "SimilaritySpec).\n")
     picks.foreach { case (name, note) =>
       import graft.mining.Recommend
       val df = name match {

@@ -394,8 +394,13 @@ object ScaleStress {
     // recommender stage attributions per scale point (at 100× those
     // cost more than the queries it came for). Full runs (no filter)
     // always attribute both.
-    val runQ87Stages = only.forall(_.contains("q87_item_cf"))
-    val runQ92Stages = only.forall(_.contains("q92_hybrid_rec"))
+    // an EMPTY filter means "stage passes only" (the query table above
+    // already skips everything) — ADVICE r12: the bare empty-set
+    // forall made it run neither and write an empty artifact
+    val runQ87Stages =
+      only.forall(s => s.isEmpty || s.contains("q87_item_cf"))
+    val runQ92Stages =
+      only.forall(s => s.isEmpty || s.contains("q92_hybrid_rec"))
     if (runQ87Stages) for (pass <- 1 to 2; d <- points) {
       hygiene()
       // min-of-2 like the query table: single-pass stage numbers
@@ -498,6 +503,7 @@ object ScaleStress {
     val md = new StringBuilder
     md ++= "# SCALE — measured multi-point stress of the recommender/" +
       "dedup family\n\n"
+    md ++= s"Generated at commit ${GitStamp.sha}.\n\n"
     md ++= s"Synthesized ${factors.mkString("×, ")}× copies of sf0.1\n"
     md ++= "(construction: disjoint id-offset replicas; part attributes\n"
     md ++= "verbatim → constant feature vocabulary; per-replica token\n"

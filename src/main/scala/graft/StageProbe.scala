@@ -77,6 +77,22 @@ object StageProbe {
           graft.Tables.documents(spark, d)))
       spark.stop(); return
     }
+    if (args.contains("q90")) {
+      // the ingest screen at a non-broadcastable index scale (VERDICT
+      // r12 item 2 "done" evidence): per-node spill/sort metrics of
+      // the non-broadcast branch — at target/scale100 the index side
+      // is ~475k docs, past ScreenBroadcastDocsDefault
+      import graft.mining.SetSimilarity
+      val docs = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      probe("q90_delta_screen (screenAgainstIndex, index at scale)",
+        SetSimilarity.screenAgainstIndex(
+          docs.filter(col("source") === SetSimilarity.DeltaSource)
+            .select(col("doc_id"), col("text")),
+          docs.filter(col("source") =!= SetSimilarity.DeltaSource)
+            .select(col("doc_id"), col("text"))))
+      spark.stop(); return
+    }
     if (args.contains("q93")) {
       probe("q93_cf_eval (full cfEvalOn)",
         Recommend.cfEvalOn(Recommend.copurchases(spark, d),

@@ -264,6 +264,56 @@ object StreamBench {
       }
       name -> runs
     }
+    // ---- screen index-size decade (VERDICT r12 item 5): the batch
+    // dedup family has 100× evidence, but the STREAMING screen's
+    // growth axis in production is the standing-corpus INDEX, not the
+    // per-batch delta. Scale the index 10× and 30× (disjoint-shingle
+    // replicas — the incoming docs replay base-corpus texts, so hit
+    // rate and output are CONSTANT while only the index grows) and
+    // measure each point under BOTH plans: broadcast-forced and
+    // shuffle-forced (`spark.graft.screenBroadcastDocs`) — the flip
+    // cost at constant index size, plus each plan's own scaling. The
+    // shuffle points exercise the r13 non-broadcast gate (index sides
+    // ride shuffle_hash; pre-r9 evidence was 1.7–10k rows/s when AQE
+    // re-sorted the static index per micro-batch).
+    val idxScales = sys.env.getOrElse("SPARK_GRAFT_SCREEN_INDEX_SCALES",
+      "10,30").split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filter(_ => only.forall(_.contains("neardup_screen")))
+    val idxScaleField = if (idxScales.isEmpty) "" else {
+      val entries = idxScales.map { n =>
+        val scaled = (0 until n).map { k =>
+          val d = corpusDocs.withColumn("doc_id",
+            col("doc_id") + lit(k * ScaleStress.IdOffset))
+          if (k == 0) d
+          else d.withColumn("text", expr("array_join(transform(" +
+            s"split(text, ' '), t -> concat(t, '_r$k')), ' ')"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        val idxDocs = scaled.count()
+        def point(plan: String, bcastConf: String): String = {
+          spark.conf.set("spark.graft.screenBroadcastDocs", bcastConf)
+          try {
+            val runs = (1 to 2).map { i =>
+              val r = measure(s"screen_idx${n}x_$plan", () =>
+                graft.mining.SetSimilarity.screenAgainstIndex(
+                  rateCorpusDocs(40000), scaled, "10 minutes"))
+              System.err.println(f"[streambench] screen idx${n}x " +
+                f"$plan run$i: ${r._1}%.0f rows/s (state ${r._4} rows, " +
+                f"startup ${r._5}%.1f s)")
+              r
+            }
+            s""""$plan":{"rows_per_sec":[${runs.map(r => r1(r._1))
+              .mkString(",")}],"state_rows":[${runs.map(_._4)
+              .mkString(",")}],"startup_sec":[${runs.map(r => r1(r._5))
+              .mkString(",")}]}"""
+          } finally
+            spark.conf.unset("spark.graft.screenBroadcastDocs")
+        }
+        val bc = point("bcast", "10000000")
+        val sh = point("shuffle", "0")
+        s""""${n}x":{"index_docs":$idxDocs,$bc,$sh}"""
+      }
+      s""","screen_index_scale":{${entries.mkString(",")}}"""
+    }
     val js = results.map { case (name, runs) =>
       s""""$name":{"rows_per_sec":[${runs.map(r => r1(r._1)).mkString(",")}],""" +
         s""""input_rows":[${runs.map(_._2).mkString(",")}],""" +
@@ -295,7 +345,9 @@ object StreamBench {
         if (!sameAccounting(prevTxt)) {
           System.err.println(s"[streambench] r${r - 1} artifact uses a " +
             "different accounting — deltas not comparable, omitted")
-          s""","delta_vs_prev_round_pct":"not comparable: r${r - 1} """ +
+          // type-stable (ADVICE r12): the pct field is an OBJECT or
+          // absent, never a string — the explanation rides its own key
+          s""","delta_vs_prev_round_note":"not comparable: r${r - 1} """ +
             s"""artifact predates processing-time accounting""""
         } else {
           val parts = results.flatMap { case (name, runs) =>
@@ -314,7 +366,7 @@ object StreamBench {
         }
       }
     }.getOrElse("")
-    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"streams":$js$deltaField}"""
+    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}","streams":$js$deltaField$idxScaleField}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
       (line + "\n").getBytes("UTF-8"))
     // round-over-round trail (VERDICT r9 item 5): a stamped copy per

@@ -102,4 +102,13 @@ class CountsSpec extends AnyFunSuite {
     // absent stream → no delta entry
     assert(StreamBench.prevBestRate(art, "no_such_stream").isEmpty)
   }
+
+  test("GitStamp resolves HEAD to the current commit (artifact staleness " +
+      "is a string compare, not a timestamp guess)") {
+    val expected = scala.sys.process.Process(
+      Seq("git", "rev-parse", "HEAD")).!!.trim.take(12)
+    assert(GitStamp.sha == expected)
+    assert(GitStamp.shaOf(
+      java.nio.file.Paths.get("/no/such/.git")) == "unknown")
+  }
 }
