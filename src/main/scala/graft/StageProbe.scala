@@ -85,12 +85,20 @@ object StageProbe {
       import graft.mining.SetSimilarity
       val docs = graft.Tables.documents(spark, d)
         .select(col("doc_id"), col("text"), col("source"))
+      val delta = docs.filter(col("source") === SetSimilarity.DeltaSource)
+        .select(col("doc_id"), col("text"))
+      val index = docs.filter(col("source") =!= SetSimilarity.DeltaSource)
+        .select(col("doc_id"), col("text"))
       probe("q90_delta_screen (screenAgainstIndex, index at scale)",
-        SetSimilarity.screenAgainstIndex(
-          docs.filter(col("source") === SetSimilarity.DeltaSource)
-            .select(col("doc_id"), col("text")),
-          docs.filter(col("source") =!= SetSimilarity.DeltaSource)
-            .select(col("doc_id"), col("text"))))
+        SetSimilarity.screenAgainstIndex(delta, index))
+      // same index, candidate mass FORCED past the spill guard via the
+      // test seam — per-node evidence that the gated shuffle-hash
+      // branch is also spill-free at this index scale (the branch a
+      // hotter corpus, where Σ n_delta·n_index is genuinely pair-mass,
+      // would land on)
+      probe("q90_delta_screen (FORCED above-guard shuffle-hash branch)",
+        SetSimilarity.screenAgainstIndex(delta, index, "1 hour",
+          None, Some(256000000L)))
       spark.stop(); return
     }
     if (args.contains("q93")) {
