@@ -366,12 +366,19 @@ object StreamBench {
         }
       }
     }.getOrElse("")
-    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}","streams":$js$deltaField$idxScaleField}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("STREAMBENCH.json"),
+    val subsetField =
+      if (only.isDefined) s""","stream_only":true""" else ""
+    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}"$subsetField,"streams":$js$deltaField$idxScaleField}"""
+    // a STREAM_ONLY subset run must not clobber the round artifact
+    // (the Bench lesson, ADVICE r12: a subset iteration quietly
+    // replacing the baseline is how gates stop firing) — it gets its
+    // own file and never the round-stamped copy
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+        if (only.isDefined) "STREAMBENCH_subset.json" else "STREAMBENCH.json"),
       (line + "\n").getBytes("UTF-8"))
     // round-over-round trail (VERDICT r9 item 5): a stamped copy per
     // round so streaming-throughput regressions can gate like BENCH's
-    roundN.foreach { r =>
+    if (only.isEmpty) roundN.foreach { r =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"STREAMBENCH_r$r%02d.json"),
         (line + "\n").getBytes("UTF-8"))

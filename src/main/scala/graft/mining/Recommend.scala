@@ -95,10 +95,20 @@ object Recommend {
     * shuffle to the data" rule every 100 TB job applies, here from
     * an EXACT cardinality estimate instead of a guess. */
   private[graft] def sizedByCardinality(df: DataFrame, estRows: Long,
-      keys: Column*): DataFrame = {
+      keys: Column*): DataFrame =
+    sizedByCardinality(df, estRows, SpillGuardRowsPerTask, keys: _*)
+
+  /** Guard-parameterized form: [[SpillGuardRowsPerTask]] was measured
+    * on the CF chain's WIDE rows (id + score + array payloads);
+    * narrow streams hold far more rows per task before their
+    * aggregate state outgrows memory, and a caller with measured
+    * endpoints for its own row shape passes its own bound (see
+    * `SetSimilarity.PairDedupGuardRowsPerTask`). */
+  private[graft] def sizedByCardinality(df: DataFrame, estRows: Long,
+      guardRowsPerTask: Long, keys: Column*): DataFrame = {
     val floor = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    if (estRows / floor <= SpillGuardRowsPerTask) df
+    if (estRows / floor <= guardRowsPerTask) df
     else df.repartition(
       math.min(4096L, estRows / ShuffleRowsPerPartition).toInt,
       keys: _*)

@@ -355,6 +355,25 @@ object SetSimilarity {
     * and the EXACT pre-distinct band-bucket pair count Σ n·(n−1)/2. */
   private[graft] case class LshEst(nDocs: Long, candEst: Long)
 
+  /** Up to this many docs the verify-lookup side tables (signatures,
+    * token/shingle sets) are FORCED broadcast when the candidate
+    * stream is pair-mass — same payload class and threshold as
+    * [[ScreenBroadcastDocsDefault]] (~150 MB of sigs + sets at the
+    * boundary). Past it the lookups ride shuffle-hash instead. */
+  val LshLookupBroadcastDocs = 200000L
+
+  /** Spill guard for the (doc_a, doc_b) candidate dedup — two longs
+    * per row, ~48 B of aggregate state per entry, an order of
+    * magnitude narrower than the CF rows
+    * [[Recommend.SpillGuardRowsPerTask]] was measured on. Bracketed
+    * by measured endpoints on the same dedup: 5.0M rows/task ran
+    * fully in memory at the 30× corpus (zero spill, stock plan,
+    * diag/r12/q24probe_30x.out) while 16.7M rows/task spilled 30 GiB
+    * at 100× (diag/r12/q24probe_100x.out); the midpoint keeps the
+    * proven-stock regime stock and re-sizes well before the measured
+    * spill point. */
+  val PairDedupGuardRowsPerTask = 8000000L
+
   /** Compute [[LshEst]] with ONE aggregate job over the band table
     * (nDocs·nBands rows, never pair-scale): the band explode emits
     * exactly nBands rows per doc, so Σn over buckets recovers nDocs
@@ -419,34 +438,43 @@ object SetSimilarity {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // the pair stream is two longs wide — its dedup state holds far
+    // more rows per task than the CF chain's wide rows the default
+    // guard was measured on, so it gets its own bracketed bound
     val cand0 = Recommend.sizedByCardinality(rawPairs, candEst,
-        col("doc_a"), col("doc_b"))
+        PairDedupGuardRowsPerTask, col("doc_a"), col("doc_b"))
       .distinct()
     // The doc-table lookups (sig here, token sets in the caller's
     // verify) join the PAIR-MASS stream against a doc-count-sized
-    // table. Below the guard Catalyst's own pick (broadcast) is
-    // proven; past it AQE falls back to sort-merge and sorts millions
-    // of array-carrying rows PER TASK — the 100× per-node probe
-    // (diag/r12/q24probe_100x.out) shows 70–75 GiB spilled per sort
-    // on 95–102 GiB payload streams. A shuffle-hash join is the scale
-    // shape: the doc table is the per-task build map (nDocs/width
-    // rows), the pair stream PROBES without ever sorting or
-    // materializing.
-    // DELIBERATELY CONSERVATIVE (ADVICE r12): the gate input is the
-    // RAW pre-distinct, pre-sig-agreement pair count, while the
-    // caller's verify joins run on the filtered stream (often much
-    // smaller) — a mid-scale corpus may trade a broadcast for two
-    // shuffle-hash exchanges it no longer strictly needs. That is a
-    // plan-shape pessimization only (results identical), and the
-    // post-filter cardinality cannot be known without running the
-    // candidate pipeline itself; the raw count is the bound that is
-    // both exact and cheap, and at the scales where the hint fires
-    // the filtered stream is pair-mass too (100× probe: 328M distinct
-    // of 534M raw).
+    // table. Below the guard Catalyst's own pick is proven at every
+    // oracle SF. Past it the plan must be chosen by which side is
+    // small: when the DOC TABLE still broadcasts, the pair stream
+    // must never enter an exchange at all — r13's first post-gate 30×
+    // ScaleStress caught the conservative always-shuffle-hash form
+    // shipping 29.7 GiB + 28.6 GiB of sig/shingle-carrying pair rows
+    // through two exchanges that the pre-gate broadcast plan (all
+    // BroadcastHashJoins, diag/r12/q24probe_30x.out) never
+    // materialized — 13.5 s → 44.8 s at 30×, the measured cost ADVICE
+    // r12 predicted. Forcing broadcast() (not identity) also protects
+    // the regime against AQE flipping to sort-merge on the stats-free
+    // checkpointed tables. Only when the doc table itself outgrows
+    // broadcast (the 100× regime: 500k docs; at 100 TB, billions) do
+    // the lookups ride shuffle-hash — the doc table is the per-task
+    // build map, the pair stream PROBES without ever sorting or
+    // materializing (AQE's sort-merge there spilled 70–75 GiB per
+    // sort of the 95–102 GiB payload streams,
+    // diag/r12/q24probe_100x.out; post-fix probe: zero spill).
+    // The candEst input is DELIBERATELY the RAW pre-distinct,
+    // pre-sig-agreement pair count (ADVICE r12): the post-filter
+    // cardinality cannot be known without running the candidate
+    // pipeline itself, and at the scales where the gate fires the
+    // filtered stream is pair-mass too (100×: 328M distinct of 534M
+    // raw).
     val floor = math.max(1, sigTable.sparkSession
       .sessionState.conf.numShufflePartitions).toLong
     val lookupHint: DataFrame => DataFrame =
       if (candEst / floor <= Recommend.SpillGuardRowsPerTask) identity
+      else if (est.nDocs <= LshLookupBroadcastDocs) broadcast(_)
       else _.hint("shuffle_hash")
     val cand = cand0
       .join(lookupHint(sigTable

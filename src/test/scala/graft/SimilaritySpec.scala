@@ -368,8 +368,10 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("lshCandidates volume gate: below the spill guard the stock " +
-      "plan stands, above it the pair shuffle is cardinality-sized " +
-      "and the sig lookups ride shuffle-hash; identical candidates") {
+      "plan stands; above it a broadcastable doc table is FORCED " +
+      "broadcast (the pair stream never enters an exchange) and only " +
+      "a non-broadcastable one rides shuffle-hash; identical " +
+      "candidates in all three regimes") {
     // synthetic signatures: doc_id % 3 repeated ×32, so docs in the
     // same residue class agree on every band AND pass the 28/32
     // agreement filter — genuine candidates on 12 rows
@@ -377,32 +379,53 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("id").as("doc_id"),
         expr("array_repeat(id % 3, 32)").as("sig"))
     def run(est: SetSimilarity.LshEst)
-    : (String, Set[(Long, Long)], Boolean) = {
+    : (String, Set[(Long, Long)], String) = {
       val (cand, hint) = SetSimilarity.lshCandidates(sigTable,
         SetSimilarity.LshBands, SetSimilarity.LshRows,
         SetSimilarity.LshMinSigMatches, est)
       // the hint the caller must apply to its verify lookups follows
-      // the same gate — observable as plan identity vs a real rewrite
-      val marked = hint(sigTable)
+      // the same gate — observable on a probe join's physical plan
+      val probeJoin = sigTable.select(col("doc_id"))
+        .join(hint(sigTable.select(col("doc_id").as("doc_id"),
+          col("sig").as("s2"))), "doc_id")
       (cand.queryExecution.executedPlan.toString,
         cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
-        marked.queryExecution.logical ne sigTable.queryExecution.logical)
+        probeJoin.queryExecution.executedPlan.toString)
     }
     val floor = spark.sessionState.conf.numShufflePartitions
-    val (small, rSmall, hintSmall) = run(SetSimilarity.LshEst(12L,
-      graft.mining.Recommend.SpillGuardRowsPerTask * floor))
-    val (big, rBig, hintBig) = run(SetSimilarity.LshEst(12L,
+    val guardEst = graft.mining.Recommend.SpillGuardRowsPerTask * floor
+    val (small, rSmall, hintSmall) =
+      run(SetSimilarity.LshEst(12L, guardEst))
+    // pair-mass candidates but a doc table under the broadcast bound
+    val (mid, rMid, hintMid) = run(SetSimilarity.LshEst(12L,
+      graft.mining.Recommend.ShuffleRowsPerPartition * 100L))
+    // pair-mass candidates AND a doc table past the broadcast bound
+    val (big, rBig, hintBig) = run(SetSimilarity.LshEst(
+      SetSimilarity.LshLookupBroadcastDocs + 1L,
       graft.mining.Recommend.ShuffleRowsPerPartition * 100L))
     assert(!small.contains("REPARTITION_BY_NUM") &&
       !small.contains("ShuffledHashJoin"),
       s"below-guard plan must be the stock session plan:\n$small")
-    assert(!hintSmall, "below-guard lookup hint must be identity")
-    assert(big.contains("REPARTITION_BY_NUM") && big.contains(", 100)"),
-      s"above-guard pair shuffle must repartition at est/2M = 100:\n$big")
+    assert(!hintSmall.contains("ShuffledHashJoin"),
+      s"below-guard lookup hint must leave Catalyst's pick:\n$hintSmall")
+    for ((plan, label) <- Seq((mid, "mid"), (big, "big")))
+      assert(plan.contains("REPARTITION_BY_NUM") &&
+        plan.contains(", 100)"),
+        s"above-guard $label pair shuffle must repartition at " +
+          s"est/2M = 100:\n$plan")
+    assert(hintMid.contains("BroadcastHashJoin") &&
+      !hintMid.contains("ShuffledHashJoin"),
+      s"pair-mass + small doc table must force broadcast lookups " +
+        s"(the pair stream never enters an exchange):\n$hintMid")
+    assert(mid.contains("BroadcastHashJoin"),
+      s"mid-regime sig lookups inside lshCandidates must broadcast " +
+        s"too:\n$mid")
+    assert(hintBig.contains("ShuffledHashJoin"),
+      s"pair-mass + non-broadcastable doc table must ride " +
+        s"shuffle-hash:\n$hintBig")
     assert(big.contains("ShuffledHashJoin"),
-      s"above-guard sig lookups must ride shuffle-hash:\n$big")
-    assert(hintBig, "above-guard lookup hint must mark the frame")
-    assert(rSmall == rBig && rSmall.nonEmpty,
+      s"big-regime sig lookups must ride shuffle-hash:\n$big")
+    assert(rSmall == rMid && rMid == rBig && rSmall.nonEmpty,
       "gate branches must agree on the candidate pairs")
   }
 
