@@ -292,7 +292,7 @@ object Bench {
     println(full)
     // compact duplicate LAST: even if the full line above is clipped by
     // a bounded tail capture, this one always parses
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in bench_queries.json","n_queries":${results.size}$totalDelta,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in $artifactPath","n_queries":${results.size}$totalDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

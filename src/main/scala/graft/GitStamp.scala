@@ -14,19 +14,38 @@ object GitStamp {
   /** Current HEAD sha (short form), or "unknown". */
   lazy val sha: String = shaOf(java.nio.file.Paths.get(".git"))
 
-  private[graft] def shaOf(gitDir: java.nio.file.Path): String = try {
-    val head = new String(java.nio.file.Files.readAllBytes(
-      gitDir.resolve("HEAD")), "UTF-8").trim
+  private def read(p: java.nio.file.Path): String =
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+
+  private[graft] def shaOf(gitPath: java.nio.file.Path): String = try {
+    // worktree/submodule indirection: `.git` is a one-line FILE
+    // pointing at the real git dir (the bisect tool's worktrees hit
+    // this — without the hop every artifact there stamped "unknown")
+    val gitDir =
+      if (!java.nio.file.Files.isRegularFile(gitPath)) gitPath
+      else {
+        val p = java.nio.file.Paths
+          .get(read(gitPath).stripPrefix("gitdir:").trim)
+        if (p.isAbsolute) p
+        else gitPath.toAbsolutePath.getParent.resolve(p).normalize()
+      }
+    // refs/packed-refs live in the COMMON dir: a linked worktree's
+    // git dir holds its own HEAD but shares the ref store
+    val common = {
+      val c = gitDir.resolve("commondir")
+      if (java.nio.file.Files.exists(c))
+        gitDir.resolve(read(c)).normalize()
+      else gitDir
+    }
+    val head = read(gitDir.resolve("HEAD"))
     val full =
       if (!head.startsWith("ref: ")) head
       else {
         val ref = head.stripPrefix("ref: ").trim
-        val refPath = gitDir.resolve(ref)
-        if (java.nio.file.Files.exists(refPath))
-          new String(java.nio.file.Files.readAllBytes(refPath),
-            "UTF-8").trim
-        else { // packed ref (post-gc)
-          val packed = gitDir.resolve("packed-refs")
+        val refPath = Seq(gitDir.resolve(ref), common.resolve(ref))
+          .find(java.nio.file.Files.exists(_))
+        refPath.map(read).getOrElse { // packed ref (post-gc)
+          val packed = common.resolve("packed-refs")
           scala.io.Source.fromFile(packed.toFile, "UTF-8").getLines()
             .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
             .map(_.split(" ")(0))

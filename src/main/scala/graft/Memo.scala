@@ -99,7 +99,17 @@ object Memo {
     * cheap-but-real aggregate job; without a cache every re-execution
     * of q24/q58/q90 in a session re-pays it at DataFrame-construction
     * time — the production analogue is a cached index statistic. */
-  private val scalars = new ConcurrentHashMap[Key, AnyRef]()
+  private val scalars = new ConcurrentHashMap[Key, ScalarCell]()
+
+  /** Per-key scalar build cell — same discipline as [[Cell]]: the CHM
+    * only ever allocates (computeIfAbsent holds the bin lock for a
+    * constructor, never a Spark job), the build runs under the cell's
+    * own lazy-val lock, so same-key builds serialize and DISTINCT keys
+    * that happen to share a bin don't block behind each other's
+    * aggregate jobs. */
+  private final class ScalarCell(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
 
   private def contextKey(s: SparkSession): (String, Long) =
     (s.sparkContext.applicationId, s.sparkContext.startTime)
@@ -119,14 +129,16 @@ object Memo {
 
   /** Get-or-compute a deterministic scalar artifact (e.g. an exact
     * cardinality estimate) for dataset dir `d`. The build may run
-    * Spark jobs; same-key builds serialize on the map bin (these are
-    * band-table-sized aggregates, not corpus passes). */
+    * Spark jobs; same-key builds serialize on their cell (never on
+    * the map bin — these are band-table-sized aggregates, but holding
+    * a CHM bin lock across any Spark job would stall unrelated keys
+    * that hash into the same bin). */
   def scalarOf[T <: AnyRef](s: SparkSession, d: String, name: String)
       (build: => T): T = {
     evictDead(s)
     val (app, start) = contextKey(s)
     scalars.computeIfAbsent(Key(app, start, s"$d#$name"),
-      _ => build).asInstanceOf[T]
+      _ => new ScalarCell(() => build)).value.asInstanceOf[T]
   }
 
   /** Get-or-build the artifact `name` for dataset dir `d`. */

@@ -281,6 +281,12 @@ object StreamBench {
       .filter(_ => only.forall(_.contains("neardup_screen")))
     val idxScaleField = if (idxScales.isEmpty) "" else {
       val entries = idxScales.map { n =>
+        // track the ids this decade's checkpoints persist so the
+        // blocks can be DROPPED before the next decade — without the
+        // sweep the 30× points would run with the 10× index (and its
+        // streams' checkpoints) still resident, competing for the
+        // executor memory the scaling numbers are supposed to measure
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val scaled = (0 until n).map { k =>
           val d = corpusDocs.withColumn("doc_id",
             col("doc_id") + lit(k * ScaleStress.IdOffset))
@@ -292,6 +298,15 @@ object StreamBench {
         def point(plan: String, bcastConf: String): String = {
           spark.conf.set("spark.graft.screenBroadcastDocs", bcastConf)
           try {
+            // discarded warm run, same stance as the main streams: the
+            // first batches pay codegen/JIT, which belongs to neither
+            // plan's capacity number (each plan shape compiles its own
+            // stages, so each point warms separately)
+            val w = measure(s"screen_idx${n}x_$plan", () =>
+              graft.mining.SetSimilarity.screenAgainstIndex(
+                rateCorpusDocs(40000), scaled, "10 minutes"))
+            System.err.println(f"[streambench] screen idx${n}x " +
+              f"$plan warm: ${w._1}%.0f rows/s")
             val runs = (1 to 2).map { i =>
               val r = measure(s"screen_idx${n}x_$plan", () =>
                 graft.mining.SetSimilarity.screenAgainstIndex(
@@ -310,6 +325,10 @@ object StreamBench {
         }
         val bc = point("bcast", "10000000")
         val sh = point("shuffle", "0")
+        val keep = graft.Memo.liveIds(spark)
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !before(id) && !keep(id) }
+          .values.foreach(_.unpersist(blocking = false))
         s""""${n}x":{"index_docs":$idxDocs,$bc,$sh}"""
       }
       s""","screen_index_scale":{${entries.mkString(",")}}"""

@@ -196,14 +196,23 @@ object SetSimilarity {
   /** q23: per-document MinHash signature — sig_i = min over tokens of
     * (a_i·h(tok) + b_i) mod m (SURVEY.md A8). One scan, all 32 mins in a
     * single projection, no shuffle at all. */
-  private def sigsOf(docs: DataFrame): DataFrame =
+  /** `withPayloadBytes` adds a `pb` column (estimated bytes of the
+    * doc's token-set row — [[payloadBytesExpr]]) for [[lshEstimate]]'s
+    * broadcast byte cap; 8 bytes/row through the checkpoint, pruned
+    * out of every join branch. */
+  private def sigsOf(docs: DataFrame,
+      withPayloadBytes: Boolean = false): DataFrame = {
     // native one-pass kernel (graft.plans.MinHashSigExpr) — bit-identical
     // to the k × array_min(transform(...)) HOF form (PlansSpec asserts
     // it), one array traversal instead of k with no per-hash allocation
-    tokenSetsOf(docs)
+    val base = tokenSetsOf(docs)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
-      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+    if (withPayloadBytes)
+      base.select(col("doc_id"), expr("graft_minhash(xs)").as("sig"),
+        expr(payloadBytesExpr("ts")).as("pb"))
+    else base.select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+  }
 
   private def sigs0(s: SparkSession, d: String): DataFrame =
     sigsOf(documents(s, d))
@@ -351,9 +360,14 @@ object SetSimilarity {
     df.sparkSession.conf.getOption("spark.graft.planOnly")
       .exists(_.toBoolean)
 
-  /** Exact volume-gate inputs for [[lshCandidates]]: the corpus size
-    * and the EXACT pre-distinct band-bucket pair count Σ n·(n−1)/2. */
-  private[graft] case class LshEst(nDocs: Long, candEst: Long)
+  /** Exact volume-gate inputs for [[lshCandidates]]: the corpus size,
+    * the EXACT pre-distinct band-bucket pair count Σ n·(n−1)/2, and
+    * the measured verify-table payload bytes (token/shingle arrays —
+    * what a forced broadcast would actually ship; 0 = unmeasured,
+    * treated as small: the spec seam for count-axis tests, never a
+    * library path — [[lshEstimate]] always measures). */
+  private[graft] case class LshEst(nDocs: Long, candEst: Long,
+      payloadBytes: Long = 0L)
 
   /** Up to this many docs the verify-lookup side tables (signatures,
     * token/shingle sets) are FORCED broadcast when the candidate
@@ -361,6 +375,28 @@ object SetSimilarity {
     * [[ScreenBroadcastDocsDefault]] (~150 MB of sigs + sets at the
     * boundary). Past it the lookups ride shuffle-hash instead. */
   val LshLookupBroadcastDocs = 200000L
+
+  /** Byte cap on the same forced broadcast: the doc-count bound alone
+    * is a proxy calibrated on THIS corpus's ~1 KB documents — a
+    * sub-200k-doc corpus of LARGE documents (web pages run 50 KB+)
+    * would sail past Spark's 8 GiB broadcast hard limit and kill the
+    * job (or the driver) long before the count bound fired, where the
+    * pre-gate plan merely spilled. [[lshEstimate]] measures the
+    * verify table's actual array payload in the same single aggregate
+    * job; the mid-regime broadcast fires only when BOTH bounds hold,
+    * otherwise the lookups ride shuffle-hash (correct at any payload:
+    * the index is the per-task build map, the pair stream probes
+    * unsorted). 2 GiB: 4× the calibrated boundary payload, a quarter
+    * of the hard limit. */
+  val LshLookupBroadcastBytes = 2L << 30
+
+  /** Estimated in-memory bytes of a verify-table set column `c`
+    * (ascending string arrays): UTF-8 payload + per-element and
+    * per-row overhead. Order-of-magnitude honest — the consumers
+    * compare it against the 2 GiB [[LshLookupBroadcastBytes]] cap,
+    * they don't budget with it. */
+  private def payloadBytesExpr(c: String): String =
+    s"aggregate($c, 64L, (a, x) -> a + octet_length(x) + 16L)"
 
   /** Spill guard for the (doc_a, doc_b) candidate dedup — two longs
     * per row, ~48 B of aggregate state per entry, an order of
@@ -386,15 +422,23 @@ object SetSimilarity {
   private[graft] def lshEstimate(sigTable: DataFrame, nBands: Int,
       nRows: Int): LshEst = {
     if (planOnly(sigTable)) return LshEst(0L, 0L)
+    // a `pb` column (payload bytes, [[sigsOf]]) rides the same explode:
+    // each doc contributes nBands rows carrying its pb, so Σpb/nBands
+    // recovers the verify table's total bytes — still one job
+    val pbCol =
+      if (sigTable.columns.contains("pb")) col("pb") else lit(0L)
     val r = sigTable
-      .select(explode(expr(bandStructsExpr(nBands, nRows))).as("b"))
+      .select(explode(expr(bandStructsExpr(nBands, nRows))).as("b"),
+        pbCol.as("pb"))
       .groupBy(col("b.band"), col("b.key"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"), sum(col("pb")).as("pbs"))
       .agg(sum(col("n")).cast("long"),
-        sum(col("n") * (col("n") - lit(1))).cast("long"))
+        sum(col("n") * (col("n") - lit(1))).cast("long"),
+        sum(col("pbs")).cast("long"))
       .first()
     if (r.isNullAt(0)) LshEst(0L, 0L)
-    else LshEst(r.getLong(0) / nBands, r.getLong(1) / 2)
+    else LshEst(r.getLong(0) / nBands, r.getLong(1) / 2,
+      (if (r.isNullAt(2)) 0L else r.getLong(2)) / nBands)
   }
 
   /** Returns the candidate pairs AND the volume-gated lookup hint the
@@ -457,8 +501,14 @@ object SetSimilarity {
     // materialized — 13.5 s → 44.8 s at 30×, the measured cost ADVICE
     // r12 predicted. Forcing broadcast() (not identity) also protects
     // the regime against AQE flipping to sort-merge on the stats-free
-    // checkpointed tables. Only when the doc table itself outgrows
-    // broadcast (the 100× regime: 500k docs; at 100 TB, billions) do
+    // checkpointed tables. The force is DOUBLE-bounded — doc count AND
+    // the measured payload bytes ([[LshLookupBroadcastBytes]]): the
+    // count bound alone is a proxy calibrated on ~1 KB docs, and a
+    // 150k-doc corpus of 50 KB pages would blow Spark's 8 GiB
+    // broadcast hard limit where the ungated plan merely chose a
+    // slower join. Only when the doc table outgrows
+    // broadcast on either axis (the 100× regime: 500k docs; at
+    // 100 TB, billions) do
     // the lookups ride shuffle-hash — the doc table is the per-task
     // build map, the pair stream PROBES without ever sorting or
     // materializing (AQE's sort-merge there spilled 70–75 GiB per
@@ -474,7 +524,8 @@ object SetSimilarity {
       .sessionState.conf.numShufflePartitions).toLong
     val lookupHint: DataFrame => DataFrame =
       if (candEst / floor <= Recommend.SpillGuardRowsPerTask) identity
-      else if (est.nDocs <= LshLookupBroadcastDocs) broadcast(_)
+      else if (est.nDocs <= LshLookupBroadcastDocs &&
+        est.payloadBytes <= LshLookupBroadcastBytes) broadcast(_)
       else _.hint("shuffle_hash")
     val cand = cand0
       .join(lookupHint(sigTable
@@ -505,7 +556,8 @@ object SetSimilarity {
       estMemoKey: Option[(String, String)] = None): DataFrame = {
     // same reuse story as q58: the signature and token-set tables feed
     // multiple join branches — materialize each once
-    val sigTable = sigsOf(docs).localCheckpoint(eager = false)
+    val sigTable = sigsOf(docs, withPayloadBytes = true)
+      .localCheckpoint(eager = false)
     val est = lshEstimateMemo(sigTable, LshBands, LshRows, estMemoKey)
     val (cand, lookupHint) =
       lshCandidates(sigTable, LshBands, LshRows, LshMinSigMatches, est)
@@ -684,7 +736,8 @@ object SetSimilarity {
     val sigTable = sh
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
-      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"))
+      .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"),
+        expr(payloadBytesExpr("ts")).as("pb"))
       .localCheckpoint(eager = false)
     val est =
       lshEstimateMemo(sigTable, ShingleBands, ShingleRows, estMemoKey)
@@ -717,7 +770,11 @@ object SetSimilarity {
     * At threshold size the payload is ~150 MB (sigs + shingle arrays);
     * a larger index keeps the shuffle plan, which is the correct shape
     * when the index itself is corpus-scale. Override per session with
-    * `spark.graft.screenBroadcastDocs`. */
+    * `spark.graft.screenBroadcastDocs`. The count bound is paired with
+    * a MEASURED byte bound ([[LshLookupBroadcastBytes]], override
+    * `spark.graft.screenBroadcastBytes`) so a small-count index of
+    * huge documents never force-broadcasts past Spark's 8 GiB hard
+    * limit. */
   val ScreenBroadcastDocsDefault = 200000L
 
   def screenAgainstIndex(incoming: DataFrame, corpus: DataFrame,
@@ -757,7 +814,22 @@ object SetSimilarity {
     val bcastDocs = incoming.sparkSession.conf
       .getOption("spark.graft.screenBroadcastDocs")
       .map(_.toLong).getOrElse(ScreenBroadcastDocsDefault)
-    val small = planOnly(corpus) || idxSh0.count() <= bcastDocs
+    // the count bound is a proxy calibrated on ~1 KB docs — the same
+    // single job also measures the index's actual shingle payload, and
+    // the broadcast fires only under BOTH bounds (a 150k-doc index of
+    // 50 KB pages would blow the 8 GiB broadcast hard limit long
+    // before the count bound did). Cap overridable per session with
+    // spark.graft.screenBroadcastBytes.
+    val bcastBytes = incoming.sparkSession.conf
+      .getOption("spark.graft.screenBroadcastBytes")
+      .map(_.toLong).getOrElse(LshLookupBroadcastBytes)
+    val small = planOnly(corpus) || {
+      val r = idxSh0.agg(count(lit(1)).cast("long"),
+        sum(expr(payloadBytesExpr("sh_b"))).cast("long")).first()
+      val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val bytes = if (r.isNullAt(1)) 0L else r.getLong(1)
+      n <= bcastDocs && bytes <= bcastBytes
+    }
     val hasTs = incoming.columns.contains("ts")
     val tsCols = if (hasTs) Seq(col("ts")) else Seq.empty
     val inFeat0 = incoming

@@ -111,4 +111,40 @@ class CountsSpec extends AnyFunSuite {
     assert(GitStamp.shaOf(
       java.nio.file.Paths.get("/no/such/.git")) == "unknown")
   }
+
+  test("GitStamp follows the .git-file gitdir indirection and the " +
+      "worktree commondir ref store (bisect worktrees would otherwise " +
+      "stamp 'unknown')") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("gitstamp")
+    // layout: main/.git with the shared ref store; wt/.git a FILE
+    // pointing at main/.git/worktrees/wt whose HEAD is a branch ref
+    // resolved through commondir — the linked-worktree shape
+    val mainGit = tmp.resolve("main/.git")
+    Files.createDirectories(mainGit.resolve("refs/heads"))
+    val sha = "0123456789abcdef0123456789abcdef01234567"
+    Files.write(mainGit.resolve("refs/heads/feature"),
+      (sha + "\n").getBytes("UTF-8"))
+    val wtGitDir = mainGit.resolve("worktrees/wt")
+    Files.createDirectories(wtGitDir)
+    Files.write(wtGitDir.resolve("HEAD"),
+      "ref: refs/heads/feature\n".getBytes("UTF-8"))
+    Files.write(wtGitDir.resolve("commondir"),
+      "../..\n".getBytes("UTF-8"))
+    val wt = tmp.resolve("wt")
+    Files.createDirectories(wt)
+    val dotGit = wt.resolve(".git")
+    Files.write(dotGit,
+      s"gitdir: $wtGitDir\n".getBytes("UTF-8"))
+    assert(GitStamp.shaOf(dotGit) == sha.take(12))
+    // detached-HEAD worktree (what bisect_bench.sh checks out): the
+    // worktree HEAD holds the raw sha, no ref hop needed
+    Files.write(wtGitDir.resolve("HEAD"),
+      (sha.reverse + "\n").getBytes("UTF-8"))
+    assert(GitStamp.shaOf(dotGit) == sha.reverse.take(12))
+    // relative gitdir pointer resolves against the .git file's parent
+    Files.write(dotGit,
+      "gitdir: ../main/.git/worktrees/wt\n".getBytes("UTF-8"))
+    assert(GitStamp.shaOf(dotGit) == sha.reverse.take(12))
+  }
 }

@@ -403,6 +403,12 @@ class SimilaritySpec extends AnyFunSuite {
     val (big, rBig, hintBig) = run(SetSimilarity.LshEst(
       SetSimilarity.LshLookupBroadcastDocs + 1L,
       graft.mining.Recommend.ShuffleRowsPerPartition * 100L))
+    // pair-mass + few docs but a MEASURED payload past the byte cap:
+    // the count bound alone is a ~1 KB/doc proxy — huge documents must
+    // block the forced broadcast even under the count bound
+    val (fat, rFat, hintFat) = run(SetSimilarity.LshEst(12L,
+      graft.mining.Recommend.ShuffleRowsPerPartition * 100L,
+      SetSimilarity.LshLookupBroadcastBytes + 1L))
     assert(!small.contains("REPARTITION_BY_NUM") &&
       !small.contains("ShuffledHashJoin"),
       s"below-guard plan must be the stock session plan:\n$small")
@@ -425,8 +431,31 @@ class SimilaritySpec extends AnyFunSuite {
         s"shuffle-hash:\n$hintBig")
     assert(big.contains("ShuffledHashJoin"),
       s"big-regime sig lookups must ride shuffle-hash:\n$big")
-    assert(rSmall == rMid && rMid == rBig && rSmall.nonEmpty,
+    assert(hintFat.contains("ShuffledHashJoin") &&
+      fat.contains("ShuffledHashJoin"),
+      s"payload past the byte cap must block the forced broadcast " +
+        s"even under the doc-count bound:\n$hintFat")
+    assert(rSmall == rMid && rMid == rBig && rBig == rFat &&
+      rSmall.nonEmpty,
       "gate branches must agree on the candidate pairs")
+  }
+
+  test("lshEstimate recovers nDocs AND the measured verify payload " +
+      "from the one band aggregate (Σ/nBands on both axes)") {
+    val base = spark.range(1, 13)
+      .select(col("id").as("doc_id"),
+        expr("array_repeat(id % 3, 32)").as("sig"))
+    val est = SetSimilarity.lshEstimate(
+      base.withColumn("pb", col("doc_id") * 10L),
+      SetSimilarity.LshBands, SetSimilarity.LshRows)
+    assert(est.nDocs == 12L)
+    assert(est.payloadBytes == (1L to 12L).map(_ * 10L).sum,
+      s"payload must be the exact per-doc sum: $est")
+    // no pb column → unmeasured (0), never a crash; same counts
+    val est0 = SetSimilarity.lshEstimate(base,
+      SetSimilarity.LshBands, SetSimilarity.LshRows)
+    assert(est0.nDocs == 12L && est0.payloadBytes == 0L &&
+      est0.candEst == est.candEst)
   }
 
   test("screenAgainstIndex volume gate: past the broadcast gate a " +
@@ -472,10 +501,28 @@ class SimilaritySpec extends AnyFunSuite {
         "small-index branch must broadcast")
       val rBc = bc.collect().map(x => (x.getLong(0), x.getLong(1),
         x.getDouble(2))).toSet
-      assert(rSmall == rBig && rBig == rBc,
-        s"gate branches must agree: $rSmall vs $rBig vs $rBc")
+      // the broadcast gate is byte-capped too: a MEASURED index
+      // payload past spark.graft.screenBroadcastBytes must drop to the
+      // non-broadcast branch even when the doc count is under the
+      // bound — observable as the branch's shuffle-hash rewrite firing
+      // (a stock-plan BroadcastHashJoin on this tiny frame would be
+      // Catalyst's own legitimate pick, so the hint is the witness)
+      spark.conf.set("spark.graft.screenBroadcastBytes", "0")
+      val fat = SetSimilarity.screenAgainstIndex(delta, corpus, "1 hour",
+        None, Some(graft.mining.Recommend.ShuffleRowsPerPartition * 64L))
+      assert(fat.queryExecution.executedPlan.toString
+        .contains("ShuffledHashJoin"),
+        "index payload past the byte cap must take the non-broadcast " +
+          "branch (shuffle-hash index lookups)")
+      val rFat = fat.collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getDouble(2))).toSet
+      assert(rSmall == rBig && rBig == rBc && rBc == rFat,
+        s"gate branches must agree: $rSmall vs $rBig vs $rBc vs $rFat")
       assert(rSmall == Set((101L, 3L, 1.0)),
         s"planted dup must be the one hit: $rSmall")
-    } finally spark.conf.unset("spark.graft.screenBroadcastDocs")
+    } finally {
+      spark.conf.unset("spark.graft.screenBroadcastDocs")
+      spark.conf.unset("spark.graft.screenBroadcastBytes")
+    }
   }
 }

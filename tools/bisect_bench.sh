@@ -40,6 +40,12 @@ for p in java.base/java.lang java.base/java.lang.invoke \
 done
 
 run_one() { # $1 = classes dir (absolute), $2 = label, $3 = scratch cwd
+  # NB stdout carries ONLY the total (captured by the caller); progress
+  # goes to stderr. The `|| true` keeps a crashed/killed bench (java
+  # non-zero, or no total line for grep) on the designed nan/FAILED
+  # path — under set -eo pipefail a bare failing pipeline here would
+  # abort the whole script before the summary's "a side produced no
+  # totals" diagnostic could run.
   mkdir -p "$3"
   local total
   total=$( (cd "$3" && SPARK_GRAFT_SF_DIR="$SF" \
@@ -47,8 +53,8 @@ run_one() { # $1 = classes dir (absolute), $2 = label, $3 = scratch cwd
     java -Xmx"${HEAP:-16g}" $OPENS -Dspark.ui.enabled=false \
       -cp "$1:/opt/spark/jars/*" graft.Bench 2>>bench_stderr.log) |
     grep -o '"metric":"total","value":[0-9.]*' | head -1 |
-    grep -o '[0-9.]*$' )
-  echo "[bisect] $2: total ${total:-FAILED} s"
+    grep -o '[0-9.]*$' || true )
+  echo "[bisect] $2: total ${total:-FAILED} s" >&2
   echo "${total:-nan}"
 }
 
@@ -57,9 +63,9 @@ declare -a CUR_TOTALS PREV_TOTALS
 for pass in $(seq 1 "$PASSES"); do
   echo "[bisect] === pass $pass/$PASSES (interleaved) ==="
   PREV_TOTALS+=("$(run_one "$ROOT/$WT/target/scala-2.13/classes" \
-    "prev $PREVSHA p$pass" "target/bisect_run_prev" | tail -1)")
+    "prev $PREVSHA p$pass" "target/bisect_run_prev")")
   CUR_TOTALS+=("$(run_one "$ROOT/target/scala-2.13/classes" \
-    "cur  $CURSHA p$pass" "target/bisect_run_cur" | tail -1)")
+    "cur  $CURSHA p$pass" "target/bisect_run_cur")")
 done
 
 python3 - "$PREVSHA" "$CURSHA" "${PREV_TOTALS[@]}" -- "${CUR_TOTALS[@]}" <<'EOF'
