@@ -221,6 +221,15 @@ object ScaleStress {
       |evidence is the claim. Below the guard every plan is untouched
       |(sf0.001/sf0.01/sf0.1 oracle-gated before and after).
       |
+      |r13 recalibrated the verify-lookup side of that gate by WHICH SIDE
+      |is small (the r12 always-shuffle-hash form shipped 29.7 + 28.6 GiB
+      |of sig/shingle-carrying pair rows through exchanges the broadcast
+      |plan never materialized — q24 at 30× regressed 13.5 → 44.8 s; the
+      |calibrated gate broadcasts a still-broadcastable doc table, byte-
+      |capped, and q24 at 30× came back to 16.0 s, slope 0.86). The 100×
+      |regime re-probed IDENTICAL to the r12 fix: both index lookups ride
+      |ShuffledHashJoin, zero spill (`diag/r13/q24probe_100x_r13gate.out`).
+      |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -183,7 +183,27 @@ object StreamBench {
             .withColumn("user_id", pmod(col("user_id"), lit(200))),
           "5 minutes")))
 
+    // A window that closes before even ONE post-startup batch commits
+    // measures NOTHING — recording it as 0 rows/s would write
+    // quantization into the artifact as if it were capacity (seen
+    // live: the screen's shuffle-plan batches exceed a 12 s window
+    // under host noise, and the round artifact claimed a −100%
+    // regression the isolated re-run disproved). Retry once with a
+    // doubled window; a genuine stall still surfaces as a zero-batch
+    // DOUBLE window, now labeled by the retry line.
     def measure(name: String, mk: () => DataFrame)
+    : (Double, Long, Long, Long, Double) = {
+      val first = measureOnce(name, mk, durSec)
+      if (first._3 > 0L) first
+      else {
+        System.err.println(s"[streambench] $name: 0 batches in a " +
+          s"$durSec s window (measured nothing) — retrying at " +
+          s"${durSec * 2} s")
+        measureOnce(name, mk, durSec * 2)
+      }
+    }
+
+    def measureOnce(name: String, mk: () => DataFrame, winSec: Int)
     : (Double, Long, Long, Long, Double) = {
       // session_window aggregations only support Append on streams;
       // everything else here emits per-key updates
@@ -209,7 +229,7 @@ object StreamBench {
       val skip = q.recentProgress.map(_.batchId).toSet
       val startupSec = (System.nanoTime() - w0) / 1e9
       val t0 = System.nanoTime()
-      Thread.sleep(durSec * 1000L)
+      Thread.sleep(winSec * 1000L)
       val allProgs = q.recentProgress.toSeq
       // stop() interrupts any in-flight micro-batch commit; the state
       // stores recover from the checkpoint — noise, not failure
