@@ -229,6 +229,13 @@ object ScaleStress {
       |capped, and q24 at 30× came back to 16.0 s, slope 0.86). The 100×
       |regime re-probed IDENTICAL to the r12 fix: both index lookups ride
       |ShuffledHashJoin, zero spill (`diag/r13/q24probe_100x_r13gate.out`).
+      |NB the walls above are window-relative: a regeneration in a slow
+      |host window moves every heavy row together (one run's table put
+      |q24's 30× at 31.5 s while the CALIBRATED binary itself scored
+      |29.2–35.3 s interleaved on the same host —
+      |`diag/r13/ab_q24_30x_cal_vs_head.txt`); the deterministic claims
+      |are the plan shapes and the zero-spill probes, not any single
+      |window's seconds.
       |
       |""".stripMargin
 
