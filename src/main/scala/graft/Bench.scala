@@ -32,12 +32,17 @@ object Bench {
     * get wrong. */
   private[graft] def parsePrevTotal(
       txt: String, sfDir: String): Option[Double] = {
-    val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+    // whitespace-tolerant after separators: this program emits compact
+    // JSON, but the driver's round artifacts (BENCH_rNN.json, the
+    // fallback baseline) re-serialize the same object with ": " spacing
+    val sfOk = "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
       .exists(_.group(1) == sfDir)
     // a BENCH_ONLY subset artifact covers a handful of queries — its
     // total must never become a full run's baseline
-    if (!sfOk || txt.contains("\"bench_only\":true")) None
-    else "\"metric\":\"total\",\"value\":([0-9.]+)".r.findFirstMatchIn(txt)
+    if (!sfOk || "\"bench_only\":\\s*true".r.findFirstIn(txt).isDefined)
+      None
+    else "\"metric\":\\s*\"total\",\\s*\"value\":\\s*([0-9.]+)".r
+      .findFirstMatchIn(txt)
       .map(_.group(1).toDouble).filter(_ > 0)
   }
 
@@ -236,28 +241,51 @@ object Bench {
     // different-SF case, and easier to hit (subset iterations run at
     // the round SF).
     val isSubset = only.isDefined
-    val prevTotal: Option[Double] = if (isSubset) None else try {
-      val p = java.nio.file.Paths.get("bench_queries.json")
-      if (!java.nio.file.Files.exists(p)) None
-      else {
-        val parsed = parsePrevTotal(
-          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
-        // an existing-but-refused baseline must say WHY the delta is
-        // missing (ADVICE r12: a silent skip reopens the unflagged-
-        // headline-move hole the gate exists to close)
-        if (parsed.isEmpty) System.err.println(
+    // Baseline resolution: the tree's own last full-run artifact
+    // first; when it is absent (a fresh working tree carries no local
+    // artifact — seen live this round: the gate silently skipped) fall
+    // back to the NEWEST driver-written round artifact BENCH_rNN.json,
+    // whose `parsed` object holds the same compact line. Either way a
+    // missing/refused baseline says so on stderr — the gate must never
+    // skip silently (ADVICE r12).
+    val prevTotal: Option[(Double, String)] = if (isSubset) None else {
+      def tryFile(p: java.nio.file.Path): Option[(Double, String)] =
+        try {
+          if (!java.nio.file.Files.exists(p)) None
+          else parsePrevTotal(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+            sfDir).map((_, p.getFileName.toString))
+        } catch { case _: Throwable => None }
+      val ownPath = java.nio.file.Paths.get("bench_queries.json")
+      val own = tryFile(ownPath)
+      if (own.isEmpty && java.nio.file.Files.exists(ownPath))
+        System.err.println(
           "[bench] previous artifact not usable as baseline " +
             "(bench_only subset / different sf / malformed) — " +
-            "delta omitted")
-        parsed
+            "trying round artifacts")
+      val resolved = own.orElse {
+        import scala.jdk.CollectionConverters._
+        val rounds = try {
+          java.nio.file.Files.list(java.nio.file.Paths.get("."))
+            .iterator.asScala
+            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+            .toList.sortBy(_.getFileName.toString).reverse
+        } catch { case _: Throwable => Nil }
+        rounds.view.flatMap(tryFile).headOption
       }
-    } catch { case _: Throwable => None }
-    val totalDelta = prevTotal.map { pt =>
+      if (resolved.isEmpty) System.err.println(
+        "[bench] no usable baseline (bench_queries.json and " +
+          "BENCH_r*.json all absent/refused) — delta omitted")
+      resolved
+    }
+    val totalDelta = prevTotal.map { case (pt, src) =>
       val pct = (total - pt) / pt * 100.0
       if (math.abs(pct) >= 10.0) System.err.println(
         f"[bench] TOTAL MOVED $pct%+.1f%% vs previous run " +
-          f"($pt%.1f s -> $total%.1f s) — attribute before shipping")
+          f"($pt%.1f s -> $total%.1f s, baseline $src) — attribute " +
+          "before shipping")
       s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
+        s""","prev_total_source":"$src"""" +
         (if (math.abs(pct) >= 10.0) s""","total_moved_ge_10pct":true""" else "")
     }.getOrElse("")
     val subsetField = if (isSubset) s""","bench_only":true""" else ""

@@ -80,6 +80,17 @@ class CountsSpec extends AnyFunSuite {
       """{"metric":"total","value":0,"sf":"d"}""", "d").isEmpty)
     assert(Bench.parsePrevTotal("", "d").isEmpty)
     assert(Bench.parsePrevTotal("not json at all", "d").isEmpty)
+    // the driver's round artifact (BENCH_rNN.json `parsed` object)
+    // re-serializes the same line with ": " spacing — the fallback
+    // baseline path must parse it, including its subset refusal
+    val round = """{"n": 12, "rc": 0, "parsed": {"metric": "total", """ +
+      """"value": 124.572, "unit": "sec", "n_queries": 148, """ +
+      """"sf": "/root/testdata/sf0.1"}}"""
+    assert(Bench.parsePrevTotal(round, "/root/testdata/sf0.1")
+      .contains(124.572))
+    assert(Bench.parsePrevTotal(round
+        .replace("\"rc\": 0", "\"rc\": 0, \"bench_only\": true"),
+      "/root/testdata/sf0.1").isEmpty)
   }
 
   test("StreamBench delta guard: accounting marker + prev-rate parse") {
