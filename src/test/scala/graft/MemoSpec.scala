@@ -96,6 +96,53 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("scalarOf: same key builds once and caches; distinct keys do " +
+      "not serialize behind each other's builds") {
+    val builds = new AtomicInteger(0)
+    val ready = new CountDownLatch(2)
+    (1 to 2).foreach { _ =>
+      new Thread(() => {
+        Memo.scalarOf(spark, "d", "sc_same") {
+          builds.incrementAndGet(); Long.box(7L)
+        }
+        ready.countDown()
+      }).start()
+    }
+    assert(ready.await(60, TimeUnit.SECONDS), "builds did not finish")
+    assert(builds.get() == 1, s"same key built ${builds.get()} times")
+    // a re-request returns the cached value, never the new builder
+    val v = Memo.scalarOf(spark, "d", "sc_same") {
+      builds.incrementAndGet(); Long.box(99L)
+    }
+    assert(v == 7L && builds.get() == 1, "cached scalar was rebuilt")
+    // distinct keys: A's build blocks until B STARTS. The old form ran
+    // builds inside ConcurrentHashMap.computeIfAbsent, where this
+    // deadlocks whenever the two keys land in one bin (bin-lock held
+    // across A's Spark job); per-key lazy cells can never block B.
+    val bStarted = new CountDownLatch(1)
+    val aSawB = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val tA = new Thread(() => {
+      Memo.scalarOf(spark, "d", "sc_a") {
+        aSawB.set(bStarted.await(30, TimeUnit.SECONDS)); Long.box(1L)
+      }
+      ()
+    })
+    val tB = new Thread(() => {
+      Memo.scalarOf(spark, "d", "sc_b") {
+        bStarted.countDown(); Long.box(2L)
+      }
+      ()
+    })
+    tA.start()
+    Thread.sleep(100) // let A enter its build first
+    tB.start()
+    tA.join(60000); tB.join(60000)
+    assert(aSawB.get(),
+      "scalar builder B never started while A was building — distinct " +
+        "keys are serializing behind a shared lock")
+    Memo.clear(spark)
+  }
+
   test("liveIds covers blocks persisted by an IN-FLIGHT build — a " +
       "concurrent hygiene sweep cannot unpersist a lineage-cut block " +
       "before the entry publishes") {
