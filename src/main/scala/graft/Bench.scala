@@ -265,11 +265,18 @@ object Bench {
             "trying round artifacts")
       val resolved = own.orElse {
         import scala.jdk.CollectionConverters._
+        val roundNum = "BENCH_r(\\d+)\\.json".r
         val rounds = try {
-          java.nio.file.Files.list(java.nio.file.Paths.get("."))
-            .iterator.asScala
-            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
-            .toList.sortBy(_.getFileName.toString).reverse
+          val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          // numeric sort: lexicographic misorders across digit-width
+          // changes (r100 would sort between r10 and r11)
+          try stream.iterator.asScala.flatMap { p =>
+            p.getFileName.toString match {
+              case roundNum(n) => Some((n.toInt, p))
+              case _ => None
+            }
+          }.toList.sortBy(-_._1).map(_._2)
+          finally stream.close()
         } catch { case _: Throwable => Nil }
         rounds.view.flatMap(tryFile).headOption
       }
@@ -319,8 +326,11 @@ object Bench {
       System.err.println(s"[bench] $artifactPath write failed: $e") }
     println(full)
     // compact duplicate LAST: even if the full line above is clipped by
-    // a bounded tail capture, this one always parses
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in $artifactPath","n_queries":${results.size}$totalDelta,"sf":"$sfDir"}""")
+    // a bounded tail capture, this one always parses. It carries the
+    // subset marker too — the driver's round artifact wraps THIS line,
+    // and without "bench_only" a subset total would pass the fallback
+    // baseline's refusal check
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in $artifactPath","n_queries":${results.size}$totalDelta$subsetField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

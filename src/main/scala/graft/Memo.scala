@@ -106,9 +106,17 @@ object Memo {
     * constructor, never a Spark job), the build runs under the cell's
     * own lazy-val lock, so same-key builds serialize and DISTINCT keys
     * that happen to share a bin don't block behind each other's
-    * aggregate jobs. */
-  private final class ScalarCell(build: () => AnyRef) {
-    lazy val value: AnyRef = build()
+    * aggregate jobs. The builder reference is RELEASED after a
+    * successful build — a lazy val would otherwise pin the first
+    * caller's closure (and whatever frames it captured) for the
+    * session lifetime. */
+  private final class ScalarCell(b: () => AnyRef) {
+    @volatile private var build: () => AnyRef = b
+    lazy val value: AnyRef = {
+      val v = build()
+      build = null
+      v
+    }
   }
 
   private def contextKey(s: SparkSession): (String, Long) =
@@ -137,8 +145,20 @@ object Memo {
       (build: => T): T = {
     evictDead(s)
     val (app, start) = contextKey(s)
-    scalars.computeIfAbsent(Key(app, start, s"$d#$name"),
-      _ => new ScalarCell(() => build)).value.asInstanceOf[T]
+    val key = Key(app, start, s"$d#$name")
+    val cell = scalars.computeIfAbsent(key,
+      _ => new ScalarCell(() => build))
+    // a FAILED build must not poison the key: the cell is mapped
+    // before the build runs, and a lazy val retries the ORIGINAL
+    // closure on every later access — so a first caller whose job was
+    // cancelled (warmup teardown) would permanently shadow every
+    // later caller's builder. Evict the broken cell (only if still
+    // this one) and rethrow; the next caller builds fresh.
+    try cell.value.asInstanceOf[T]
+    catch { case t: Throwable =>
+      scalars.remove(key, cell)
+      throw t
+    }
   }
 
   /** Get-or-build the artifact `name` for dataset dir `d`. */

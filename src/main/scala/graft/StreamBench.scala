@@ -317,6 +317,13 @@ object StreamBench {
         val idxDocs = scaled.count()
         def point(plan: String, bcastConf: String): String = {
           spark.conf.set("spark.graft.screenBroadcastDocs", bcastConf)
+          // a FORCED plan point must force both bounds: the screen's
+          // broadcast gate is also byte-capped, and at a large-enough
+          // index the default 2 GiB cap would silently flip the
+          // "bcast" point onto the shuffle plan, recording shuffle
+          // numbers under the bcast label
+          spark.conf.set("spark.graft.screenBroadcastBytes",
+            if (bcastConf == "0") "0" else Long.MaxValue.toString)
           try {
             // discarded warm run, same stance as the main streams: the
             // first batches pay codegen/JIT, which belongs to neither
@@ -340,8 +347,10 @@ object StreamBench {
               .mkString(",")}],"state_rows":[${runs.map(_._4)
               .mkString(",")}],"startup_sec":[${runs.map(r => r1(r._5))
               .mkString(",")}]}"""
-          } finally
+          } finally {
             spark.conf.unset("spark.graft.screenBroadcastDocs")
+            spark.conf.unset("spark.graft.screenBroadcastBytes")
+          }
         }
         val bc = point("bcast", "10000000")
         val sh = point("shuffle", "0")

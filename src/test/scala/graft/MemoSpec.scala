@@ -140,6 +140,19 @@ class MemoSpec extends AnyFunSuite {
     assert(aSawB.get(),
       "scalar builder B never started while A was building — distinct " +
         "keys are serializing behind a shared lock")
+    // a FAILED build must not poison the key: the first caller's
+    // throwing closure is evicted with its cell, and the next caller's
+    // own builder runs (a bare lazy-val cell would retry the ORIGINAL
+    // closure forever — a cancelled warmup job would permanently
+    // shadow every later caller)
+    intercept[RuntimeException] {
+      Memo.scalarOf(spark, "d", "sc_fail") {
+        throw new RuntimeException("build cancelled")
+      }
+    }
+    val recovered = Memo.scalarOf(spark, "d", "sc_fail")(Long.box(5L))
+    assert(recovered == 5L,
+      "failed scalar build poisoned the key for later builders")
     Memo.clear(spark)
   }
 
