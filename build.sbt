@@ -9,6 +9,12 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Warnings are errors, everywhere. A silent cross-type `==` in the
+// KernelRewrite ANSI guard survived two rounds of review while scalac
+// printed "will always yield true" on every clean build — never again.
+// (Incremental builds HIDE warnings for unchanged files; -Werror makes
+// the one clean build that does see them fail loudly.)
+ThisBuild / scalacOptions ++= Seq("-Xlint", "-Werror")
 Test / fork := true
 run / fork := true
 // Forked run output must reach stdout RAW: sbt's default logger prefixes

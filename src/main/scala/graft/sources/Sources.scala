@@ -34,7 +34,7 @@ object Sources {
   def numericCsv(s: SparkSession, path: String): DataFrame = {
     val raw = s.read.option("header", false).csv(path)
     val idCol = col(raw.columns.head).cast("long").as("vec_id")
-    val vec = array(raw.columns.tail.map(c => col(c).cast("double")): _*)
+    val vec = array(raw.columns.tail.toIndexedSeq.map(c => col(c).cast("double")): _*)
     raw.select(idCol, vec.as("vd"))
   }
 
@@ -68,7 +68,7 @@ object Sources {
     // Hadoop FileSystem API, not java.io: the listing and the manifest
     // work identically on file://, hdfs:// and s3a:// — at 100 TB the
     // directory is an object-store prefix, never a local disk
-    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.hadoop.fs.Path
     val conf = s.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
@@ -89,7 +89,7 @@ object Sources {
     val df =
       if (fresh.isEmpty)
         s.read.format(format).load(dir).limit(0)
-      else s.read.format(format).load(fresh: _*)
+      else s.read.format(format).load(fresh.toIndexedSeq: _*)
     val commit = () => {
       val out = mfs.create(mf, true)
       try out.write(
@@ -119,7 +119,7 @@ object Sources {
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     // Hadoop FileSystem throughout — same code path on local, HDFS,
     // and object stores
-    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.hadoop.fs.Path
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(dirPath).filter(_.isFile)

@@ -126,7 +126,7 @@ class CountsSpec extends AnyFunSuite {
   test("GitStamp follows the .git-file gitdir indirection and the " +
       "worktree commondir ref store (bisect worktrees would otherwise " +
       "stamp 'unknown')") {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val tmp = Files.createTempDirectory("gitstamp")
     // layout: main/.git with the shared ref store; wt/.git a FILE
     // pointing at main/.git/worktrees/wt whose HEAD is a branch ref

@@ -140,7 +140,6 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("sourceMixtureOn admits a quality-ordered prefix within the token quota") {
-    import spark.implicits._
     import org.apache.spark.sql.functions.col
     val docs = corpus.withColumn("source",
       (col("doc_id") % 2).cast("string"))
@@ -262,7 +261,6 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("shardManifestOn checksum pins content: one mutated doc flips exactly its shard") {
-    import spark.implicits._
     val base = Pipeline.shardManifestOn(corpus, 60L).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("checksum")).toMap
     // token counts (and thus shard layout) unchanged; text mutated

@@ -243,7 +243,6 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q102 gap-fill: dense spine, zeros only on synthesized days") {
-    import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q102_gap_fill")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("event_type"),
         r.getAs[java.sql.Date]("day").toLocalDate,
@@ -892,7 +891,6 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q140 cohort LTV curve is cumulative and user-normalized") {
-    import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q140_cohort_ltv")(spark, sfDir)
       .collect().map(r => (r.getDate(0).toString, r.getInt(1),
         r.getLong(2), r.getLong(3), r.getDouble(4)))
@@ -932,7 +930,7 @@ class RelationalSpec extends AnyFunSuite {
     val marg = baskets.flatten.groupBy(identity).view
       .mapValues(_.size.toDouble).toMap
     val want = baskets.flatMap { b =>
-      b.toSeq.sorted.combinations(2).map { case Seq(a, c) => (a, c) }
+      b.toSeq.sorted.combinations(2).map(p => (p.head, p(1)))
     }.groupBy(identity).collect {
       case (k, xs)
           if xs.size >= graft.ops.Windows.BasketMinSupport =>

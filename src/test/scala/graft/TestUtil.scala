@@ -13,7 +13,6 @@ object TestUtil {
         val p = g.size / n; -p * math.log(p)
       }.sum
     val ha = entropy(a); val hb = entropy(b)
-    val joint = a.zip(b).groupBy(identity).values.map(_.size / n)
     val pa = a.groupBy(identity).map { case (k, v) => k -> v.size / n }
     val pb = b.groupBy(identity).map { case (k, v) => k -> v.size / n }
     val mi = a.zip(b).distinct.map { case (x, y) =>
