@@ -67,6 +67,10 @@ object Bench {
     // throughput rather than one-time Janino/JIT costs. Cold-start totals
     // are reported alongside for transparency.
     val warmDir = "/root/testdata/sf0.001"
+    // host-load bracket (VERDICT r13 item 5): sampled before warmup
+    // and after the last timed pass, written into the artifact so a
+    // moved total carries its own host-contention evidence
+    val hostLoadBefore = HostLoad.loadavg()
     val t0 = System.nanoTime()
     // Warmup runs concurrently: per-plan first-run cost is dominated by
     // driver-side compile/JIT, so overlapping them collapses wall time
@@ -176,6 +180,7 @@ object Bench {
         round += 1
       }
     }
+    val hostLoadAfter = HostLoad.loadavg()
     val results = names.map { case (name, _) =>
       val runs = samples(name).reverse
       System.err.println(f"[bench] $name: ${runs.min}%.1f s (runs: " +
@@ -249,12 +254,34 @@ object Bench {
     // missing/refused baseline says so on stderr — the gate must never
     // skip silently (ADVICE r12).
     val prevTotal: Option[(Double, String)] = if (isSubset) None else {
-      def tryFile(p: java.nio.file.Path): Option[(Double, String)] =
+      def tryFile(p: java.nio.file.Path,
+          refuseSelfSha: Boolean = false): Option[(Double, String)] =
         try {
           if (!java.nio.file.Files.exists(p)) None
-          else parsePrevTotal(
-            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
-            sfDir).map((_, p.getFileName.toString))
+          else {
+            val txt =
+              new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            // A FALLBACK baseline generated from the SAME commit as
+            // this run turns the round-over-round gate into a
+            // self-comparison that trivially passes (ADVICE r13): in
+            // a fresh tree the newest BENCH_rNN.json can wrap this
+            // very HEAD's numbers. Artifacts carry their generating
+            // sha from r14 on — refuse a same-sha fallback and keep
+            // walking to older rounds. (The tree's OWN
+            // bench_queries.json is exempt: same-sha local iteration
+            // deltas are the point of that baseline.)
+            val sha = "\"sha\":\\s*\"([^\"]+)\"".r
+              .findFirstMatchIn(txt).map(_.group(1))
+            if (refuseSelfSha && GitStamp.sha != "unknown" &&
+                sha.contains(GitStamp.sha)) {
+              System.err.println(s"[bench] fallback baseline " +
+                s"${p.getFileName} was generated from this same " +
+                s"commit (${GitStamp.sha}) — refused as a " +
+                "self-comparison; trying older rounds")
+              None
+            } else parsePrevTotal(txt, sfDir)
+              .map((_, p.getFileName.toString))
+          }
         } catch { case _: Throwable => None }
       val ownPath = java.nio.file.Paths.get("bench_queries.json")
       val own = tryFile(ownPath)
@@ -278,7 +305,7 @@ object Bench {
           }.toList.sortBy(-_._1).map(_._2)
           finally stream.close()
         } catch { case _: Throwable => Nil }
-        rounds.view.flatMap(tryFile).headOption
+        rounds.view.flatMap(tryFile(_, refuseSelfSha = true)).headOption
       }
       if (resolved.isEmpty) System.err.println(
         "[bench] no usable baseline (bench_queries.json and " +
@@ -290,13 +317,18 @@ object Bench {
       if (math.abs(pct) >= 10.0) System.err.println(
         f"[bench] TOTAL MOVED $pct%+.1f%% vs previous run " +
           f"($pt%.1f s -> $total%.1f s, baseline $src) — attribute " +
-          "before shipping")
+          "before shipping (this run's host_load_1m " +
+          f"before/after: $hostLoadBefore%.1f/$hostLoadAfter%.1f " +
+          s"on ${HostLoad.cpus} cpus, in the artifact; an elevated " +
+          "load column is host drift on its face, a quiet one earns " +
+          "tools/bisect_bench.sh)")
       s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
         s""","prev_total_source":"$src"""" +
         (if (math.abs(pct) >= 10.0) s""","total_moved_ge_10pct":true""" else "")
     }.getOrElse("")
     val subsetField = if (isSubset) s""","bench_only":true""" else ""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery$totalDelta$subsetField,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
+    val hostFields = HostLoad.jsonFields(hostLoadBefore, hostLoadAfter)
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery$totalDelta$subsetField,"sha":"${GitStamp.sha}",$hostFields,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""
     // The driver's tail capture clipped the FRONT of the full line in
     // round 6 (17 of 85 per-query timings lost) — persist the complete
     // per-query map as its own artifact so it survives any stdout
@@ -330,7 +362,7 @@ object Bench {
     // subset marker too — the driver's round artifact wraps THIS line,
     // and without "bench_only" a subset total would pass the fallback
     // baseline's refusal check
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in $artifactPath","n_queries":${results.size}$totalDelta$subsetField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"note":"full line above; complete per-query map also in $artifactPath","n_queries":${results.size}$totalDelta$subsetField,"sha":"${GitStamp.sha}",$hostFields,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,16 +11,26 @@ package graft
   * artifacts from a clean tree (the round scripts do). */
 object GitStamp {
 
-  /** Current HEAD sha (short form), or "unknown". */
-  lazy val sha: String = shaOf(java.nio.file.Paths.get(".git"))
+  /** Current HEAD sha (short form), or "unknown". Resolution order:
+    * the GRAFT_GIT_SHA env override first — a runner executing
+    * compiled classes from a scratch cwd (tools/bisect_bench.sh runs
+    * each side from target/bisect_run_*) knows which worktree the
+    * classes came from while the cwd does not, and walking up parents
+    * would mis-stamp an OLD binary with the enclosing repo's current
+    * HEAD — then the cwd's `.git`. */
+  lazy val sha: String =
+    sys.env.get("GRAFT_GIT_SHA").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(shaOf(java.nio.file.Paths.get(".git")))
 
   private def read(p: java.nio.file.Path): String =
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
 
   private[graft] def shaOf(gitPath: java.nio.file.Path): String = try {
     // worktree/submodule indirection: `.git` is a one-line FILE
-    // pointing at the real git dir (the bisect tool's worktrees hit
-    // this — without the hop every artifact there stamped "unknown")
+    // pointing at the real git dir — so a process whose cwd IS a
+    // linked-worktree root stamps that worktree's HEAD. (Scratch-cwd
+    // runs have no `.git` at all; they stamp via GRAFT_GIT_SHA, see
+    // [[sha]].)
     val gitDir =
       if (!java.nio.file.Files.isRegularFile(gitPath)) gitPath
       else {

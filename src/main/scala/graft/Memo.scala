@@ -154,7 +154,17 @@ object Memo {
     // cancelled (warmup teardown) would permanently shadow every
     // later caller's builder. Evict the broken cell (only if still
     // this one) and rethrow; the next caller builds fresh.
-    try cell.value.asInstanceOf[T]
+    try {
+      val v = cell.value.asInstanceOf[T]
+      // a WAITER can land here on a cell the failed first build just
+      // evicted (its lazy-val re-evaluation succeeded after the
+      // eviction, ADVICE r13) — re-insert so later callers reuse the
+      // now-built value instead of rebuilding; no-op in the normal
+      // path (key still maps this cell) and when a re-entrant caller
+      // already mapped a fresh cell (both builds are deterministic).
+      scalars.putIfAbsent(key, cell)
+      v
+    }
     catch { case t: Throwable =>
       scalars.remove(key, cell)
       throw t

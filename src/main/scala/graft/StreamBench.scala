@@ -55,6 +55,18 @@ object StreamBench {
     }
   }
 
+  /** Best calibration-probe rate in a previous artifact (the
+    * top-level `calibration_rows_per_sec` array, present from r14
+    * on), or None — without it round deltas can only be read raw. */
+  private[graft] def prevCalibration(prevTxt: String): Option[Double] = {
+    val re = "\"calibration_rows_per_sec\":\\[([0-9.,]+)\\]".r.unanchored
+    prevTxt match {
+      case re(arr) =>
+        Some(arr.split(",").map(_.toDouble).max).filter(_ > 0.0)
+      case _ => None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val durSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "12").toInt
@@ -191,8 +203,13 @@ object StreamBench {
     // regression the isolated re-run disproved). Retry once with a
     // doubled window; a genuine stall still surfaces as a zero-batch
     // DOUBLE window, now labeled by the retry line.
+    // the 6th element is the window that actually produced the run's
+    // numbers (ADVICE r13: a zero-batch retry doubles it, and without
+    // the per-run record the artifact's input_rows/batches were
+    // silently incomparable round-over-round — the retry lived only
+    // on stderr)
     def measure(name: String, mk: () => DataFrame)
-    : (Double, Long, Long, Long, Double) = {
+    : (Double, Long, Long, Long, Double, Int) = {
       val first = measureOnce(name, mk, durSec)
       if (first._3 > 0L) first
       else {
@@ -204,7 +221,7 @@ object StreamBench {
     }
 
     def measureOnce(name: String, mk: () => DataFrame, winSec: Int)
-    : (Double, Long, Long, Long, Double) = {
+    : (Double, Long, Long, Long, Double, Int) = {
       // session_window aggregations only support Append on streams;
       // everything else here emits per-key updates
       val mode =
@@ -258,7 +275,7 @@ object StreamBench {
       val thr =
         if (procMs > 0) inputRows * 1000.0 / procMs
         else inputRows / elapsed
-      (thr, inputRows, batches, stateRows, startupSec)
+      (thr, inputRows, batches, stateRows, startupSec, winSec)
     }
 
     def r1(v: Double): String =
@@ -267,6 +284,29 @@ object StreamBench {
     // the round artifact always covers everything.
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").toSet)
+    // host-load bracket (VERDICT r13 item 5), sampled around the whole
+    // measured section
+    val hostLoadBefore = HostLoad.loadavg()
+    // ---- fixed calibration probe (VERDICT r13 item 6): a null-op
+    // rate-source stream — no joins, no state, no shuffle — measured
+    // by the same machinery as the real streams. Its throughput moves
+    // with the HOST, not with this repo's code, so a round delta can
+    // be read both raw and normalized to the probe, and host-drift
+    // candidates label themselves instead of costing a binary A/B.
+    val calibration = {
+      val mk = () => rate(2000000)
+        .select((col("value") * 2L + 1L).as("v"))
+      val w = measure("calibration", mk)
+      System.err.println(f"[streambench] calibration warm: " +
+        f"${w._1}%.0f rows/s")
+      (1 to 2).map { i =>
+        val r = measure("calibration", mk)
+        System.err.println(
+          f"[streambench] calibration run$i: ${r._1}%.0f rows/s")
+        r
+      }
+    }
+    val calBest = calibration.map(_._1).max
     val results = streams
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, mk) =>
@@ -346,6 +386,7 @@ object StreamBench {
             s""""$plan":{"rows_per_sec":[${runs.map(r => r1(r._1))
               .mkString(",")}],"state_rows":[${runs.map(_._4)
               .mkString(",")}],"startup_sec":[${runs.map(r => r1(r._5))
+              .mkString(",")}],"window_sec":[${runs.map(_._6)
               .mkString(",")}]}"""
           } finally {
             spark.conf.unset("spark.graft.screenBroadcastDocs")
@@ -367,7 +408,8 @@ object StreamBench {
         s""""input_rows":[${runs.map(_._2).mkString(",")}],""" +
         s""""batches":[${runs.map(_._3).mkString(",")}],""" +
         s""""state_rows":[${runs.map(_._4).mkString(",")}],""" +
-        s""""startup_sec":[${runs.map(r => r1(r._5)).mkString(",")}]}"""
+        s""""startup_sec":[${runs.map(r => r1(r._5)).mkString(",")}],""" +
+        s""""window_sec":[${runs.map(_._6).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // Per-stream round-over-round delta (VERDICT r10 item 5): compare
     // this round's best run against the previous round's artifact so a
@@ -398,25 +440,62 @@ object StreamBench {
           s""","delta_vs_prev_round_note":"not comparable: r${r - 1} """ +
             s"""artifact predates processing-time accounting""""
         } else {
+          // calibration-normalized reading (VERDICT r13 item 6): the
+          // probe's own round delta is pure host; dividing each
+          // stream's rate by its round's probe rate before comparing
+          // cancels the host term, so a raw "regression" whose
+          // normalized delta is quiet labels itself a host-drift
+          // candidate instead of costing a binary A/B
+          val prevCal = prevCalibration(prevTxt)
+          val calPct = prevCal.map(pc => (calBest - pc) / pc * 100.0)
+          calPct.foreach(p => System.err.println(
+            f"[streambench] calibration probe Δ r${r - 1}→r$r: " +
+              f"$p%+.0f%% (pure host term)"))
+          val normParts = scala.collection.mutable.ListBuffer[String]()
           val parts = results.flatMap { case (name, runs) =>
             prevBestRate(prevTxt, name).map { prevBest =>
               val curBest = runs.map(_._1).max
               val pct = (curBest - prevBest) / prevBest * 100.0
-              val tag = if (pct <= -30.0) "  <<< REGRESSION ≥30%" else ""
+              val norm = prevCal.map { pc =>
+                val p = ((curBest / calBest) - (prevBest / pc)) /
+                  (prevBest / pc) * 100.0
+                normParts += s""""$name":${r1(p)}"""
+                p
+              }
+              val tag =
+                if (pct > -30.0) ""
+                else if (norm.exists(_ > -30.0))
+                  "  <<< raw ≥30% but calibration-normalized quiet: " +
+                    "HOST-DRIFT CANDIDATE"
+                else "  <<< REGRESSION ≥30% (survives calibration " +
+                  "normalization)"
               System.err.println(
                 f"[streambench] Δ r${r - 1}→r$r $name: " +
-                  f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%)$tag")
+                  f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%" +
+                  norm.map(n => f", normalized $n%+.0f%%").getOrElse("") +
+                  s")$tag")
               s""""$name":${r1(pct)}"""
             }
           }
+          val calField = calPct
+            .map(p => s""","calibration_delta_pct":${r1(p)}""")
+            .getOrElse("")
+          val normField =
+            if (normParts.isEmpty) ""
+            else s""","delta_vs_prev_round_norm_pct":${
+              normParts.mkString("{", ",", "}")}"""
           if (parts.isEmpty) ""
-          else s""","delta_vs_prev_round_pct":${parts.mkString("{", ",", "}")}"""
+          else s""","delta_vs_prev_round_pct":${
+            parts.mkString("{", ",", "}")}$normField$calField"""
         }
       }
     }.getOrElse("")
     val subsetField =
       if (only.isDefined) s""","stream_only":true""" else ""
-    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}"$subsetField,"streams":$js$deltaField$idxScaleField}"""
+    val hostFields =
+      HostLoad.jsonFields(hostLoadBefore, HostLoad.loadavg())
+    val calArr = calibration.map(r => r1(r._1)).mkString("[", ",", "]")
+    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}","calibration_rows_per_sec":$calArr,$hostFields$subsetField,"streams":$js$deltaField$idxScaleField}"""
     // a STREAM_ONLY subset run must not clobber the round artifact
     // (the Bench lesson, ADVICE r12: a subset iteration quietly
     // replacing the baseline is how gates stop firing) — it gets its

@@ -66,9 +66,46 @@ object Recommend {
     * hash join, the correct shape when both sides are big. */
   val BroadcastDimRows = 4000000L
 
-  private[graft] def dimHint(df: DataFrame, rows: Long): DataFrame =
-    if (rows <= BroadcastDimRows) broadcast(df)
+  /** Byte cap on the same dimension broadcasts — the row-count bound
+    * alone is a proxy calibrated on THIS data's narrow rows, and a
+    * sub-4M-row table of WIDE data-dependent payloads (feature
+    * strings, class item arrays) would blow Spark's 8 GiB broadcast
+    * hard limit while passing any count bound (the round-13 LSH
+    * lesson, `SetSimilarity.LshLookupBroadcastBytes`, applied to this
+    * family). A dimension broadcasts only when BOTH bounds hold;
+    * otherwise the join rides shuffle-hash, correct at any payload.
+    * 2 GiB: a quarter of the hard limit, same margin as the LSH cap. */
+  val DimBroadcastBytes = 2L << 30
+
+  private[graft] def dimHint(df: DataFrame, rows: Long,
+      bytes: Long): DataFrame =
+    if (rows <= BroadcastDimRows && bytes <= DimBroadcastBytes)
+      broadcast(df)
     else df.hint("shuffle_hash")
+
+  /** Payload bytes of `rows` FIXED-width dimension rows (UnsafeRow:
+    * 8 B null bitset + 8 B per column slot) — for a fixed-width
+    * schema, count × width IS the measured payload (no data-dependent
+    * term), so the byte bound needs no extra job. Saturating: callers
+    * pass Long.MaxValue row bounds to force the shuffle branch. */
+  private[graft] def fixedDimBytes(rows: Long, nCols: Int): Long = {
+    val w = 8L * (nCols + 1)
+    if (rows > Long.MaxValue / w) Long.MaxValue else rows * w
+  }
+
+  /** Measured (rows, payload bytes) of a CHECKPOINTED dimension frame
+    * whose rows carry data-dependent payloads — ONE aggregate job
+    * (a local scan: every caller hands in a localCheckpoint'd frame),
+    * `perRowBytes` a SQL expression estimating one row's in-memory
+    * bytes. Order-of-magnitude honest, like the LSH gate's
+    * `payloadBytesExpr`: consumers compare it against
+    * [[DimBroadcastBytes]], they don't budget with it. */
+  private[graft] def measuredDim(df: DataFrame,
+      perRowBytes: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)).cast("long"),
+      coalesce(sum(expr(perRowBytes)), lit(0L)).cast("long")).first()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Per-task row volume above which this family's 30-50 B unsafe
     * rows overflow a task's aggregate hash map / window sort and fall
@@ -242,9 +279,9 @@ object Recommend {
       .filter(col("c") >= coMin)
     pairs
       .join(dimHint(ideg.select(col("i").as("ia"),
-        col("deg").as("da")), nItems), "ia")
+        col("deg").as("da")), nItems, fixedDimBytes(nItems, 2)), "ia")
       .join(dimHint(ideg.select(col("i").as("ib"),
-        col("deg").as("db")), nItems), "ib")
+        col("deg").as("db")), nItems, fixedDimBytes(nItems, 2)), "ib")
       .withColumn("sim", floor(col("c").cast("double") /
         sqrt(col("da").cast("double") * col("db")) * 1e6 + 0.5) / 1e6)
       .select(col("ia"), col("ib"), col("sim"))
@@ -313,7 +350,8 @@ object Recommend {
     // memory — while at ≤10× the stock partial-aggregate plan never
     // spilled and wins, so below the guard nothing changes)
     val sc = sizedByCardinality(
-      ui.join(dimHint(nbr, nbrRowBound), "i") // items×M, gated
+      ui.join(dimHint(nbr, nbrRowBound,
+        fixedDimBytes(nbrRowBound, 3)), "i") // items×M, gated
         .select(col("u"), col("j"), col("sim")),
       candEst, col("u"), col("j"))
       .groupBy(col("u"), col("j"))
@@ -509,10 +547,18 @@ object Recommend {
       .unionByName(p.select(col("p_partkey").as("i"),
         concat(lit("brand:"), col("p_brand")).as("f")))
     val nParts = p.select(count(lit(1)).as("n"))
+    // the feature-df table is VOCABULARY-sized but its vocabulary is
+    // data-dependent (near-unique `name:` features make it approach
+    // 3× the catalog) — checkpoint it (narrow, one pass) and gate the
+    // join on measured rows AND bytes instead of broadcasting
+    // unconditionally: past the gate the df lookup rides shuffle-hash
+    // on the catalog-sized feats0 stream, correct at any vocabulary.
     val dfTab = feats0.groupBy(col("f")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val (dfRows, dfBytes) = measuredDim(dfTab, "octet_length(f) + 24")
     feats0
-      .join(broadcast(dfTab), "f")
-      .crossJoin(broadcast(nParts))
+      .join(dimHint(dfTab, dfRows, dfBytes), "f")
+      .crossJoin(broadcast(nParts)) // one row, unconditionally tiny
       .filter(col("df") * FeatDfDen <= col("n") * FeatDfNum)
       .select(col("i"), col("f"))
   }
@@ -634,7 +680,14 @@ object Recommend {
   /** The UNORDERED content top-k (see [[itemCfTop]] for why
     * compositions consume the unsorted form). */
   private[graft] def contentTop(ui: DataFrame, p: DataFrame, cap: Int,
-      profTopF: Int, k: Int): DataFrame = {
+      profTopF: Int, k: Int): DataFrame =
+    contentTop(ui, p, cap, profTopF, k, idxEst = None)
+
+  /** `idxEst`: test-injected (rows, bytes) override for the class-
+    * index gate measure (the `LshEst`-injection pattern) — production
+    * callers use the 5-arg form, which measures the real frames. */
+  private[graft] def contentTop(ui: DataFrame, p: DataFrame, cap: Int,
+      profTopF: Int, k: Int, idxEst: Option[(Long, Long)]): DataFrame = {
     // item-feature pairs: whole name + brand + type, then the df cap.
     // catalog-sized (≤3 rows/item); read by the class build and the
     // profile build — checkpoint so the df-cap subtree runs once.
@@ -646,6 +699,7 @@ object Recommend {
       .localCheckpoint() // read by classFeats AND classItems
     val classFeats = feats.join(itemClass, "i")
       .select(col("ck"), col("f")).distinct()
+      .localCheckpoint() // read by the gate measure AND either branch
     // per class, only the (cap+k) smallest item ids can ever reach a
     // user's top-k: any later item has ≥ k unowned same-score
     // predecessors in its own class (a user owns ≤ cap items). O(k)
@@ -653,9 +707,55 @@ object Recommend {
     val minKItems = udaf(new graft.functions.BoundedMinK(cap + k))
     val classItems = itemClass.groupBy(col("ck"))
       .agg(minKItems(col("i")).as("items"))
-    // ---- the class index, collected (both frames are the vocabulary-
-    // bounded tables the old plan broadcast — same bytes, now indexed)
-    // and re-broadcast for the per-user scorer
+      .localCheckpoint()
+    // ---- class-index gate (count AND measured bytes, the same double
+    // bound as `dimHint`/the LSH lookups): the index rows carry
+    // data-dependent payloads — feature strings and (cap+k)-item
+    // arrays — so a vocabulary whose CLASS count passes any row bound
+    // can still be gigabytes wide. Measured with one aggregate job per
+    // checkpointed vocabulary frame; past either bound the driver
+    // collect+broadcast below must not happen (it would OOM the driver
+    // long before the executor broadcast failed).
+    val (idxRows, idxBytes) = idxEst.getOrElse {
+      val (cfRows, cfBytes) =
+        measuredDim(classFeats, "octet_length(ck) + octet_length(f) + 24")
+      val (ciRows, ciBytes) =
+        measuredDim(classItems, "octet_length(ck) + 8 * size(items) + 48")
+      (cfRows + ciRows, cfBytes + ciBytes)
+    }
+    // user profile rows: weight = #owned items carrying the feature —
+    // read by BOTH branches. feats is ≤3 rows/item and checkpointed,
+    // so its measure is a cheap local scan for the size gate.
+    val (featRows, featBytes) = measuredDim(feats, "octet_length(f) + 24")
+    val prof0 = ui.join(dimHint(feats, featRows, featBytes), "i")
+      .groupBy(col("u"), col("f")).agg(count(lit(1)).as("w"))
+    val scored =
+      if (idxRows <= BroadcastDimRows && idxBytes <= DimBroadcastBytes)
+        contentScoreBroadcast(prof0, classFeats, classItems, profTopF,
+          cap + k)
+      else
+        contentScoreShuffle(prof0, classFeats, classItems, profTopF,
+          cap + k)
+    val cand = scored
+      .join(ui.select(col("u"), col("i").as("cand")),
+        Seq("u", "cand"), "left_anti") // drop already-owned
+    val rw = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("cand").asc)
+    cand.withColumn("rec_rank", row_number().over(rw).cast("long"))
+      .filter(col("rec_rank") <= k)
+      .select(col("u").as("custkey"), col("rec_rank"),
+        col("cand").as("item"), col("score"))
+  }
+
+  /** The in-gate scoring branch: the vocabulary frames are collected
+    * into a [[ClassIndex]] (both are EXACTLY the tables the pre-r9
+    * plan broadcast — same bytes, now indexed), re-broadcast, and the
+    * whole per-user scoring problem runs inside ONE bounded typed
+    * aggregate over the ≤3·cap profile rows per user. Emits
+    * (u, cand, score): each user's top (cap+k) candidates. */
+  private def contentScoreBroadcast(prof0: DataFrame,
+      classFeats: DataFrame, classItems: DataFrame, profTopF: Int,
+      capK: Int): DataFrame = {
     val itemsByCk = classItems.collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
     val featPairs = classFeats.collect()
@@ -670,27 +770,63 @@ object Recommend {
       },
       nfArr,
       cks.map(itemsByCk))
-    val bcIdx = ui.sparkSession.sparkContext.broadcast(index)
-    // user profile rows: weight = #owned items carrying the feature.
-    // Everything per-user from here happens inside ONE aggregate over
-    // these ≤3·cap rows per user — no users×classes intermediate ever
-    // exists, at any scale. feats is ≤3 rows/item and checkpointed, so
-    // its exact row count is a cheap local scan for the size gate.
-    val prof0 = ui.join(dimHint(feats, feats.count()), "i")
-      .groupBy(col("u"), col("f")).agg(count(lit(1)).as("w"))
-    val scoreAgg = udaf(new ContentScoreAgg(bcIdx, profTopF, cap + k))
-    val cand = prof0.groupBy(col("u"))
+    val bcIdx = prof0.sparkSession.sparkContext.broadcast(index)
+    val scoreAgg = udaf(new ContentScoreAgg(bcIdx, profTopF, capK))
+    prof0.groupBy(col("u"))
       .agg(scoreAgg(col("f"), col("w")).as("cands"))
       .select(col("u"), explode(col("cands")).as("c"))
       .select(col("u"), col("c._1").as("cand"), col("c._2").as("score"))
-      .join(ui.select(col("u"), col("i").as("cand")),
-        Seq("u", "cand"), "left_anti") // drop already-owned
-    val rw = Window.partitionBy(col("u"))
+  }
+
+  /** The past-gate scoring branch: the users×classes shuffle chain —
+    * every [[ContentScoreAgg]] step as relational operators, each
+    * arithmetic expression verbatim, so the two branches agree
+    * bit-for-bit (RecommendSpec pins both plans and their equality).
+    * Slower than the broadcast aggregate (three corpus-scale
+    * exchanges — the r9 measurement that motivated the index), but
+    * correct at ANY vocabulary: nothing class-keyed ever touches the
+    * driver, the ck joins ride shuffle-hash, and every window
+    * partitions on a single user's bounded candidate set. */
+  private def contentScoreShuffle(prof0: DataFrame,
+      classFeats: DataFrame, classItems: DataFrame, profTopF: Int,
+      capK: Int): DataFrame = {
+    // the reduce/merge top-F profile cut: (w desc, f asc), F unique
+    // per user since prof0 is grouped on (u, f)
+    val pw = Window.partitionBy(col("u"))
+      .orderBy(col("w").desc, col("f").asc)
+    val prof = prof0.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= profTopF).drop("pr")
+    // un² = Σw² over the KEPT profile (finish() computes it on the
+    // reduced buffer)
+    val un2 = prof.groupBy(col("u")).agg(sum(col("w") * col("w")).as("un2"))
+    val nfc = classFeats.groupBy(col("ck")).agg(count(lit(1)).as("nf"))
+    // integer dot per touched class: profile ∩ class features
+    val dots = prof.join(classFeats.hint("shuffle_hash"), "f")
+      .groupBy(col("u"), col("ck")).agg(sum(col("w")).as("dot"))
+    // score = floor(dot / √(un²·nf) · 1e6 + 0.5) / 1e6 — long norm
+    // product, single √/÷, exactly the finish() expression
+    val scored = dots
+      .join(nfc.hint("shuffle_hash"), "ck")
+      .join(un2, "u")
+      .join(classItems.hint("shuffle_hash"), "ck")
+      .withColumn("score", floor(col("dot").cast("double") /
+        sqrt((col("un2") * col("nf")).cast("double")) * 1e6 + 0.5) / 1e6)
+      .withColumn("min_item", element_at(col("items"), 1))
+    // top capK classes per user by (score desc, min-item asc) — the
+    // classScores cut; min-item is unique per class (items partition
+    // the catalog), so the order is total
+    val cw = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("min_item").asc)
+    val kept = scored.withColumn("cr", row_number().over(cw))
+      .filter(col("cr") <= capK)
+    // explode each kept class's (cap+k) smallest items, rank
+    // (score desc, item asc), keep capK — the candidate cut
+    val iw = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("cand").asc)
-    cand.withColumn("rec_rank", row_number().over(rw).cast("long"))
-      .filter(col("rec_rank") <= k)
-      .select(col("u").as("custkey"), col("rec_rank"),
-        col("cand").as("item"), col("score"))
+    kept.select(col("u"), col("score"), explode(col("items")).as("cand"))
+      .withColumn("ir", row_number().over(iw))
+      .filter(col("ir") <= capK)
+      .select(col("u"), col("cand"), col("score"))
   }
 
   val contentRecSql: String =

@@ -522,10 +522,16 @@ object SetSimilarity {
     // raw).
     val floor = math.max(1, sigTable.sparkSession
       .sessionState.conf.numShufflePartitions).toLong
+    // the byte side of the double bound covers BOTH broadcast payload
+    // classes: the measured token/shingle arrays (est.payloadBytes)
+    // and the signature-fixed sig rows this function broadcasts itself
+    // (nBands·nRows longs + id + overhead per doc — data-independent,
+    // so count × width IS the measurement)
+    val sigBytes = est.nDocs * (8L * nBands * nRows + 72L)
     val lookupHint: DataFrame => DataFrame =
       if (candEst / floor <= Recommend.SpillGuardRowsPerTask) identity
       else if (est.nDocs <= LshLookupBroadcastDocs &&
-        est.payloadBytes <= LshLookupBroadcastBytes) broadcast(_)
+        est.payloadBytes + sigBytes <= LshLookupBroadcastBytes) broadcast(_)
       else _.hint("shuffle_hash")
     val cand = cand0
       .join(lookupHint(sigTable
@@ -827,8 +833,16 @@ object SetSimilarity {
       val r = idxSh0.agg(count(lit(1)).cast("long"),
         sum(expr(payloadBytesExpr("sh_b"))).cast("long")).first()
       val n = if (r.isNullAt(0)) 0L else r.getLong(0)
-      val bytes = if (r.isNullAt(1)) 0L else r.getLong(1)
-      n <= bcastDocs && bytes <= bcastBytes
+      val shBytes = if (r.isNullAt(1)) 0L else r.getLong(1)
+      // the forced broadcast ships BOTH index tables: the shingle
+      // payload measured above AND the ×nBands-exploded band table,
+      // whose row width is signature-fixed (ADVICE r13 — without this
+      // term the band table was bounded only by the count proxy):
+      // 32-long sig (256 B) + dup_of/band/key (24 B) + UnsafeRow
+      // overhead ≈ 344 B per band row, nBands rows per doc.
+      val bandBytes = n * ShingleBands * (8L * ShingleBands * ShingleRows
+        + 24L + 64L)
+      n <= bcastDocs && shBytes + bandBytes <= bcastBytes
     }
     val hasTs = incoming.columns.contains("ts")
     val tsCols = if (hasTs) Seq(col("ts")) else Seq.empty

@@ -112,6 +112,14 @@ class CountsSpec extends AnyFunSuite {
     assert(StreamBench.prevBestRate(art, "zero_batch").isEmpty)
     // absent stream → no delta entry
     assert(StreamBench.prevBestRate(art, "no_such_stream").isEmpty)
+    // calibration probe (r14+): top-level array, best = max; absent or
+    // zero in older artifacts → None (raw deltas only, no normalization)
+    val artCal = art.dropRight(1) +
+      ""","calibration_rows_per_sec":[1852001.5,2104330.0]}"""
+    assert(StreamBench.prevCalibration(artCal).contains(2104330.0))
+    assert(StreamBench.prevCalibration(art).isEmpty)
+    assert(StreamBench.prevCalibration(
+      art.dropRight(1) + ""","calibration_rows_per_sec":[0.0]}""").isEmpty)
   }
 
   test("GitStamp resolves HEAD to the current commit (artifact staleness " +

@@ -184,24 +184,69 @@ class RecommendSpec extends AnyFunSuite {
   }
 
   test("dimension-table broadcast gate: small dims broadcast, " +
-      "corpus-scale dims fall back to a shuffle hash join") {
+      "corpus-scale dims fall back to a shuffle hash join, and a " +
+      "measured payload past the byte cap blocks the broadcast even " +
+      "under the row-count bound") {
     import spark.implicits._
-    // same join, both gate branches — results must agree and the
+    // same join, all three gate regimes — results must agree and the
     // physical plans must take the promised shapes
     val facts = (1L to 200L).map(i => (i % 20, i)).toDF("i", "u")
     val dim = (0L to 19L).map(i => (i, i * 100)).toDF("i", "v")
-    def planOf(rows: Long): (String, Long) = {
-      val j = facts.join(Recommend.dimHint(dim, rows), "i")
+    def planOf(rows: Long, bytes: Long): (String, Long) = {
+      val j = facts.join(Recommend.dimHint(dim, rows, bytes), "i")
       (j.queryExecution.executedPlan.toString, j.count())
     }
-    val (small, nSmall) = planOf(Recommend.BroadcastDimRows)
-    val (big, nBig) = planOf(Recommend.BroadcastDimRows + 1)
+    val okBytes = Recommend.fixedDimBytes(20L, 2)
+    val (small, nSmall) = planOf(Recommend.BroadcastDimRows, okBytes)
+    val (big, nBig) = planOf(Recommend.BroadcastDimRows + 1, okBytes)
+    // rows under the count bound but a measured payload past the byte
+    // cap — the wide-row case the count proxy cannot see
+    val (fat, nFat) = planOf(20L, Recommend.DimBroadcastBytes + 1)
     assert(small.contains("BroadcastHashJoin"),
       s"small dim did not broadcast:\n$small")
     assert(!big.contains("BroadcastHashJoin") &&
       big.contains("ShuffledHashJoin"),
       s"over-gate dim did not fall back to shuffle hash:\n$big")
-    assert(nSmall == nBig && nSmall == 200L)
+    assert(!fat.contains("BroadcastHashJoin") &&
+      fat.contains("ShuffledHashJoin"),
+      s"byte-capped dim did not fall back to shuffle hash:\n$fat")
+    assert(nSmall == nBig && nSmall == nFat && nSmall == 200L)
+  }
+
+  test("class-index gate: in-gate catalogs score through the " +
+      "broadcast ContentScoreAgg, a byte-capped index rides the " +
+      "users×classes shuffle chain — identical recs in both regimes") {
+    import spark.implicits._
+    // the q89 feature shapes on a small catalog: shared name/brand
+    // features so classes have >1 item and nf > 1, plus fillers so
+    // the df cap keeps the shared features
+    val parts = ((11 to 16).map(i => (i.toLong, "same part", "BB", "T"))
+      ++ (1 to 54).map(j => (100L + j, s"filler$j", s"F$j", "T")))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+    val inter = ui(9L -> 11L, 9L -> 12L, 7L -> 13L, 5L -> 101L)
+    def run(idxEst: Option[(Long, Long)])
+    : (String, Seq[(Long, Long, Long, Double)]) = {
+      val r = Recommend.contentTop(
+        Recommend.uiMatrix(inter, 64), parts, 2, 32, 2, idxEst)
+      (r.queryExecution.executedPlan.toString,
+        r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getDouble(3))).toSeq.sortBy(t => (t._1, t._2)))
+    }
+    // measured (real) gate: vocabulary-bounded → broadcast index
+    val (inGate, rIn) = run(None)
+    // injected estimate past the byte cap under the row bound: the
+    // wide-payload vocabulary the count proxy cannot see
+    val (past, rPast) = run(Some((100L, Recommend.DimBroadcastBytes + 1)))
+    assert(inGate.contains("ContentScoreAgg") ||
+      inGate.contains("contentscoreagg"),
+      s"in-gate plan must score through the broadcast aggregate:\n$inGate")
+    assert(!past.contains("ContentScoreAgg") &&
+      !past.contains("contentscoreagg"),
+      s"past-gate plan must not driver-collect/broadcast the index:\n$past")
+    assert(past.contains("ShuffledHashJoin"),
+      s"past-gate ck joins must ride shuffle-hash:\n$past")
+    assert(rIn == rPast && rIn.nonEmpty,
+      s"gate branches must agree on the recs: $rIn vs $rPast")
   }
 
   test("degree joins in the f² pair build are size-gated: an " +

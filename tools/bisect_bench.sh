@@ -39,7 +39,10 @@ for p in java.base/java.lang java.base/java.lang.invoke \
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
 
-run_one() { # $1 = classes dir (absolute), $2 = label, $3 = scratch cwd
+run_one() { # $1 = classes dir (absolute), $2 = label, $3 = scratch cwd,
+            # $4 = generating sha (GRAFT_GIT_SHA: the scratch cwd has
+            # no .git, and the label's worktree — not the enclosing
+            # repo's HEAD — is what the classes were compiled from)
   # NB stdout carries ONLY the total (captured by the caller); progress
   # goes to stderr. The `|| true` keeps a crashed/killed bench (java
   # non-zero, or no total line for grep) on the designed nan/FAILED
@@ -49,7 +52,7 @@ run_one() { # $1 = classes dir (absolute), $2 = label, $3 = scratch cwd
   mkdir -p "$3"
   local total
   total=$( (cd "$3" && SPARK_GRAFT_SF_DIR="$SF" \
-    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" GRAFT_GIT_SHA="$4" \
     java -Xmx"${HEAP:-16g}" $OPENS -Dspark.ui.enabled=false \
       -cp "$1:/opt/spark/jars/*" graft.Bench 2>>bench_stderr.log) |
     grep -o '"metric":"total","value":[0-9.]*' | head -1 |
@@ -63,9 +66,9 @@ declare -a CUR_TOTALS PREV_TOTALS
 for pass in $(seq 1 "$PASSES"); do
   echo "[bisect] === pass $pass/$PASSES (interleaved) ==="
   PREV_TOTALS+=("$(run_one "$ROOT/$WT/target/scala-2.13/classes" \
-    "prev $PREVSHA p$pass" "target/bisect_run_prev")")
+    "prev $PREVSHA p$pass" "target/bisect_run_prev" "$PREVSHA")")
   CUR_TOTALS+=("$(run_one "$ROOT/target/scala-2.13/classes" \
-    "cur  $CURSHA p$pass" "target/bisect_run_cur")")
+    "cur  $CURSHA p$pass" "target/bisect_run_cur" "$CURSHA")")
 done
 
 python3 - "$PREVSHA" "$CURSHA" "${PREV_TOTALS[@]}" -- "${CUR_TOTALS[@]}" <<'EOF'
