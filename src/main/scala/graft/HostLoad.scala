@@ -28,7 +28,12 @@ object HostLoad {
     * ready to splice after a leading comma:
     * `"host_load_1m_before":…,"host_load_1m_after":…,"host_cpus":…`. */
   def jsonFields(before: Double, after: Double): String = {
-    def f(v: Double) = if (v < 0) "null" else f"$v%.2f"
+    // Locale.ROOT (the ADVICE-r6 rule every artifact number follows):
+    // the f-interpolator honors the JVM default locale, and a comma-
+    // decimal locale would emit invalid JSON
+    def f(v: Double) =
+      if (v < 0) "null"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     s""""host_load_1m_before":${f(before)},""" +
       s""""host_load_1m_after":${f(after)},"host_cpus":$cpus"""
   }

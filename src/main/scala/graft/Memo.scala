@@ -117,6 +117,13 @@ object Memo {
       build = null
       v
     }
+    /** True once SOME evaluation of the lazy val completed — the
+      * builder reference is released exactly then. Read by the failed
+      * caller's eviction path: a waiter's re-evaluation may have
+      * succeeded (and re-cached the cell) between the first caller's
+      * failure and its remove, and evicting a now-built cell would
+      * re-run the whole aggregate job the cache exists to avoid. */
+    def built: Boolean = build == null
   }
 
   private def contextKey(s: SparkSession): (String, Long) =
@@ -166,7 +173,12 @@ object Memo {
       v
     }
     catch { case t: Throwable =>
-      scalars.remove(key, cell)
+      // skip the eviction when a waiter's re-evaluation already built
+      // the cell (it re-cached via the putIfAbsent above — removing it
+      // here would undo that recovery and force a rebuild). The
+      // residual race (waiter mid-build when this reads `built`) lands
+      // on the designed path: the waiter re-inserts on success.
+      if (!cell.built) scalars.remove(key, cell)
       throw t
     }
   }

@@ -655,9 +655,16 @@ object ScaleStress {
       System.err.println(s"[scale] attributions unreadable: $t"); Nil }
     val applied =
       scala.collection.mutable.ListBuffer[(Attrib, Double)]()
+    // the marker applies only INSIDE the disproven band — above the
+    // calibrated wall but not past the disproven one by more than the
+    // same 25% margin. A wall far beyond the disproven number is a new
+    // fact (possibly a genuine regression), and auto-dismissing it as
+    // the old host window would blind the table to exactly what it
+    // exists to show.
     def attribFor(name: String, point: String, sec: Double)
     : Option[Attrib] = attribs.find(a =>
-      a.query == name && a.point == point && sec >= a.calibrated * 1.25)
+      a.query == name && a.point == point &&
+        sec >= a.calibrated * 1.25 && sec <= a.disproven * 1.25)
     def attribMark(name: String, point: String, sec: Double): String =
       attribFor(name, point, sec).map { a =>
         applied += ((a, sec)); s"†${applied.size}"

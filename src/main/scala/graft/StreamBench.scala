@@ -293,7 +293,11 @@ object StreamBench {
     // with the HOST, not with this repo's code, so a round delta can
     // be read both raw and normalized to the probe, and host-drift
     // candidates label themselves instead of costing a binary A/B.
-    val calibration = {
+    // skipped on SPARK_GRAFT_STREAM_ONLY subset iterations: the
+    // subset artifact never serves as a round baseline, so the probe
+    // would cost ~3 measured windows and feed nothing
+    val calibration: Seq[(Double, Long, Long, Long, Double, Int)] =
+      if (only.isDefined) Nil else {
       val mk = () => rate(2000000)
         .select((col("value") * 2L + 1L).as("v"))
       val w = measure("calibration", mk)
@@ -306,7 +310,11 @@ object StreamBench {
         r
       }
     }
-    val calBest = calibration.map(_._1).max
+    // None when the probe was skipped OR measured nothing (a stalled
+    // probe's 0.0 must not become an Infinity/NaN denominator in the
+    // normalized deltas — the same guard prevBestRate applies to the
+    // previous side)
+    val calBestOpt = calibration.map(_._1).maxOption.filter(_ > 0.0)
     val results = streams
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, mk) =>
@@ -446,8 +454,12 @@ object StreamBench {
           // cancels the host term, so a raw "regression" whose
           // normalized delta is quiet labels itself a host-drift
           // candidate instead of costing a binary A/B
+          // normalization needs BOTH rounds' probes: the previous
+          // artifact's field (absent before r14) and a non-stalled
+          // probe this run
           val prevCal = prevCalibration(prevTxt)
-          val calPct = prevCal.map(pc => (calBest - pc) / pc * 100.0)
+          val calPct = for (cb <- calBestOpt; pc <- prevCal)
+            yield (cb - pc) / pc * 100.0
           calPct.foreach(p => System.err.println(
             f"[streambench] calibration probe Δ r${r - 1}→r$r: " +
               f"$p%+.0f%% (pure host term)"))
@@ -456,14 +468,17 @@ object StreamBench {
             prevBestRate(prevTxt, name).map { prevBest =>
               val curBest = runs.map(_._1).max
               val pct = (curBest - prevBest) / prevBest * 100.0
-              val norm = prevCal.map { pc =>
-                val p = ((curBest / calBest) - (prevBest / pc)) /
+              val norm = for (cb <- calBestOpt; pc <- prevCal) yield {
+                val p = ((curBest / cb) - (prevBest / pc)) /
                   (prevBest / pc) * 100.0
                 normParts += s""""$name":${r1(p)}"""
                 p
               }
               val tag =
                 if (pct > -30.0) ""
+                else if (norm.isEmpty)
+                  "  <<< REGRESSION ≥30% (no calibration on one side " +
+                    "— raw only, not normalized)"
                 else if (norm.exists(_ > -30.0))
                   "  <<< raw ≥30% but calibration-normalized quiet: " +
                     "HOST-DRIFT CANDIDATE"
@@ -494,8 +509,13 @@ object StreamBench {
       if (only.isDefined) s""","stream_only":true""" else ""
     val hostFields =
       HostLoad.jsonFields(hostLoadBefore, HostLoad.loadavg())
-    val calArr = calibration.map(r => r1(r._1)).mkString("[", ",", "]")
-    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}","calibration_rows_per_sec":$calArr,$hostFields$subsetField,"streams":$js$deltaField$idxScaleField}"""
+    // absent (not an empty array) when the probe was skipped, so a
+    // later round's prevCalibration cleanly returns None
+    val calField =
+      if (calibration.isEmpty) ""
+      else s""""calibration_rows_per_sec":${
+        calibration.map(r => r1(r._1)).mkString("[", ",", "]")},"""
+    val line = s"""{"duration_sec_per_run":$durSec,"runs":2,"warm_runs":1,"cpus":$cpus,"excludes_first_batch":true,"generated_at_sha":"${GitStamp.sha}",$calField$hostFields$subsetField,"streams":$js$deltaField$idxScaleField}"""
     // a STREAM_ONLY subset run must not clobber the round artifact
     // (the Bench lesson, ADVICE r12: a subset iteration quietly
     // replacing the baseline is how gates stop firing) — it gets its

@@ -17,8 +17,12 @@ PREV=${1:?usage: tools/bisect_bench.sh <prev-commit> [sf_dir] [passes]}
 SF=${2:-/root/testdata/sf0.1}
 PASSES=${3:-2}
 cd "$(git rev-parse --show-toplevel)"
-PREVSHA=$(git rev-parse --short "$PREV")
-CURSHA=$(git rev-parse --short HEAD)
+# --short=12 matches GitStamp's 12-char form, so a bisect-stamped
+# artifact and a round artifact of the same commit compare EQUAL
+# (Bench's self-sha refusal and the staleness string-compare both
+# assume one format)
+PREVSHA=$(git rev-parse --short=12 "$PREV")
+CURSHA=$(git rev-parse --short=12 HEAD)
 WT="target/bisect_wt_$PREVSHA"
 
 if [ ! -d "$WT" ]; then
