@@ -132,7 +132,7 @@ object ScaleStress {
     * walls (cross-window host drift applies); bytes/rows/spill are
     * deterministic per plan+data. */
   private val Decade100Section: String =
-    """## 100× decade check (q87/q92 only — VERDICT r11 item 7)
+    """## 100× decade check (q87/q92 — VERDICT r11 item 7; q93 — VERDICT r13 item 7)
       |
       |Three points fit a line; a fourth decade catches a quadratic term the
       |30× point can't. Run: a targeted partial stress
@@ -236,6 +236,42 @@ object ScaleStress {
       |`diag/r13/ab_q24_30x_cal_vs_head.txt`); the deterministic claims
       |are the plan shapes and the zero-spill probes, not any single
       |window's seconds.
+      |
+      |**q93_cf_eval at 100× (r14, VERDICT r13 item 7)** — the bench's
+      |slowest query shares q87's gated retrain chain, but its OWN
+      |eval-side joins (leave-one-out holdout split, hit-rate rollup)
+      |previously had only a 30× point. Targeted run
+      |(`SPARK_GRAFT_SCALE_FACTORS=100 SPARK_GRAFT_SCALE_ONLY=q93_cf_eval`,
+      |64 GiB heap, min-of-2 interleaved): full artifact
+      |`diag/r14/scale100_q93_partial.md`, run log
+      |`diag/r14/scale100_q93_run.log`.
+      |
+      || stage | sf0.1 sec | 100× sec | 100× ratio | shuffle w+r GiB @100× | spill mem/disk GiB @100× |
+      ||---|---|---|---|---|---|
+      || e1_holdout_split | 2.1 | 16.7 | 8.0× | 1.65+1.65 | 0.00/0.00 |
+      || e2_retrain_cf | 10.2 | 415.6 | 40.7× | 41.23+42.17 | 76.00/24.66 |
+      || e3_eval_join | 0.3 | 2.7 | 9.0× | 0.07+0.07 | 0.00/0.00 |
+      || q93 full query | 9.6 | 550.2 | 57.2× | — | — |
+      |
+      |**No super-linear term, and the eval side's own joins are
+      |spill-free at the fourth decade**: e1 (interaction distinct +
+      |per-user holdout pick) and e3 (users×k ⋈ holdout + rollup) cost
+      |8–9× wall on 100× data — far sub-linear — with ZERO spill and
+      |shuffle bytes linear in users (1.65 GiB at 100×). e2 wraps the
+      |anti-join train slice plus q87's ENTIRE volume-gated CF retrain in
+      |one forced-boundary stage, so its spill is the documented
+      |co-residency effect of that chain under measurement checkpoints —
+      |76 GiB mem ≈ the sum of s2_sims_f2's 40 GiB and s4_scoring's
+      |36 GiB from the q87 in-stress rows above, which the per-node
+      |probe (`diag/r12/stageprobe_100x.out`) already showed vanish on a
+      |dedicated heap (both stages zero-spill standalone). The full-query
+      |wall 550.2 s is 57.2× of the same-window base 9.6 s (per-replica
+      |0.57 — the fixed per-query overhead amortizes); the q89-style
+      |cross-window comparison against r13's 30× wall (100.9 s) gives
+      |per-replica 1.63, but both endpoints of that ratio sit in
+      |different host windows (this run's p1 @100× measured 1002 s, p2
+      |550 s — a 1.8× same-plan swing) — the deterministic claims are
+      |the zero-spill eval stages and the linear shuffle bytes.
       |
       |""".stripMargin
 
