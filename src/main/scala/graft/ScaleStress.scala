@@ -664,7 +664,8 @@ object ScaleStress {
       "state in one JVM (this run: " +
       s"${Runtime.getRuntime.maxMemory / (1L << 30)} GiB heap).\n\n"
     // Host-window attributions (VERDICT r13 item 4): a same-host
-    // interleaved A/B that disproves a table wall is RECORDED in
+    // re-measure (interleaved binary A/B, or a quiet-window targeted
+    // probe) that disproves a table wall is RECORDED in
     // diag/scale_attributions.tsv
     // (query<TAB>point<TAB>disproven_sec<TAB>calibrated_sec<TAB>
     // evidence-path). When a regeneration lands near the disproven
@@ -739,9 +740,9 @@ object ScaleStress {
       md ++= "\n"
       applied.zipWithIndex.foreach { case ((a, sec), i) =>
         md ++= f"†${i + 1} host-window attribution: this regeneration " +
-          f"measured $sec%.1f s, in the regime a same-host interleaved " +
-          f"A/B (`${a.evidence}`) already disproved — the calibrated " +
-          f"binary scored ~${a.calibrated}%.1f s where a prior " +
+          f"measured $sec%.1f s, in the regime a same-host re-measure " +
+          f"(`${a.evidence}`) already disproved — the calibrated " +
+          f"run scored ~${a.calibrated}%.1f s where a prior " +
           f"regeneration printed ${a.disproven}%.1f s. Read the " +
           "deterministic columns (rows, plan shapes, spill), not this " +
           "wall.\n"
