@@ -42,7 +42,12 @@ object ExplainDump {
       ("q30_fm_distinct",
         "sketch as algebraic aggregation: partial agg before shuffle"),
       ("q33_degree_hist",
-        "J2 self-join shape; histogram output independent of scale"),
+        "J2 self-join shape; histogram output independent of scale. " +
+          "Pair aggregate is volume-gated (Graphs.edgesFromCp): " +
+          "plan-only/below-guard shows the stock partial-agg layout; " +
+          "past the narrow-pair guard the pair stream clusters by " +
+          "(src,dst) at mass/2M partitions (zero spill at 100×, " +
+          "diag/r14/q33_100x_gate_evidence.out)"),
       ("q50_sessionize",
         "session_window aggregation — one shuffle on user_id"),
       ("q52_pivot_daily",

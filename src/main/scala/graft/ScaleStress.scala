@@ -132,7 +132,7 @@ object ScaleStress {
     * walls (cross-window host drift applies); bytes/rows/spill are
     * deterministic per plan+data. */
   private val Decade100Section: String =
-    """## 100× decade check (q87/q92 — VERDICT r11 item 7; q93 — VERDICT r13 item 7)
+    """## 100× decade check (q87/q92 — VERDICT r11 item 7; q93 — VERDICT r13 item 7; q33 + the pair-agg gate it found — r14)
       |
       |Three points fit a line; a fourth decade catches a quadratic term the
       |30× point can't. Run: a targeted partial stress
@@ -272,6 +272,38 @@ object ScaleStress {
       |different host windows (this run's p1 @100× measured 1002 s, p2
       |550 s — a 1.8× same-plan swing) — the deterministic claims are
       |the zero-spill eval stages and the linear shuffle bytes.
+      |
+      |**q33_degree_hist at 100× (r14)** — the J2 theta self-join
+      |family's fourth-decade point, and the 100× probe that found (and
+      |then verified the cure for) the pair-aggregate spill. Targeted
+      |run (`SPARK_GRAFT_SCALE_FACTORS=100
+      |SPARK_GRAFT_SCALE_ONLY=q33_degree_hist`, 64 GiB heap, min-of-2
+      |interleaved); per-node dumps + both partials:
+      |`diag/r14/q33_100x_gate_evidence.out` (ungated plan also in
+      |`diag/r14/q33probe_100x_pre.out`).
+      |
+      || edge build | 100× wall (min-of-2) | theta-join stage | agg spill @100× |
+      ||---|---|---|---|
+      || ungated (pre-r14) | 155.0 s | 139.2 s | 82 GiB × BOTH passes |
+      || gated (HEAD) | 62.7 s | 96.4 s | ZERO |
+      |
+      |The skew cap bounds per-key fanout, so pair mass is linear in
+      |replicas (897,884,400 at 100× — ×100.1 of the base 8.97M, exact);
+      |but at 32 fixed partitions that put 28M pair rows under each
+      |aggregate task, and the partial pass deduped only 0.15% — both
+      |aggregate passes carried pair mass and both spilled 82 GiB
+      |(the same defect shape the CF scoring gate closed in r11, found
+      |here by this round's new per-node probe). The cure is the same
+      |volume gate (`Graphs.edgesFromCp` via
+      |`Recommend.sizedByCardinality` at the narrow-pair guard): the
+      |exact pair mass — one memoized aggregate over the checkpointed
+      |(ck, pk) table — clusters the pair stream by (src,dst) at
+      |mass/2M = 448 partitions BEFORE the aggregate, which subsumes
+      |the aggregate's own exchange (ONE exchange either way) and runs
+      |both phases in memory. Gated 100× wall 62.7 s = 27× of the
+      |same-window base 2.3 s (per-replica 0.27); below the guard
+      |(every oracle SF) the stock partial-aggregate plan is untouched,
+      |and both regimes are plan-pinned in GraphSpec.
       |
       |""".stripMargin
 

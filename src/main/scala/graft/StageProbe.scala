@@ -108,6 +108,38 @@ object StageProbe {
           Recommend.NeighborTopM, Recommend.RecK))
       spark.stop(); return
     }
+    if (args.contains("q33")) {
+      // the J2 theta self-join family's fourth-decade evidence
+      // (VERDICT r13 closed the recommender/dedup families at 100×;
+      // q33's pk-keyed co-occurrence self-join is the remaining heavy
+      // bench query without a per-node 100× probe). The skew cap
+      // (Graphs.MaxSourceDf) bounds per-key fanout, so pairs scale
+      // linearly in replicas. q33's production path eagerly
+      // checkpoints cp and the edge list (each is read 2×), which
+      // would hide the heavy jobs from a whole-query probe — so probe
+      // the three jobs separately, the same decomposition the
+      // checkpoints create.
+      import graft.graph.Graphs
+      val cp0 = Graphs.capBySourceDf(
+        Graphs.custParts(spark, d, None), Graphs.MaxSourceDf)
+      probe("q33 cp build (scan→join→distinct→df-window)", cp0)
+      val cp = cp0.localCheckpoint()
+      val mass = Graphs.pairMass(cp)
+      System.err.println(s"[probe] q33 pair mass = $mass")
+      // the PRODUCTION edge build (volume-gated pair aggregate) — an
+      // inline ungated rebuild here is what found the 82 GiB/pass
+      // spill the gate now cures (diag/r14/q33probe_100x_pre.out)
+      val ed0 = Graphs.edgesFromCp(cp, Graphs.EdgeThreshold, mass)
+      probe("q33 pair self-join → edges (the f² theta join, gated)", ed0)
+      val ed = ed0.localCheckpoint()
+      probe("q33 degree histogram",
+        ed.select(col("src"), col("dst"))
+          .unionByName(ed.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_customers")))
+      spark.stop(); return
+    }
     // in-session inflation repro: q92 first (builds several broadcast
     // variables per arm), then q93 — with "gc", a forced GC between
     // them lets ContextCleaner reclaim the dead broadcasts' storage

@@ -80,14 +80,58 @@ object Graphs {
     // (distinct (ck,pk) pairs) for never re-reading the fact tables.
     val cp = capBySourceDf(custParts(s, d, maxNation), MaxSourceDf)
       .localCheckpoint()
-    cp.select(col("ck").as("src"), col("pk"))
-      .join(cp.select(col("ck").as("dst"), col("pk")), Seq("pk"))
-      .filter(col("src") < col("dst"))
+    // Exact pair mass, memoized per (dataset, nation cap) so a
+    // session's 2–4 edge-list consumers pay the one-aggregate local
+    // scan once; plan-only construction skips it (the gate takes its
+    // below-guard branch — the stock plan at every oracle SF).
+    val mass =
+      if (planOnly(s)) 0L
+      else graft.Memo.scalarOf[java.lang.Long](s, d,
+        s"edges_pair_mass_${maxNation.getOrElse(-1)}")(
+        Long.box(pairMass(cp))).longValue
+    edgesFromCp(cp, thr, mass)
+  }
+
+  /** Exact (src,dst) pair mass of the pk self-join: a key with f
+    * distinct sources emits f(f−1)/2 canonical pairs into the
+    * shared-count aggregate. One aggregate over the CHECKPOINTED cp —
+    * a local scan, the same cost class as the LSH volume-gate
+    * estimate. */
+  private[graft] def pairMass(cp: DataFrame): Long = {
+    val r = cp.groupBy(col("pk")).agg(count(lit(1)).as("f"))
+      .agg(coalesce(sum(col("f") * (col("f") - lit(1))), lit(0L))
+        .cast("long")).first()
+    (if (r.isNullAt(0)) 0L else r.getLong(0)) / 2
+  }
+
+  /** The edge build over a prebuilt cp, volume-gated like the CF
+    * scoring shuffle (Recommend.sizedByCardinality): BELOW the
+    * narrow-pair guard the stock plan stands — partial aggregation at
+    * the session layout, the proven plan at every oracle SF. PAST it
+    * the pair stream is clustered by (src,dst) at cardinality-scaled
+    * parallelism BEFORE the aggregate, so per-task hash state stays
+    * in memory: at the 100× corpus the ungated aggregate put 28M pair
+    * rows under each of 32 fixed partitions and spilled 82 GiB per
+    * aggregate pass (diag/r14/q33probe_100x_pre.out) — the same
+    * defect shape the CF chain's gate closed in r11, cured the same
+    * way. Pair rows are two longs, so the guard is the dedup family's
+    * narrow-row bound, not the CF wide-row one. Test seam: specs pass
+    * `mass` directly to pin both regimes. */
+  private[graft] def edgesFromCp(cp: DataFrame, thr: Int, mass: Long)
+  : DataFrame =
+    graft.mining.Recommend.sizedByCardinality(
+      cp.select(col("ck").as("src"), col("pk"))
+        .join(cp.select(col("ck").as("dst"), col("pk")), Seq("pk"))
+        .filter(col("src") < col("dst")),
+      mass, graft.mining.SetSimilarity.PairDedupGuardRowsPerTask,
+      col("src"), col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= thr)
       .select(col("src"), col("dst"))
-  }
+
+  private def planOnly(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.planOnly").exists(_.toBoolean)
 
   /** Both-direction edges (neighbor expansion). */
   private def undirected(ed: DataFrame): DataFrame =

@@ -228,4 +228,37 @@ class GraphSpec extends AnyFunSuite {
     assert(Graphs.localClusteringOn(star).collect()
       .forall(r => r.getDouble(3) == 0.0))
   }
+
+  test("edge pair-aggregate volume gate: exact pair mass; stock plan " +
+      "below the guard, cardinality-scaled clustering past it; " +
+      "results identical in both regimes") {
+    import spark.implicits._
+    // fanouts 3 / 2 / 1 → pair mass C(3,2)+C(2,2)+0 = 4; at thr=1
+    // every canonical pair is an edge
+    val cp = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("ck", "pk").localCheckpoint()
+    assert(Graphs.pairMass(cp) == 4L, "Σ f(f−1)/2 over join keys")
+    val want = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val below = Graphs.edgesFromCp(cp, 1, mass = 4L)
+    val belowPlan = below.queryExecution.executedPlan.toString
+    assert(!belowPlan.contains("REPARTITION_BY_NUM"),
+      s"below-guard edge build must keep the stock session plan:\n" +
+        belowPlan)
+    assert(edgeSet(below) == want)
+    // pair-mass regime (the r14 100× probe: 897M pair rows over 32
+    // fixed partitions spilled 82 GiB per aggregate pass) — the pair
+    // stream must cluster by (src,dst) at est/2M partitions BEFORE
+    // the aggregate
+    val above = Graphs.edgesFromCp(cp, 1,
+      graft.mining.Recommend.ShuffleRowsPerPartition * 100L)
+    val abovePlan = above.queryExecution.executedPlan.toString
+    assert(abovePlan.contains("REPARTITION_BY_NUM") &&
+      abovePlan.contains(", 100)"),
+      s"above-guard pair stream must repartition at est/2M = 100:\n" +
+        abovePlan)
+    assert(edgeSet(above) == want,
+      "the gate changes layout, never results")
+  }
 }
