@@ -46,6 +46,40 @@ object Bench {
       .map(_.group(1).toDouble).filter(_ > 0)
   }
 
+  /** Attribution evidence for a ≥10% total move (VERDICT r14 item 1:
+    * the gate only LABELED — r14's own flag fired and the headline
+    * −13.5% shipped with no same-host A/B). Looks for a
+    * `bisect_bench_*.out` artifact in any round directory under
+    * `diag/` (the output of
+    * tools/bisect_bench.sh, the tool built for exactly this) STRICTLY
+    * NEWER than the newest driver round artifact `BENCH_rNN.json` —
+    * an old round's bisect cannot attribute a new round's move.
+    * Returns the newest qualifying path (repo-relative), or "MISSING":
+    * the stamp rides in the artifact next to `total_moved_ge_10pct`,
+    * so an unattributed double-digit move is visible on the artifact's
+    * face instead of depending on a reader to notice the absence.
+    * Unit-tested (CountsSpec) like [[parsePrevTotal]]. */
+  private[graft] def attributionFor(root: java.nio.file.Path): String = {
+    import scala.jdk.CollectionConverters._
+    def mtime(p: java.nio.file.Path): Long =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis
+      catch { case _: Throwable => 0L }
+    def list(dir: java.nio.file.Path, glob: String) =
+      try {
+        val s = java.nio.file.Files.newDirectoryStream(dir, glob)
+        try s.iterator.asScala.toList finally s.close()
+      } catch { case _: Throwable => Nil }
+    val cutoff = list(root, "BENCH_r*.json").map(mtime)
+      .foldLeft(0L)(math.max)
+    list(root.resolve("diag"), "*")
+      .filter(java.nio.file.Files.isDirectory(_))
+      .flatMap(d => list(d, "bisect_bench_*.out"))
+      .filter(p => mtime(p) > cutoff)
+      .sortBy(p => (mtime(p), p.toString)).lastOption
+      .map(p => root.relativize(p).toString)
+      .getOrElse("MISSING")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -314,7 +348,8 @@ object Bench {
     }
     val totalDelta = prevTotal.map { case (pt, src) =>
       val pct = (total - pt) / pt * 100.0
-      if (math.abs(pct) >= 10.0) System.err.println(
+      val moved = math.abs(pct) >= 10.0
+      if (moved) System.err.println(
         f"[bench] TOTAL MOVED $pct%+.1f%% vs previous run " +
           f"($pt%.1f s -> $total%.1f s, baseline $src) — attribute " +
           "before shipping (this run's host_load_1m " +
@@ -322,9 +357,25 @@ object Bench {
           s"on ${HostLoad.cpus} cpus, in the artifact; an elevated " +
           "load column is host drift on its face, a quiet one earns " +
           "tools/bisect_bench.sh)")
+      // the flag now carries its own evidence pointer (VERDICT r14
+      // item 1): a fresh diag/*/bisect_bench_*.out, or "MISSING" —
+      // stamped, not refused, so the driver's artifact capture never
+      // loses the round's numbers, but an unattributed move is
+      // condemned on the artifact's face
+      val attribution = if (!moved) "" else {
+        val a = attributionFor(java.nio.file.Paths.get("."))
+        if (a == "MISSING") System.err.println(
+          "[bench] ATTRIBUTION MISSING: the >=10% gate fired and no " +
+            "diag/*/bisect_bench_*.out newer than the last round " +
+            "artifact exists — run tools/bisect_bench.sh " +
+            "<prev-round-commit> and commit its output before " +
+            "shipping this number")
+        s""","attribution":"$a""""
+      }
       s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
         s""","prev_total_source":"$src"""" +
-        (if (math.abs(pct) >= 10.0) s""","total_moved_ge_10pct":true""" else "")
+        (if (moved) s""","total_moved_ge_10pct":true$attribution"""
+         else "")
     }.getOrElse("")
     val subsetField = if (isSubset) s""","bench_only":true""" else ""
     val hostFields = HostLoad.jsonFields(hostLoadBefore, hostLoadAfter)

@@ -398,6 +398,17 @@ object ScaleStress {
       // ingest-delta screen, at every scale point
       "q86_train_pipeline" -> ((d: String) =>
         graft.ops.Pipeline.trainPipelineOn(documents(spark, d))),
+      // the dedup-COMPOSITION chain (VERDICT r14 item 3): q58's pair
+      // list through curation anti-join / star-contraction CC / the
+      // group-keyed leakage split — the heaviest bench rows without
+      // decade evidence of their own; the CC iteration is the most
+      // plausible hidden super-linear term left
+      "q61_corpus_prep" -> ((d: String) =>
+        graft.ops.Pipeline.corpusPrepOn(documents(spark, d))),
+      "q65_dup_clusters" -> ((d: String) =>
+        graft.ops.Pipeline.dupClustersOn(documents(spark, d))),
+      "q80_leakage_split" -> ((d: String) =>
+        graft.ops.Pipeline.leakageSplitOn(documents(spark, d))),
       "q90_delta_screen" -> ((d: String) => {
         val docs = documents(spark, d)
           .select(col("doc_id"), col("text"), col("source"))
@@ -490,6 +501,29 @@ object ScaleStress {
       scala.collection.mutable.Map[(String, String), (Double, Double)]()
     val tape = new TaskTape
     spark.sparkContext.addSparkListener(tape)
+    // ONE stage timer for every attribution pass (was three identical
+    // inline copies; a fourth consumer made the duplication a defect):
+    // min-of-2 like the query table — single-pass stage numbers swung
+    // ±40% on this host's noise windows. The metrics tape is kept
+    // from the min-WALL pass so bytes and seconds describe the same
+    // run (bytes themselves are deterministic across passes).
+    def stageTimed[T](d: String, name: String)(f: => T): T = {
+      org.apache.spark.GraftSparkInternals
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val before = tape.snap
+      val lb = HostLoad.loadavg()
+      val t = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t) / 1e9
+      org.apache.spark.GraftSparkInternals
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val key = (name, d)
+      if (!stageTimes.contains(key) || sec < stageTimes(key)) {
+        stageTimes(key) = sec
+        stageTapes(key) = tape.snap - before
+        stageLoads(key) = (lb, HostLoad.loadavg())
+      }
+      r
+    }
     // Stage passes follow the `only` filter like the query table does:
     // a partial run targeting the dedup family must not pay two
     // recommender stage attributions per scale point (at 100× those
@@ -506,27 +540,7 @@ object ScaleStress {
       only.forall(s => s.isEmpty || s.contains("q93_cf_eval"))
     if (runQ87Stages) for (pass <- 1 to 2; d <- points) {
       hygiene()
-      // min-of-2 like the query table: single-pass stage numbers
-      // swung ±40% on this host's noise windows. The metrics tape is
-      // kept from the min-WALL pass so bytes and seconds describe the
-      // same run (bytes themselves are deterministic across passes).
-      def timed[T](name: String)(f: => T): T = {
-        org.apache.spark.GraftSparkInternals
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        val before = tape.snap
-        val lb = HostLoad.loadavg()
-        val t = System.nanoTime(); val r = f
-        val sec = (System.nanoTime() - t) / 1e9
-        org.apache.spark.GraftSparkInternals
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        val key = (name, d)
-        if (!stageTimes.contains(key) || sec < stageTimes(key)) {
-          stageTimes(key) = sec
-          stageTapes(key) = tape.snap - before
-          stageLoads(key) = (lb, HostLoad.loadavg())
-        }
-        r
-      }
+      def timed[T](name: String)(f: => T): T = stageTimed(d, name)(f)
       val ui = timed("s1_ui_matrix")(
         Recommend.uiMatrix(copurchases(spark, d), Recommend.UserItemCap))
       val stats = ui.agg(count(lit(1)),
@@ -566,23 +580,7 @@ object ScaleStress {
       "h4_fusion")
     if (runQ92Stages) for (pass <- 1 to 2; d <- points) {
       hygiene()
-      def timed92[T](name: String)(f: => T): T = {
-        org.apache.spark.GraftSparkInternals
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        val before = tape.snap
-        val lb = HostLoad.loadavg()
-        val t = System.nanoTime(); val r = f
-        val sec = (System.nanoTime() - t) / 1e9
-        org.apache.spark.GraftSparkInternals
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        val key = (name, d)
-        if (!stageTimes.contains(key) || sec < stageTimes(key)) {
-          stageTimes(key) = sec
-          stageTapes(key) = tape.snap - before
-          stageLoads(key) = (lb, HostLoad.loadavg())
-        }
-        r
-      }
+      def timed92[T](name: String)(f: => T): T = stageTimed(d, name)(f)
       val ui = timed92("h1_ui_matrix")(
         Recommend.uiMatrix(copurchases(spark, d), Recommend.UserItemCap))
       // localCheckpoint is EAGER: each arm fully materializes inside
@@ -611,23 +609,7 @@ object ScaleStress {
       "e3_eval_join")
     if (runQ93Stages) for (pass <- 1 to 2; d <- points) {
       hygiene()
-      def timed93[T](name: String)(f: => T): T = {
-        org.apache.spark.GraftSparkInternals
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        val before = tape.snap
-        val lb = HostLoad.loadavg()
-        val t = System.nanoTime(); val r = f
-        val sec = (System.nanoTime() - t) / 1e9
-        org.apache.spark.GraftSparkInternals
-          .waitUntilListenerBusEmpty(spark.sparkContext)
-        val key = (name, d)
-        if (!stageTimes.contains(key) || sec < stageTimes(key)) {
-          stageTimes(key) = sec
-          stageTapes(key) = tape.snap - before
-          stageLoads(key) = (lb, HostLoad.loadavg())
-        }
-        r
-      }
+      def timed93[T](name: String)(f: => T): T = stageTimed(d, name)(f)
       // e1: the interaction distinct + per-user holdout pick — both
       // checkpoints are eager, so the whole split materializes in the
       // timed window (cfEvalOn's own chain, boundaries forced)
@@ -662,6 +644,37 @@ object ScaleStress {
       }
       System.err.println(s"[scale] q93 stages p$pass @$d: " + q93StageNames
         .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
+    }
+
+    // ---- dedup-composition per-stage attribution (VERDICT r14 item
+    // 3): q61/q65/q80 chain q58's pair list through star-contraction
+    // CC and the group-keyed split/audit. The contraction is the
+    // suspect — it iterates (per-round localCheckpoint), so a hidden
+    // super-linear term would live in the round count or a round's
+    // shuffle, not in any single plan. Forced checkpoint boundaries
+    // give the pair build, the CC rounds, and the split tail each a
+    // named wall, bytes, and spill column. Stages compose the SAME
+    // entry points production uses (shingleNeardupOn /
+    // dupClustersFrom / leakageSplitFrom) — no inline rebuilds.
+    val chainStageNames = Seq("c1_pair_list", "c2_cc_contraction",
+      "c3_split_audit")
+    val runChainStages =
+      only.forall(s => s.isEmpty || s.contains("q80_leakage_split"))
+    if (runChainStages) for (pass <- 1 to 2; d <- points) {
+      hygiene()
+      def timedC[T](name: String)(f: => T): T = stageTimed(d, name)(f)
+      val docs = documents(spark, d)
+      val pairs = timedC("c1_pair_list")(
+        SetSimilarity.shingleNeardupOn(docs)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint())
+      val clusters = timedC("c2_cc_contraction")(
+        graft.ops.Pipeline.dupClustersFrom(pairs).localCheckpoint())
+      timedC("c3_split_audit")(
+        graft.ops.Pipeline.leakageSplitFrom(docs, pairs, clusters)
+          .count())
+      System.err.println(s"[scale] chain stages p$pass @$d: " +
+        chainStageNames
+          .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
     }
 
     // the vocabulary-bounded claim, measured at every scale
@@ -890,6 +903,33 @@ object ScaleStress {
     }
     }
 
+    // dedup-composition stage-attribution table (VERDICT r14 item 3)
+    if (runChainStages) {
+    md ++= "\n## dedup-composition stage attribution (q61/q65/q80 " +
+      "chain; min-of-2 per scale, forced stage boundaries)\n\n"
+    md ++= "pair_list = q58's banded LSH near-dup pairs (volume-" +
+      "gated, output-sized); cc_contraction = star-contraction " +
+      "connected components over the pair graph (iterative, " +
+      "per-round localCheckpoint — the round count is O(log " +
+      "diameter), printed by the run log); split_audit = q80's " +
+      "token-count join + canon-hash split + cross-pair audit. " +
+      "q61's anti-join tail and q65's relabel are strict subsets of " +
+      "these stages; their full-query walls sit in the main table.\n\n"
+    md ++= s"| stage | $baseLabel sec | " +
+      factors.map(n => s"${n}× sec").mkString(" | ") + " | slope |\n"
+    md ++= "|---" * (3 + factors.size) + "|\n"
+    chainStageNames.foreach { n =>
+      val cols = points.map(d => f"${stageTimes((n, d))}%.1f")
+        .mkString(" | ")
+      val slope =
+        if (factors.size < 2) "n/a"
+        else f"${(stageTimes((n, s"target/scale${factors.last}")) /
+          math.max(stageTimes((n, s"target/scale${factors.head}")), 1e-3)) /
+          (factors.last.toDouble / factors.head)}%.2f"
+      md ++= s"| $n | $cols | $slope |\n"
+    }
+    }
+
     // the same stages in BYTES and CPU (from the min-wall pass): if
     // shuffle bytes and CPU grow ∝ data while wall grows faster, the
     // algorithm is linear and the excess is this host's one disk and
@@ -897,7 +937,8 @@ object ScaleStress {
     // share of these bytes is constant as executors scale with data.
     val ioStages = (if (runQ87Stages) stageNames else Nil) ++
       (if (runQ92Stages) q92StageNames else Nil) ++
-      (if (runQ93Stages) q93StageNames else Nil)
+      (if (runQ93Stages) q93StageNames else Nil) ++
+      (if (runChainStages) chainStageNames else Nil)
     if (ioStages.nonEmpty) {
     md ++= "\n### stage I/O + CPU (min-wall pass; GiB = 2^30 bytes; " +
       "load1m = host loadavg before→after the pass, self ≈ " +

@@ -101,6 +101,34 @@ object StageProbe {
           None, Some(256000000L)))
       spark.stop(); return
     }
+    if (args.contains("cn")) {
+      // VERDICT r14 item 5: h3_cn_arm spends 23.5 s in GC of a 51.2 s
+      // wall at 30× (SCALE.md stage I/O table) — the worst GC share
+      // of any stage. Who owns it: the ContentScoreAgg scorer (its
+      // reduce rebuilds an immutable Seq per insertion; finish
+      // allocates a HashMap + two sorts per user) or the CO-RESIDENT
+      // arms' state in the stress session's shared heap? This probe
+      // runs the SAME stage standalone in a fresh JVM — nothing
+      // co-resident — and brackets it with the JVM's own GC-time
+      // counters. Scorer-owned GC reproduces here; co-residency GC
+      // does not.
+      import scala.jdk.CollectionConverters._
+      def gcMs: Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val ui = Recommend.uiMatrix(
+        Recommend.copurchases(spark, d), Recommend.UserItemCap)
+      // h1's matrix materializes OUTSIDE the probe window, exactly
+      // like the stress pass (h3 times contentTop over a prebuilt ui)
+      System.err.println(s"[probe] ui rows = ${ui.count()}")
+      val g0 = gcMs
+      probe("h3_cn_arm standalone (contentTop over prebuilt ui)",
+        Recommend.contentTop(ui, graft.Tables.part(spark, d),
+          Recommend.UserItemCap, Recommend.ProfileTopF, Recommend.RecK))
+      System.err.println(f"[probe] gc during standalone cn arm: " +
+        f"${(gcMs - g0) / 1e3}%.1f s (heap " +
+        f"${Runtime.getRuntime.maxMemory / (1L << 30)} GiB)")
+      spark.stop(); return
+    }
     if (args.contains("q93")) {
       probe("q93_cf_eval (full cfEvalOn)",
         Recommend.cfEvalOn(Recommend.copurchases(spark, d),
@@ -132,12 +160,10 @@ object StageProbe {
       val ed0 = Graphs.edgesFromCp(cp, Graphs.EdgeThreshold, mass)
       probe("q33 pair self-join → edges (the f² theta join, gated)", ed0)
       val ed = ed0.localCheckpoint()
-      probe("q33 degree histogram",
-        ed.select(col("src"), col("dst"))
-          .unionByName(ed.select(col("dst").as("src"),
-            col("src").as("dst")))
-          .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-          .groupBy(col("degree")).agg(count(lit(1)).as("n_customers")))
+      // the PRODUCTION histogram tail (shared definition — ADVICE
+      // r14: an inline rebuild here would silently bypass any gate
+      // later added to that tail)
+      probe("q33 degree histogram", Graphs.degreeHistFromEdges(ed))
       spark.stop(); return
     }
     // in-session inflation repro: q92 first (builds several broadcast

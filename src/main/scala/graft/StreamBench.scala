@@ -67,6 +67,35 @@ object StreamBench {
     }
   }
 
+  /** Raw and calibration-normalized delta for one stream, plus the
+    * host-drift label the round artifact's stderr trail carries
+    * (VERDICT r14 item 4 — the labeling logic itself, extracted so a
+    * synthetic drifted probe can pin it). The normalization divides
+    * each side's rate by ITS round's null-op probe rate: the probe's
+    * own delta is pure host, so the division cancels the host term —
+    * a raw "regression" whose normalized delta is quiet labels itself
+    * a host-drift candidate instead of costing a binary A/B.
+    * Returns (rawPct, normalizedPct when both probes exist, tag);
+    * tag is empty while the raw move is quieter than −30%. */
+  private[graft] def deltaLabel(curBest: Double, prevBest: Double,
+      cal: Option[Double], prevCal: Option[Double])
+  : (Double, Option[Double], String) = {
+    val pct = (curBest - prevBest) / prevBest * 100.0
+    val norm = for (cb <- cal; pc <- prevCal)
+      yield ((curBest / cb) - (prevBest / pc)) / (prevBest / pc) * 100.0
+    val tag =
+      if (pct > -30.0) ""
+      else if (norm.isEmpty)
+        "  <<< REGRESSION ≥30% (no calibration on one side " +
+          "— raw only, not normalized)"
+      else if (norm.exists(_ > -30.0))
+        "  <<< raw ≥30% but calibration-normalized quiet: " +
+          "HOST-DRIFT CANDIDATE"
+      else "  <<< REGRESSION ≥30% (survives calibration " +
+        "normalization)"
+    (pct, norm, tag)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val durSec = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEC", "12").toInt
@@ -435,11 +464,41 @@ object StreamBench {
     // (zero-batch run) is skipped too — the division would emit
     // Infinity/NaN and break the JSON.
     val deltaField = roundN.map { r =>
-      val prevPath = java.nio.file.Paths.get(f"STREAMBENCH_r${r - 1}%02d.json")
-      if (!java.nio.file.Files.exists(prevPath)) ""
+      // Baseline: the previous round's stamped copy; when that run
+      // lacked SPARK_GRAFT_ROUND (r14 did — the copy was recovered by
+      // hand from the sha-stamped STREAMBENCH.json), fall back to the
+      // tree's own STREAMBENCH.json, still on disk from the previous
+      // run at this point (the Bench bench_queries.json discipline).
+      // A fallback wrapping THIS commit is refused — self-comparison.
+      val stamped =
+        java.nio.file.Paths.get(f"STREAMBENCH_r${r - 1}%02d.json")
+      val prevPath =
+        if (java.nio.file.Files.exists(stamped)) Some(stamped)
+        else {
+          val own = java.nio.file.Paths.get("STREAMBENCH.json")
+          if (!java.nio.file.Files.exists(own)) None
+          else {
+            val sha = "\"generated_at_sha\":\"([^\"]+)\"".r
+              .findFirstMatchIn(new String(
+                java.nio.file.Files.readAllBytes(own), "UTF-8"))
+              .map(_.group(1))
+            if (GitStamp.sha != "unknown" && sha.contains(GitStamp.sha)) {
+              System.err.println("[streambench] no stamped baseline " +
+                s"and STREAMBENCH.json wraps this same commit " +
+                s"(${GitStamp.sha}) — refused as a self-comparison")
+              None
+            } else {
+              System.err.println(s"[streambench] r${r - 1} stamped " +
+                "artifact absent — falling back to the tree's own " +
+                "STREAMBENCH.json as baseline")
+              Some(own)
+            }
+          }
+        }
+      if (prevPath.isEmpty) ""
       else {
         val prevTxt = new String(
-          java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+          java.nio.file.Files.readAllBytes(prevPath.get), "UTF-8")
         if (!sameAccounting(prevTxt)) {
           System.err.println(s"[streambench] r${r - 1} artifact uses a " +
             "different accounting — deltas not comparable, omitted")
@@ -467,23 +526,9 @@ object StreamBench {
           val parts = results.flatMap { case (name, runs) =>
             prevBestRate(prevTxt, name).map { prevBest =>
               val curBest = runs.map(_._1).max
-              val pct = (curBest - prevBest) / prevBest * 100.0
-              val norm = for (cb <- calBestOpt; pc <- prevCal) yield {
-                val p = ((curBest / cb) - (prevBest / pc)) /
-                  (prevBest / pc) * 100.0
-                normParts += s""""$name":${r1(p)}"""
-                p
-              }
-              val tag =
-                if (pct > -30.0) ""
-                else if (norm.isEmpty)
-                  "  <<< REGRESSION ≥30% (no calibration on one side " +
-                    "— raw only, not normalized)"
-                else if (norm.exists(_ > -30.0))
-                  "  <<< raw ≥30% but calibration-normalized quiet: " +
-                    "HOST-DRIFT CANDIDATE"
-                else "  <<< REGRESSION ≥30% (survives calibration " +
-                  "normalization)"
+              val (pct, norm, tag) =
+                deltaLabel(curBest, prevBest, calBestOpt, prevCal)
+              norm.foreach(p => normParts += s""""$name":${r1(p)}""")
               System.err.println(
                 f"[streambench] Δ r${r - 1}→r$r $name: " +
                   f"$prevBest%.0f → $curBest%.0f rows/s ($pct%+.0f%%" +

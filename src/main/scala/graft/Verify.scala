@@ -50,6 +50,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing gate metadata (VERDICT r14 item 6): queries
+    // registered WITHOUT an oracle are self-gating BY DESIGN — their
+    // correctness check runs inside the query (q16 emits rows only if
+    // the histogram sum equals an independent count(*); q41 requires
+    // R² ≥ 0.3× the hash-verified q40 baseline), so a rows>0 record
+    // IS the verification. This sidecar marks them so a "no_oracle"
+    // row is distinguishable from a breakage without reading SURVEY §8.
+    val modes = SparkEntry.queries.keys
+      .filter(k => !SparkEntry.oracleSql.contains(k))
+      .map(k => s"${q(k)}: ${q("self_gating")}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/query_modes.json"), modes)
     spark.stop()
   }
 }

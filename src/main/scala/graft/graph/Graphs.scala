@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.PlanOnly.CpOps
 import graft.Tables._
 
 /** Graph analytics over the co-purchase graph — the Spark-native form of
@@ -79,11 +80,15 @@ object Graphs {
     // paid it 4×). Materializing cp once trades bounded storage
     // (distinct (ck,pk) pairs) for never re-reading the fact tables.
     val cp = capBySourceDf(custParts(s, d, maxNation), MaxSourceDf)
-      .localCheckpoint()
+      .cpLocal()
     // Exact pair mass, memoized per (dataset, nation cap) so a
     // session's 2–4 edge-list consumers pay the one-aggregate local
     // scan once; plan-only construction skips it (the gate takes its
     // below-guard branch — the stock plan at every oracle SF).
+    // Deliberately NOT skipped for nation-bounded subgraphs (ADVICE
+    // r14): "bounded" is a constant FRACTION of customers, not a
+    // constant size — the guard stays armed at any corpus scale, and
+    // the memoized estimate costs one local-scan job per session key.
     val mass =
       if (planOnly(s)) 0L
       else graft.Memo.scalarOf[java.lang.Long](s, d,
@@ -130,8 +135,7 @@ object Graphs {
       .filter(col("shared") >= thr)
       .select(col("src"), col("dst"))
 
-  private def planOnly(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.planOnly").exists(_.toBoolean)
+  private def planOnly(s: SparkSession): Boolean = graft.PlanOnly(s)
 
   /** Both-direction edges (neighbor expansion). */
   private def undirected(ed: DataFrame): DataFrame =
@@ -166,12 +170,19 @@ object Graphs {
     * result is histogram-sized regardless of scale. */
   def degreeHist(s: SparkSession, d: String): DataFrame =
     // edges checkpointed: undirected() references it twice
-    undirected(edges(s, d, None, EdgeThreshold).localCheckpoint())
+    degreeHistFromEdges(edges(s, d, None, EdgeThreshold).cpLocal())
+      .orderBy(col("degree"))
+
+  /** q33's histogram tail over a prebuilt edge list — the ONE
+    * definition both the registered query and the 100× scale probe
+    * (graft.StageProbe) measure, so the probe can never drift from
+    * the production plan (ADVICE r14). */
+  private[graft] def degreeHistFromEdges(ed: DataFrame): DataFrame =
+    undirected(ed)
       .groupBy(col("src"))
       .agg(count(lit(1)).as("degree"))
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_customers"))
-      .orderBy(col("degree"))
 
   val degreeHistSql: String =
     s"""WITH ${edgesSql(None, EdgeThreshold)},
@@ -473,20 +484,23 @@ object Graphs {
     * exact 0.0 terms, which cannot perturb either engine's sum). */
   def personalizedPagerank(s: SparkSession, d: String): DataFrame =
     pprOn(undirected(edges(s, d, Some(SubNations), SubThreshold))
-      .localCheckpoint())
+      .cpLocal())
 
   /** q91 over a caller-supplied both-direction (src, dst) edge list
     * with no dangling nodes. */
   def pprOn(ue: DataFrame): DataFrame = {
     val deg = ue.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).cpLocal()
     val seeds = deg.orderBy(col("deg").desc, col("node").asc)
       .limit(PprSeedK).select(col("node"), lit(1).as("is_seed"))
-    val k = seeds.count() // ≤ PprSeedK rows — a scalar driver sync
+    // ≤ PprSeedK rows — a scalar driver sync; 1 under plan-only
+    // construction so the teleport constants baked into the dumped
+    // plan stay finite (the dump never executes them)
+    val k = if (graft.PlanOnly(ue)) 1L else seeds.count()
     val degS = deg
       .join(broadcast(seeds), Seq("node"), "left_outer")
       .withColumn("is_seed", coalesce(col("is_seed"), lit(0)))
-      .localCheckpoint() // read every iteration + the seed indicator
+      .cpLocal() // read every iteration + the seed indicator
     var pr = degS.withColumn("pr",
       when(col("is_seed") === 1, lit(1.0 / k)).otherwise(lit(0.0)))
     for (_ <- 1 to PrIters) {
@@ -501,7 +515,7 @@ object Graphs {
             .otherwise(lit(0.0)) + lit(PrDamping) * col("inflow"))
             * 1e6 + 0.5) / 1e6)
         .select(col("node"), col("deg"), col("is_seed"), col("pr"))
-        .localCheckpoint()
+        .cpLocal()
     }
     pr.select(col("node"), col("is_seed").cast("long").as("is_seed"),
         col("pr").as("ppr"))

@@ -3,6 +3,8 @@ package graft.mining
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.PlanOnly
+import graft.PlanOnly.CpOps
 import graft.Tables._
 
 /** Item-item collaborative-filtering recommendations — the recommender
@@ -99,9 +101,14 @@ object Recommend {
     * `perRowBytes` a SQL expression estimating one row's in-memory
     * bytes. Order-of-magnitude honest, like the LSH gate's
     * `payloadBytesExpr`: consumers compare it against
-    * [[DimBroadcastBytes]], they don't budget with it. */
+    * [[DimBroadcastBytes]], they don't budget with it. Under
+    * plan-only construction ([[PlanOnly]]) the measure is SKIPPED and
+    * reads (0, 0) — the in-gate branch, the true plan at oracle SF —
+    * matching the LSH estimate and the graph pair mass (VERDICT r14
+    * item 2). */
   private[graft] def measuredDim(df: DataFrame,
       perRowBytes: String): (Long, Long) = {
+    if (PlanOnly(df)) return (0L, 0L)
     val r = df.agg(count(lit(1)).cast("long"),
       coalesce(sum(expr(perRowBytes)), lit(0L)).cast("long")).first()
     (r.getLong(0), r.getLong(1))
@@ -190,7 +197,7 @@ object Recommend {
     val ui0 = interactions.select(col("u"), col("i")).distinct()
     val keptUsers = ui0.groupBy(col("u"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= cap).select(col("u"))
-    ui0.join(keptUsers, Seq("u"), "left_semi").localCheckpoint()
+    ui0.join(keptUsers, Seq("u"), "left_semi").cpLocal()
   }
 
   /** The item-similarity index: top-`topM` cosine neighbors per item
@@ -220,7 +227,7 @@ object Recommend {
     * degree joins fall back to shuffle-hash on the pair frame's keys. */
   private[graft] def simsTable(ui: DataFrame, coMin: Int,
       nItems: Long): DataFrame =
-    simsPlan(ui, coMin, nItems).localCheckpoint()
+    simsPlan(ui, coMin, nItems).cpLocal()
 
   /** The EXACT pair count Σ n_u·(n_u−1)/2 of the co-occurrence
     * self-join — the cardinality that sizes the pair aggregate's
@@ -229,13 +236,15 @@ object Recommend {
     * ui recomputes its whole upstream DAG just for this count). n ≤
     * the power-user cap, so n·(n−1)/2 ≤ 2016 and the sum fits a long
     * at any corpus size. */
-  private[graft] def pairsEstimate(ui: DataFrame): Long =
+  private[graft] def pairsEstimate(ui: DataFrame): Long = {
+    if (PlanOnly(ui)) return 0L // jobless dump: below-guard branch
     (ui.groupBy(col("u")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * (col("n") - lit(1))).cast("long"))
       .first() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }) / 2
+  }
 
   /** [[simsPlan]] computing its own [[pairsEstimate]] — convenience
     * for tests/probes. NOT lazy: constructing the plan runs the
@@ -323,9 +332,16 @@ object Recommend {
     // degree broadcasts inside the pair build (nItems), the
     // neighbor-table scoring join (nItems×M — counting nbr itself
     // would run the whole pair build twice), and the scoring
-    // shuffle's parallelism (|ui|×M candidates)
-    val stats = ui.agg(count(lit(1)), count_distinct(col("i"))).first()
-    val (uiRows, nItems) = (stats.getLong(0), stats.getLong(1))
+    // shuffle's parallelism (|ui|×M candidates). Jobless (0, 0) under
+    // plan-only construction — every gate it feeds takes its in-gate
+    // branch, the executing plan at oracle SF.
+    val (uiRows, nItems) =
+      if (PlanOnly(ui)) (0L, 0L)
+      else {
+        val stats =
+          ui.agg(count(lit(1)), count_distinct(col("i"))).first()
+        (stats.getLong(0), stats.getLong(1))
+      }
     val nbr = neighborTable(ui, coMin, topM, nItems)
     scoreFromNbr(ui, nbr, nItems * topM, k, uiRows * topM)
   }
@@ -554,7 +570,7 @@ object Recommend {
     // unconditionally: past the gate the df lookup rides shuffle-hash
     // on the catalog-sized feats0 stream, correct at any vocabulary.
     val dfTab = feats0.groupBy(col("f")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .cpLocal()
     val (dfRows, dfBytes) = measuredDim(dfTab, "octet_length(f) + 24")
     feats0
       .join(dimHint(dfTab, dfRows, dfBytes), "f")
@@ -691,15 +707,15 @@ object Recommend {
     // item-feature pairs: whole name + brand + type, then the df cap.
     // catalog-sized (≤3 rows/item); read by the class build and the
     // profile build — checkpoint so the df-cap subtree runs once.
-    val feats = contentFeats(p).localCheckpoint()
+    val feats = contentFeats(p).cpLocal()
     // ---- item-profile equivalence classes: the canonical sorted
     // feature set. Everything class-keyed from here is VOCABULARY-
     // bounded (distinct feature combinations), not catalog-sized.
     val itemClass = itemClasses(feats)
-      .localCheckpoint() // read by classFeats AND classItems
+      .cpLocal() // read by classFeats AND classItems
     val classFeats = feats.join(itemClass, "i")
       .select(col("ck"), col("f")).distinct()
-      .localCheckpoint() // read by the gate measure AND either branch
+      .cpLocal() // read by the gate measure AND either branch
     // per class, only the (cap+k) smallest item ids can ever reach a
     // user's top-k: any later item has ≥ k unowned same-score
     // predecessors in its own class (a user owns ≤ cap items). O(k)
@@ -707,7 +723,7 @@ object Recommend {
     val minKItems = udaf(new graft.functions.BoundedMinK(cap + k))
     val classItems = itemClass.groupBy(col("ck"))
       .agg(minKItems(col("i")).as("items"))
-      .localCheckpoint()
+      .cpLocal()
     // ---- class-index gate (count AND measured bytes, the same double
     // bound as `dimHint`/the LSH lookups): the index rows carry
     // data-dependent payloads — feature strings and (cap+k)-item
@@ -756,20 +772,28 @@ object Recommend {
   private def contentScoreBroadcast(prof0: DataFrame,
       classFeats: DataFrame, classItems: DataFrame, profTopF: Int,
       capK: Int): DataFrame = {
-    val itemsByCk = classItems.collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    val featPairs = classFeats.collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    val cks = itemsByCk.keys.toArray.sorted
-    val ckIdx = cks.zipWithIndex.toMap
-    val nfArr = new Array[Long](cks.length)
-    featPairs.foreach { case (ck, _) => nfArr(ckIdx(ck)) += 1 }
-    val index = ClassIndex(
-      featPairs.groupBy(_._2).map { case (f, ps) =>
-        f -> ps.map(p => ckIdx(p._1)).sorted.toArray
-      },
-      nfArr,
-      cks.map(itemsByCk))
+    // the index CONTENT is broadcast data, not plan structure — under
+    // plan-only construction skip the two driver collects (each a
+    // job) and bake an empty index: the dumped plan is identical, and
+    // a plan dump never executes the aggregate that would read it
+    val index = if (PlanOnly(prof0)) {
+      ClassIndex(Map.empty, Array.empty, Array.empty)
+    } else {
+      val itemsByCk = classItems.collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      val featPairs = classFeats.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val cks = itemsByCk.keys.toArray.sorted
+      val ckIdx = cks.zipWithIndex.toMap
+      val nfArr = new Array[Long](cks.length)
+      featPairs.foreach { case (ck, _) => nfArr(ckIdx(ck)) += 1 }
+      ClassIndex(
+        featPairs.groupBy(_._2).map { case (f, ps) =>
+          f -> ps.map(p => ckIdx(p._1)).sorted.toArray
+        },
+        nfArr,
+        cks.map(itemsByCk))
+    }
     val bcIdx = prof0.sparkSession.sparkContext.broadcast(index)
     val scoreAgg = udaf(new ContentScoreAgg(bcIdx, profTopF, capK))
     prof0.groupBy(col("u"))
@@ -951,12 +975,12 @@ object Recommend {
   def cfEvalOn(interactions: DataFrame, cap: Int, coMin: Int,
       topM: Int, k: Int): DataFrame = {
     val all = interactions.select(col("u"), col("i")).distinct()
-      .localCheckpoint() // read by the holdout agg AND the train slice
+      .cpLocal() // read by the holdout agg AND the train slice
     val hold = all.groupBy(col("u"))
       .agg(max(col("i")).as("held"), count(lit(1)).as("n"))
       .filter(col("n") >= EvalMinOwned)
       .select(col("u"), col("held"))
-      .localCheckpoint() // read by train, the hit join, and n_eval
+      .cpLocal() // read by train, the hit join, and n_eval
     val train = all.join(
       hold.select(col("u"), col("held").as("i")), Seq("u", "i"),
       "left_anti")

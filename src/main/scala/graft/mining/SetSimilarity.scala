@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
+import graft.PlanOnly.CpOps
 import graft.functions.Hashing
 import graft.ops.Text.{toksExpr, toksSqlExpr}
 
@@ -356,9 +357,7 @@ object SetSimilarity {
     * estimates are skipped (volume gates take their below-guard
     * branch, the proven plan at every oracle SF) so building a
     * DataFrame runs ZERO cluster jobs. Never set by Verify/Bench. */
-  private def planOnly(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption("spark.graft.planOnly")
-      .exists(_.toBoolean)
+  private def planOnly(df: DataFrame): Boolean = graft.PlanOnly(df)
 
   /** Exact volume-gate inputs for [[lshCandidates]]: the corpus size,
     * the EXACT pre-distinct band-bucket pair count Σ n·(n−1)/2, and
@@ -563,12 +562,12 @@ object SetSimilarity {
     // same reuse story as q58: the signature and token-set tables feed
     // multiple join branches — materialize each once
     val sigTable = sigsOf(docs, withPayloadBytes = true)
-      .localCheckpoint(eager = false)
+      .cpLocal(eager = false)
     val est = lshEstimateMemo(sigTable, LshBands, LshRows, estMemoKey)
     val (cand, lookupHint) =
       lshCandidates(sigTable, LshBands, LshRows, LshMinSigMatches, est)
     verifyExact(cand,
-      tokenSetsOf(docs).localCheckpoint(eager = false), LshVerifyTau,
+      tokenSetsOf(docs).cpLocal(eager = false), LshVerifyTau,
       lookupHint)
   }
 
@@ -738,13 +737,13 @@ object SetSimilarity {
     // materialized tables are corpus-sized, ~doc_id + 32 longs / the
     // shingle arrays, so storage is bounded and the hash runs once).
     // Lazy, like q24's: first action materializes, ExplainDump doesn't.
-    val sh = shingleSetsOf(docs).localCheckpoint(eager = false)
+    val sh = shingleSetsOf(docs).cpLocal(eager = false)
     val sigTable = sh
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
       .select(col("doc_id"), expr("graft_minhash(xs)").as("sig"),
         expr(payloadBytesExpr("ts")).as("pb"))
-      .localCheckpoint(eager = false)
+      .cpLocal(eager = false)
     val est =
       lshEstimateMemo(sigTable, ShingleBands, ShingleRows, estMemoKey)
     val (cand, lookupHint) = lshCandidates(sigTable, ShingleBands,
@@ -804,7 +803,7 @@ object SetSimilarity {
     // stream, the first micro-batch) materializes them once.
     val idxSh0 = shingleSetsOf(corpus)
       .select(col("doc_id").as("dup_of"), col("ts").as("sh_b"))
-      .localCheckpoint(eager = false)
+      .cpLocal(eager = false)
     val idxBands0 = shingleSetsOf(corpus)
       .withColumn("xs",
         expr(s"transform(ts, t -> ${Hashing.h31SparkSql("t")})"))
@@ -813,7 +812,7 @@ object SetSimilarity {
         explode(expr(bandStructsExpr(ShingleBands, ShingleRows))).as("b"))
       .select(col("dup_of"), col("sig_b"),
         col("b.band").as("band"), col("b.key").as("key"))
-      .localCheckpoint(eager = false)
+      .cpLocal(eager = false)
     // one cheap count decides the plan (an AQE-style runtime choice
     // the checkpointed frames' missing stats would otherwise forfeit);
     // plan-only construction assumes the broadcast branch joblessly

@@ -490,10 +490,21 @@ object Pipeline {
     // pair list feeds both the contraction and the violation audit
     val pairs = SetSimilarity.shingleNeardupOn(docs)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    leakageSplitFrom(docs, pairs, dupClustersFrom(pairs))
+  }
+
+  /** The q80 split/audit tail over an ALREADY-COMPUTED pair list and
+    * its CC canonicalization — the same operators [[leakageSplitOn]]
+    * composes, split out so the scale stress can time the pair build,
+    * the contraction rounds, and this tail behind forced checkpoint
+    * boundaries (VERDICT r14 item 3) without drifting from the
+    * production plan. */
+  private[graft] def leakageSplitFrom(docs: DataFrame, pairs: DataFrame,
+      clusters: DataFrame): DataFrame = {
     val tagged = docs
       .select(col("doc_id"),
         size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
-      .join(dupClustersFrom(pairs), Seq("doc_id"), "left_outer")
+      .join(clusters, Seq("doc_id"), "left_outer")
       .withColumn("canon", coalesce(col("canon_id"), col("doc_id")))
       .withColumn("split", expr(
         s"CASE WHEN ${graft.functions.Hashing.h60SparkSql("canon")} " +

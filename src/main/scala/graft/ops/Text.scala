@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.PlanOnly.CpOps
 import graft.Tables._
 import graft.functions.Hashing
 
@@ -708,11 +709,11 @@ object Text {
       .select(col("doc_id"),
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
-      .localCheckpoint() // the LM build AND the scoring join read it
+      .cpLocal() // the LM build AND the scoring join read it
     val hq = docQualityOn(docs).filter(col("keep")).select(col("doc_id"))
     val lmc = bg.join(hq, Seq("doc_id"), "left_semi")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // the context totals AND the logp join read it
+      .cpLocal() // the context totals AND the logp join read it
     val tot = lmc.groupBy(col("w1")).agg(sum(col("c")).as("total"))
     val lm = lmc.join(tot, "w1")
       .select(col("w1"), col("w2"),
@@ -722,7 +723,7 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("logp").isNull, 1L).otherwise(0L)).as("n_oov"),
         floor(avg(col("logp")) * 1e6 + 0.5 + 1e-9).as("lp_u6"))
-      .localCheckpoint() // the quartile agg AND the final flag read it
+      .cpLocal() // the quartile agg AND the final flag read it
     val p = sc.agg(expr("percentile(lp_u6, 0.25D)").as("p25"))
     sc.crossJoin(broadcast(p)) // 1-row boundary frame
       .select(col("doc_id"), col("n_bigrams"), col("n_oov"),

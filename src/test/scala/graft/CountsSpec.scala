@@ -93,6 +93,39 @@ class CountsSpec extends AnyFunSuite {
       "/root/testdata/sf0.1").isEmpty)
   }
 
+  test("Bench.attributionFor: a >=10% move needs a bisect artifact " +
+      "newer than the last round artifact") {
+    val root = Files.createTempDirectory("graft_attr")
+    def touch(rel: String, mtimeMs: Long) = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, "x".getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      p
+    }
+    val t0 = 1700000000000L
+    // no round artifact at all: any bisect output attributes
+    touch("diag/r15/bisect_bench_a_vs_b.out", t0)
+    assert(Bench.attributionFor(root)
+      == "diag/r15/bisect_bench_a_vs_b.out")
+    // a round artifact NEWER than the bisect: the evidence predates
+    // the number it would have to explain -> MISSING
+    touch("BENCH_r14.json", t0 + 60000)
+    assert(Bench.attributionFor(root) == "MISSING")
+    // a fresh bisect after the round artifact attributes again; the
+    // NEWEST qualifying artifact wins
+    touch("diag/r15/bisect_bench_c_vs_d.out", t0 + 120000)
+    touch("diag/r15/bisect_bench_e_vs_f.out", t0 + 180000)
+    assert(Bench.attributionFor(root)
+      == "diag/r15/bisect_bench_e_vs_f.out")
+    // only bisect outputs under diag/*/ count
+    val stray = touch("diag/r15/notes.out", t0 + 240000)
+    assert(Bench.attributionFor(root)
+      == "diag/r15/bisect_bench_e_vs_f.out")
+    Files.delete(stray)
+  }
+
   test("StreamBench delta guard: accounting marker + prev-rate parse") {
     // shape of the artifact StreamBench itself writes
     val art = """{"duration_sec_per_run":12,"runs":2,"warm_runs":1,""" +
@@ -120,6 +153,75 @@ class CountsSpec extends AnyFunSuite {
     assert(StreamBench.prevCalibration(art).isEmpty)
     assert(StreamBench.prevCalibration(
       art.dropRight(1) + ""","calibration_rows_per_sec":[0.0]}""").isEmpty)
+  }
+
+  test("StreamBench.deltaLabel: calibration normalization labels " +
+      "host drift and lets real regressions survive") {
+    // synthetic drifted probe: the host halved (probe 14M -> 7M
+    // rows/s) and the stream "regressed" raw -50% with it — the
+    // normalized delta is 0%, so the label is a host-drift candidate
+    val (raw, norm, tag) = StreamBench.deltaLabel(
+      curBest = 50000.0, prevBest = 100000.0,
+      cal = Some(7.0e6), prevCal = Some(14.0e6))
+    assert(math.abs(raw + 50.0) < 1e-9)
+    assert(norm.exists(n => math.abs(n) < 1e-9))
+    assert(tag.contains("HOST-DRIFT CANDIDATE"))
+    // flat probe, same raw move: the regression survives normalization
+    val (_, norm2, tag2) = StreamBench.deltaLabel(
+      50000.0, 100000.0, Some(14.0e6), Some(14.0e6))
+    assert(norm2.exists(n => math.abs(n + 50.0) < 1e-9))
+    assert(tag2.contains("survives calibration"))
+    // probe missing on one side: raw-only label, no normalized number
+    val (_, norm3, tag3) = StreamBench.deltaLabel(
+      50000.0, 100000.0, Some(14.0e6), None)
+    assert(norm3.isEmpty && tag3.contains("raw only"))
+    // quiet raw move: no label at all, whatever the probes say
+    val (raw4, _, tag4) = StreamBench.deltaLabel(
+      95000.0, 100000.0, Some(7.0e6), Some(14.0e6))
+    assert(math.abs(raw4 + 5.0) < 1e-9 && tag4.isEmpty)
+  }
+
+  test("plans/: comparisons against EvalMode members must visibly " +
+      "bind an EvalMode (the cross-type == that survived two rounds)") {
+    // VERDICT r14 item 7: `mode != EvalMode.TRY` with `mode` bound to
+    // the whole NumericEvalContext compiled as a reference compare
+    // that was always true. scalac's refchecks warning (now -Werror'd)
+    // fires only when the types are PROVABLY disjoint — a future Spark
+    // upgrade could change the carrier type to something the checker
+    // can't prove disjoint. This grep is the belt to that suspender:
+    // any name compared against an EvalMode member must be visibly an
+    // EvalMode — destructured via NumericEvalContext(name, _) or
+    // ascribed `name: EvalMode.Value`.
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get("src/main/scala/graft/plans")
+    val cmp = """(\w+)\s*[!=]=\s*EvalMode\.\w+""".r
+    val stream = Files.list(dir)
+    val files = try stream.iterator.asScala
+      .filter(_.toString.endsWith(".scala")).toList
+    finally stream.close()
+    assert(files.nonEmpty)
+    var checked = 0
+    files.foreach { p =>
+      val src = new String(Files.readAllBytes(p), "UTF-8")
+      cmp.findAllMatchIn(src).foreach { m =>
+        val name = m.group(1)
+        checked += 1
+        val bound =
+          ("NumericEvalContext\\(\\s*" + name + "\\b").r
+            .findFirstIn(src).isDefined ||
+          (name + "\\s*:\\s*EvalMode").r.findFirstIn(src).isDefined
+        assert(bound, s"${p.getFileName}: `${m.matched.trim}` " +
+          s"compares `$name` against an EvalMode member, but `$name` " +
+          "is not visibly an EvalMode in this file — destructure " +
+          "NumericEvalContext(evalMode, _) or ascribe `: " +
+          "EvalMode.Value` (rule: CountsSpec EvalMode cross-type " +
+          "guard, VERDICT r13/r14 dead-ANSI-guard class)")
+      }
+    }
+    // the rule must be exercising the real fuse guards, not greening
+    // on an empty match set
+    assert(checked >= 2, s"EvalMode comparison scan found $checked " +
+      "sites — the KernelRewrite guards moved; update the rule's regex")
   }
 
   test("GitStamp resolves HEAD to the current commit (artifact staleness " +

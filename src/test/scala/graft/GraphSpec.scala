@@ -250,14 +250,24 @@ class GraphSpec extends AnyFunSuite {
     // pair-mass regime (the r14 100× probe: 897M pair rows over 32
     // fixed partitions spilled 82 GiB per aggregate pass) — the pair
     // stream must cluster by (src,dst) at est/2M partitions BEFORE
-    // the aggregate
-    val above = Graphs.edgesFromCp(cp, 1,
-      graft.mining.Recommend.ShuffleRowsPerPartition * 100L)
+    // the aggregate. The mass is DERIVED from the session layout
+    // (mass/partitions = 2× the guard), so the regime stays
+    // above-guard under any spark.sql.shuffle.partitions, and the
+    // expected repartition width follows the same arithmetic the
+    // gate applies (ADVICE r14).
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val mass = parts.toLong *
+      graft.mining.SetSimilarity.PairDedupGuardRowsPerTask * 2
+    val expParts = math.min(4096L,
+      mass / graft.mining.Recommend.ShuffleRowsPerPartition).toInt
+    val above = Graphs.edgesFromCp(cp, 1, mass)
     val abovePlan = above.queryExecution.executedPlan.toString
+    val repart =
+      s"hashpartitioning\\(src#\\d+L?, dst#\\d+L?, $expParts\\)".r
     assert(abovePlan.contains("REPARTITION_BY_NUM") &&
-      abovePlan.contains(", 100)"),
-      s"above-guard pair stream must repartition at est/2M = 100:\n" +
-        abovePlan)
+      repart.findFirstIn(abovePlan).isDefined,
+      s"above-guard pair stream must repartition on (src,dst) at " +
+        s"mass/2M = $expParts:\n" + abovePlan)
     assert(edgeSet(above) == want,
       "the gate changes layout, never results")
   }

@@ -99,6 +99,13 @@ def main(out_dir, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # self-gating markers (VERDICT r14 item 6): Verify emits
+    # query_modes.json for queries whose correctness check runs INSIDE
+    # the query (no SQL oracle can exist) — rows>0 IS the verification
+    try:
+        modes = json.load(open(f"{out_dir}/query_modes.json"))
+    except FileNotFoundError:
+        modes = {}
     ok = fail = skip = 0
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
@@ -112,7 +119,13 @@ def main(out_dir, sf_dir):
         got_types = {c: canon_type(got.schema.field(c).type)
                      for c in got_cols}
         if name not in oracle:
-            print(f"SKIP {name}: rows-only ({got.num_rows} rows)")
+            mode = modes.get(name, "UNMARKED rows-only")
+            print(f"SKIP {name}: {mode} ({got.num_rows} rows)")
+            if name not in modes:
+                print(f"FAIL {name}: no oracle and no self_gating "
+                      "marker - register an oracle or mark the mode")
+                fail += 1
+                continue
             skip += 1
             continue
         try:
