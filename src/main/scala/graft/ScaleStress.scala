@@ -132,7 +132,7 @@ object ScaleStress {
     * walls (cross-window host drift applies); bytes/rows/spill are
     * deterministic per plan+data. */
   private val Decade100Section: String =
-    """## 100× decade check (q87/q92 — VERDICT r11 item 7; q93 — VERDICT r13 item 7; q33 + the pair-agg gate it found — r14)
+    """## 100× decade check (q87/q92 — VERDICT r11 item 7; q93 — VERDICT r13 item 7; q33 + the pair-agg gate it found — r14; the q61/q65/q80 dedup-composition chain + the q65 double-materialization it found — r15)
       |
       |Three points fit a line; a fourth decade catches a quadratic term the
       |30× point can't. Run: a targeted partial stress
@@ -304,6 +304,42 @@ object ScaleStress {
       |same-window base 2.3 s (per-replica 0.27); below the guard
       |(every oracle SF) the stock partial-aggregate plan is untouched,
       |and both regimes are plan-pinned in GraphSpec.
+      |
+      |**Dedup-composition chain at 100× (r15, VERDICT r14 item 3)** —
+      |q61/q65/q80 were the heaviest bench rows without decade
+      |evidence. Targeted runs (`SPARK_GRAFT_SCALE_FACTORS=100
+      |SPARK_GRAFT_SCALE_ONLY=...`, 64 GiB heap, min-of-2 interleaved;
+      |logs `diag/r15/scale100_chain_run.log` /
+      |`scale100_q65_postfix.log` / `scale100_chain_stages2.log`):
+      |
+      || query | sf0.1 sec | 100× sec | 100× ratio |
+      ||---|---|---|---|
+      || q61_corpus_prep | 2.4 | 15.4 | 6.5× |
+      || q65_dup_clusters (pre-fix) | 3.3 | 58.4 (p1 103.5) | 17.6× |
+      || q65_dup_clusters (HEAD) | 2.7 | **13.9** | 5.1× |
+      || q80_leakage_split | 2.8 | 16.8 | 5.9× |
+      || q86_train_pipeline (HEAD) | 3.9 | 15.8 | 4.1× |
+      |
+      |Stage decomposition at 100× (forced checkpoint boundaries; all
+      |stages ZERO spill): c1_pair_list 11.8 s (shuffle 0.59+1.09 GiB —
+      |the only corpus-scale stage), c2_cc_contraction 1.8 s,
+      |c3_split_audit 1.8 s. The stage sum (~15 s) against q65's 58.4 s
+      |full-query wall exposed this round's defect: `dupClustersOn` fed
+      |the RAW q58 subtree into the contraction, whose symmetrization
+      |references its input twice — the first materialization computed
+      |the whole banded-LSH build once per branch. Checkpointing the
+      |pair list first (the shape q80 already had) cut q65 to 13.9 s;
+      |q86's train pipeline carried the same defect and the same fix.
+      |
+      |The CC itself is OUTPUT-sized at every decade on this corpus
+      |(disjoint replicas → within-replica pairs only: 47,700 pairs /
+      |95,400 undirected edges at 100×, under the 100k local-roster
+      |cap), so the production path is the driver union-find. The
+      |distributed star-contraction — the path a denser real corpus
+      |lands on — was FORCED (`localMaxEdges = 0`) for its own decade
+      |point: 1.7 s → 2.9 s for 100× pairs, 0.01+0.01 GiB shuffle,
+      |zero spill, same O(log n) round count (disjoint replicas keep
+      |the diameter). No super-linear stage anywhere in the chain.
       |
       |""".stripMargin
 
@@ -657,7 +693,7 @@ object ScaleStress {
     // entry points production uses (shingleNeardupOn /
     // dupClustersFrom / leakageSplitFrom) — no inline rebuilds.
     val chainStageNames = Seq("c1_pair_list", "c2_cc_contraction",
-      "c3_split_audit")
+      "c2_cc_distributed", "c3_split_audit")
     val runChainStages =
       only.forall(s => s.isEmpty || s.contains("q80_leakage_split"))
     if (runChainStages) for (pass <- 1 to 2; d <- points) {
@@ -669,6 +705,17 @@ object ScaleStress {
           .select(col("doc_a"), col("doc_b")).localCheckpoint())
       val clusters = timedC("c2_cc_contraction")(
         graft.ops.Pipeline.dupClustersFrom(pairs).localCheckpoint())
+      // the contraction AGAIN with the local-roster shortcut disabled:
+      // this synthetic corpus's pair list is output-sized at every
+      // decade (disjoint replicas → within-replica pairs only), so
+      // production takes the driver union-find — forcing
+      // localMaxEdges=0 gives the distributed star-contraction
+      // rounds (the path a denser real corpus would land on) decade
+      // evidence of their own
+      timedC("c2_cc_distributed")(
+        graft.graph.Graphs.componentsLargeStar(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          localMaxEdges = 0L).count())
       timedC("c3_split_audit")(
         graft.ops.Pipeline.leakageSplitFrom(docs, pairs, clusters)
           .count())
@@ -993,6 +1040,22 @@ object ScaleStress {
       "Within each regime bytes are linear in data; the stage wall " +
       "slope (>1.5 across the boundary) prices this shift plus " +
       "single-host GC, not algorithmic super-linearity.\n"
+    // h3's GC share, attributed once per-node (VERDICT r14 item 5) —
+    // pinned prose like the s4 byte decomposition: the probe result
+    // stays valid until the scorer or the stress layout changes.
+    if (runQ92Stages) md ++= "\n**h3_cn_arm's GC share is the " +
+      "co-resident session, not the scorer** (VERDICT r14 item 5; " +
+      "probe `diag/r15/cnprobe_30x.out`): in-stress the arm showed " +
+      "23.5 s of GC in a 51.2 s wall — the worst GC share of any " +
+      "stage — raising the question whether ContentScoreAgg's " +
+      "per-row immutable-Seq inserts and per-user finish allocations " +
+      "own it. The SAME stage standalone in a fresh 48 GiB JVM " +
+      "(`graft.StageProbe target/scale30 cn`, ui prebuilt outside " +
+      "the window exactly like the stress pass) ran 57.9 s with " +
+      "**1.4 s of GC** — the scorer allocates almost nothing the " +
+      "collector cares about; the in-stress GC prices collecting " +
+      "the co-resident arms' accumulated state in one shared heap. " +
+      "No buffer rewrite warranted.\n"
     md ++= "\n**q89 content classes** (the vocabulary-bounded claim): " +
       classCounts.map { case (d, c) => s"$c @ $d" }.mkString(", ") +
       " — constant while the catalog grows " +
