@@ -64,6 +64,11 @@ class PlanOnlySpec extends AnyFunSuite {
       assert(offending.isEmpty,
         s"plan-only construction ran ${offending.length} non-schema " +
           s"Spark job(s): ${offending.mkString("; ")}")
+      // and nothing entered the session memo: a planOnly stand-in
+      // cached under the real artifact key would be served — empty —
+      // to the next genuine consumer of the same dataset
+      assert(Memo.buildSeconds(spark).isEmpty,
+        "planOnly builds must bypass the memo cache")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset("spark.graft.planOnly")
