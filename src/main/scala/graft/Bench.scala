@@ -370,7 +370,24 @@ object Bench {
             "artifact exists — run tools/bisect_bench.sh " +
             "<prev-round-commit> and commit its output before " +
             "shipping this number")
-        s""","attribution":"$a""""
+        // recency is the qualifier but CONTENT is the receipt: state
+        // which binaries the stamped bisect actually compared, so a
+        // stale same-round bisect paired with a different move is
+        // visible to the reader instead of laundered by its mtime
+        val compared = if (a == "MISSING") "" else {
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(a)), "UTF-8")
+            val m = "\\[bisect\\] prev (\\w+): runs".r
+              .findFirstMatchIn(txt).map(_.group(1))
+            val c = "\\[bisect\\] cur  (\\w+): runs".r
+              .findFirstMatchIn(txt).map(_.group(1))
+            (for (p <- m; q <- c) yield
+              s""","attribution_compared":"prev $p vs cur $q"""")
+              .getOrElse("")
+          } catch { case _: Throwable => "" }
+        }
+        s""","attribution":"$a"$compared"""
       }
       s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
         s""","prev_total_source":"$src"""" +

@@ -33,6 +33,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * irreducible metadata cost of knowing a source's schema, paid by
   * any engine before it can even name a plan's columns. PlanOnlySpec
   * pins the rest to zero.
+  *
+  * SCOPE: the zero-job guarantee covers the recommender family
+  * (q87–q93, pinned by PlanOnlySpec) and every operator whose plan is
+  * data-independent. Operators that ITERATE AT CONSTRUCTION to a
+  * data-dependent fixpoint (star-contraction CC, Lloyd seeding,
+  * Girvan–Newman) have no single "the plan" to dump without running —
+  * their construction legitimately executes under any mode, which is
+  * why ExplainDump does not dump them and the guarantee does not
+  * claim them.
   */
 object PlanOnly {
   def apply(s: SparkSession): Boolean =

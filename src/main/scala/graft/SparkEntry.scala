@@ -23,4 +23,13 @@ object SparkEntry {
       sketch.Sketches.oracle ++ ops.Windows.oracle ++
       graph.Graphs.oracle ++ graph.GirvanNewman.oracle ++
       cluster.KMeans.oracle ++ multimodal.Multimodal.oracle
+  /** EXPLICIT allowlist of queries that are correct-by-internal-check
+    * instead of by oracle: q16 emits rows only when its partition
+    * histogram sums to an independent count(*); q41 require()s R² ≥
+    * 0.3× the hash-verified q40 Lloyd baseline. Verify stamps ONLY
+    * these `self_gating` in query_modes.json — a new oracle-less
+    * query is an ERROR until either an oracle or a declared (and
+    * implemented) internal gate exists. Deriving the marker from
+    * oracle ABSENCE would make the no-oracle failure path dead. */
+  val selfGating: Set[String] = Set("q16_partition_hist", "q41_bfr")
 }

@@ -482,10 +482,17 @@ object StreamBench {
               .findFirstMatchIn(new String(
                 java.nio.file.Files.readAllBytes(own), "UTF-8"))
               .map(_.group(1))
-            if (GitStamp.sha != "unknown" && sha.contains(GitStamp.sha)) {
+            // refuse on a matching sha AND when this run's own sha is
+            // unresolvable — "unknown" cannot prove the fallback is
+            // not this very commit's output, so it must not silently
+            // become a 0%-delta self-comparison
+            if (GitStamp.sha == "unknown" ||
+                sha.contains(GitStamp.sha)) {
               System.err.println("[streambench] no stamped baseline " +
-                s"and STREAMBENCH.json wraps this same commit " +
-                s"(${GitStamp.sha}) — refused as a self-comparison")
+                "and STREAMBENCH.json cannot be proven to predate " +
+                s"this commit (its sha ${sha.getOrElse("absent")}, " +
+                s"ours ${GitStamp.sha}) — refused as a possible " +
+                "self-comparison")
               None
             } else {
               System.err.println(s"[streambench] r${r - 1} stamped " +
@@ -544,9 +551,18 @@ object StreamBench {
             if (normParts.isEmpty) ""
             else s""","delta_vs_prev_round_norm_pct":${
               normParts.mkString("{", ",", "}")}"""
+          // provenance of the numbers above: WHICH file (and whose
+          // commit) served as the baseline — a fallback several
+          // rounds old must say so on the artifact, like Bench's
+          // prev_total_source
+          val baseSha = "\"generated_at_sha\":\"([^\"]+)\"".r
+            .findFirstMatchIn(prevTxt).map(_.group(1))
+            .getOrElse("unstamped")
+          val baseField = s""","delta_baseline":"${
+            prevPath.get.getFileName}@$baseSha""""
           if (parts.isEmpty) ""
           else s""","delta_vs_prev_round_pct":${
-            parts.mkString("{", ",", "}")}$normField$calField"""
+            parts.mkString("{", ",", "}")}$normField$calField$baseField"""
         }
       }
     }.getOrElse("")

@@ -50,15 +50,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Self-describing gate metadata (VERDICT r14 item 6): queries
-    // registered WITHOUT an oracle are self-gating BY DESIGN — their
-    // correctness check runs inside the query (q16 emits rows only if
-    // the histogram sum equals an independent count(*); q41 requires
-    // R² ≥ 0.3× the hash-verified q40 baseline), so a rows>0 record
-    // IS the verification. This sidecar marks them so a "no_oracle"
-    // row is distinguishable from a breakage without reading SURVEY §8.
-    val modes = SparkEntry.queries.keys
-      .filter(k => !SparkEntry.oracleSql.contains(k))
+    // Self-describing gate metadata (VERDICT r14 item 6): the
+    // EXPLICITLY DECLARED self-gating queries (SparkEntry.selfGating —
+    // their correctness check runs inside the query, so rows>0 IS the
+    // verification) are marked in a sidecar, making a "no_oracle" row
+    // distinguishable from a breakage without reading SURVEY §8. The
+    // marker comes from the allowlist, NOT from oracle absence: an
+    // oracle-less query that nobody declared stays unmarked, and the
+    // local gate (tools/check_oracle.py) FAILS it — the guard a
+    // derived marker would have made dead.
+    val undeclared = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.selfGating
+    if (undeclared.nonEmpty) System.err.println(
+      s"[verify] ERROR: ${undeclared.mkString(", ")} registered " +
+        "without an oracle and not declared self-gating — add an " +
+        "oracle or (with an in-query correctness check) add it to " +
+        "SparkEntry.selfGating")
+    val modes = SparkEntry.selfGating
+      .filter(SparkEntry.queries.contains)
       .map(k => s"${q(k)}: ${q("self_gating")}")
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/query_modes.json"), modes)

@@ -499,7 +499,7 @@ object Pipeline {
   def leakageSplitOn(docs: DataFrame): DataFrame = {
     // pair list feeds both the contraction and the violation audit
     val pairs = SetSimilarity.shingleNeardupOn(docs)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).cpLocal()
     leakageSplitFrom(docs, pairs, dupClustersFrom(pairs))
   }
 

@@ -51,6 +51,19 @@ class CountsSpec extends AnyFunSuite {
     assert(now.contains(s"$nTests ScalaTests"))
   }
 
+  test("every registered query has an oracle or a DECLARED self-gating " +
+      "mode (the marker is an allowlist, never derived from absence)") {
+    val oracleLess =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(oracleLess == SparkEntry.selfGating,
+      s"oracle-less queries ${oracleLess -- SparkEntry.selfGating} " +
+        "are not declared self-gating (add an oracle or, with an " +
+        "in-query correctness check, add to SparkEntry.selfGating); " +
+        s"stale declarations: ${SparkEntry.selfGating -- oracleLess}")
+    assert((SparkEntry.selfGating & SparkEntry.oracleSql.keySet).isEmpty,
+      "a query with an oracle must not also claim self-gating")
+  }
+
   test("Bench.parsePrevTotal gates the round-over-round baseline") {
     // shape of the artifact Bench itself writes (headline first, then
     // per-query values that must NOT be mistaken for the total)
@@ -193,24 +206,39 @@ class CountsSpec extends AnyFunSuite {
     // EvalMode — destructured via NumericEvalContext(name, _) or
     // ascribed `name: EvalMode.Value`.
     import scala.jdk.CollectionConverters._
+    import java.util.regex.Pattern
     val dir = Paths.get("src/main/scala/graft/plans")
-    val cmp = """(\w+)\s*[!=]=\s*EvalMode\.\w+""".r
+    // both operand orders, dotted receivers included — `EvalMode.TRY
+    // == mode` is the same always-false compare as `mode !=
+    // EvalMode.TRY` and must not slip by on operand order
+    val fwd = """([\w.]+)\s*[!=]=\s*EvalMode\.\w+""".r
+    val rev = """EvalMode\.\w+\s*[!=]=\s*([\w.]+)""".r
     val stream = Files.list(dir)
     val files = try stream.iterator.asScala
       .filter(_.toString.endsWith(".scala")).toList
     finally stream.close()
     assert(files.nonEmpty)
     var checked = 0
+    // visibly an EvalMode: a member-vs-member compare, a name
+    // destructured out of NumericEvalContext, an explicit `:
+    // EvalMode` ascription, or a terminal `.evalMode`/`evalMode`
+    // identifier (the naming convention — a value CALLED evalMode
+    // that is not one is a lie a reviewer sees at the use site)
+    def visiblyEvalMode(full: String, src: String): Boolean = {
+      if (full.startsWith("EvalMode.")) return true
+      val last = Pattern.quote(full.split('.').last)
+      full.split('.').last == "evalMode" ||
+      ("NumericEvalContext\\(\\s*" + last + "\\b").r
+        .findFirstIn(src).isDefined ||
+      (last + "\\s*:\\s*EvalMode").r.findFirstIn(src).isDefined
+    }
     files.foreach { p =>
       val src = new String(Files.readAllBytes(p), "UTF-8")
-      cmp.findAllMatchIn(src).foreach { m =>
+      (fwd.findAllMatchIn(src) ++ rev.findAllMatchIn(src)).foreach { m =>
         val name = m.group(1)
         checked += 1
-        val bound =
-          ("NumericEvalContext\\(\\s*" + name + "\\b").r
-            .findFirstIn(src).isDefined ||
-          (name + "\\s*:\\s*EvalMode").r.findFirstIn(src).isDefined
-        assert(bound, s"${p.getFileName}: `${m.matched.trim}` " +
+        assert(visiblyEvalMode(name, src),
+          s"${p.getFileName}: `${m.matched.trim}` " +
           s"compares `$name` against an EvalMode member, but `$name` " +
           "is not visibly an EvalMode in this file — destructure " +
           "NumericEvalContext(evalMode, _) or ascribe `: " +

@@ -51,9 +51,10 @@ class PlanOnlySpec extends AnyFunSuite {
       }
       // listener delivery is async, but any job was SUBMITTED
       // synchronously during construction (first/collect/eager-cp all
-      // block), so its onJobStart is already queued — a short grace
-      // period drains the bus
-      Thread.sleep(1500)
+      // block), so its onJobStart is already queued — drain the bus
+      // deterministically before reading the counter
+      org.apache.spark.GraftSparkInternals
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       // parquet SCHEMA INFERENCE is the one permitted job class: Spark
       // 4 reads footers in a tiny job per spark.read.parquet — the
       // irreducible metadata cost of knowing a source's schema, paid
