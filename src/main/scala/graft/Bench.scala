@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Rows for the calibration probe (one partition per core) — sized
+    * so the probe runs ~2 s at local[32]: long enough to average over
+    * scheduler jitter, short enough that two probes cost <1% of the
+    * bench budget. */
+  private val CalibrationRows = 4000000000L
+
   /** Drop leaked localCheckpoint blocks: the iterative queries
     * (LPA/CC/K-Means/BFR/IVF) localCheckpoint per round and nothing
     * unpersists those RDDs, so over ~150 query executions the block
@@ -51,15 +57,24 @@ object Bench {
     * −13.5% shipped with no same-host A/B). Looks for a
     * `bisect_bench_*.out` artifact in any round directory under
     * `diag/` (the output of
-    * tools/bisect_bench.sh, the tool built for exactly this) STRICTLY
+    * tools/bisect_bench.sh, the tool built for exactly this).
+    * Qualification is by CONTENT first (ADVICE r15: git checkouts do
+    * not preserve mtimes, so a timestamp qualifier is not
+    * reproducible across machines): a bisect whose summary names the
+    * binary it ran as `cur <selfSha>` attributes THIS code whatever
+    * its file time says, and one naming a different cur sha never
+    * does. Files without a parseable cur sha (and every file when our
+    * own sha is unresolvable) fall back to the mtime rule: STRICTLY
     * NEWER than the newest driver round artifact `BENCH_rNN.json` —
     * an old round's bisect cannot attribute a new round's move.
-    * Returns the newest qualifying path (repo-relative), or "MISSING":
+    * Returns the best qualifying path (repo-relative; sha-matched
+    * beats mtime-matched, newest within each tier), or "MISSING":
     * the stamp rides in the artifact next to `total_moved_ge_10pct`,
     * so an unattributed double-digit move is visible on the artifact's
     * face instead of depending on a reader to notice the absence.
     * Unit-tested (CountsSpec) like [[parsePrevTotal]]. */
-  private[graft] def attributionFor(root: java.nio.file.Path): String = {
+  private[graft] def attributionFor(root: java.nio.file.Path,
+      selfSha: String = GitStamp.sha): String = {
     import scala.jdk.CollectionConverters._
     def mtime(p: java.nio.file.Path): Long =
       try java.nio.file.Files.getLastModifiedTime(p).toMillis
@@ -69,16 +84,169 @@ object Bench {
         val s = java.nio.file.Files.newDirectoryStream(dir, glob)
         try s.iterator.asScala.toList finally s.close()
       } catch { case _: Throwable => Nil }
+    def curShaOf(p: java.nio.file.Path): Option[String] =
+      try "\\[bisect\\] cur\\s+(\\w+): runs".r
+        .findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(p), "UTF-8")).map(_.group(1))
+      catch { case _: Throwable => None }
     val cutoff = list(root, "BENCH_r*.json").map(mtime)
       .foldLeft(0L)(math.max)
     list(root.resolve("diag"), "*")
       .filter(java.nio.file.Files.isDirectory(_))
       .flatMap(d => list(d, "bisect_bench_*.out"))
-      .filter(p => mtime(p) > cutoff)
-      .sortBy(p => (mtime(p), p.toString)).lastOption
-      .map(p => root.relativize(p).toString)
+      .flatMap { p =>
+        curShaOf(p) match {
+          case Some(s) if selfSha != "unknown" =>
+            // content decides: a matching cur sha attributes, a
+            // mismatching one is another binary's evidence — mtime
+            // cannot rehabilitate it
+            if (s == selfSha) Some((p, 1)) else None
+          case _ => if (mtime(p) > cutoff) Some((p, 0)) else None
+        }
+      }
+      .sortBy { case (p, tier) => (tier, mtime(p), p.toString) }
+      .lastOption
+      .map { case (p, _) => root.relativize(p).toString }
       .getOrElse("MISSING")
   }
+
+  // ms precision — sub-ms digits are noise and the per-query map must
+  // fit the caller's 2000-char output-tail window (round 5's 9-dp
+  // line overflowed it and the driver recorded parsed: null).
+  // Locale.ROOT: the f-interpolator honors the JVM default locale and
+  // a comma-decimal locale would emit invalid JSON (ADVICE r6).
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** `calibration_sec` headline of a previous bench artifact (this
+    * program's own compact line, or the driver's re-serialized round
+    * wrap — both spacings), or None when absent (pre-r16 artifacts)
+    * or non-positive (a failed probe must never become a normalizing
+    * denominator). */
+  private[graft] def parseCalibration(txt: String): Option[Double] =
+    "\"calibration_sec\":\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).filter(_ > 0)
+
+  /** Newest usable PRIOR-ROUND baseline (VERDICT r15 item 1): walks
+    * `BENCH_rNN.json` numeric-descending and takes the first whose
+    * body [[parsePrevTotal]] accepts AND that was not generated from
+    * this same commit — in a fresh tree the newest round artifact can
+    * wrap this very HEAD's numbers, and comparing to it is a
+    * self-comparison that trivially passes. Returns
+    * (total, calibration if stamped, filename). */
+  private[graft] def roundBaseline(root: java.nio.file.Path,
+      sfDir: String, selfSha: String)
+  : Option[(Double, Option[Double], String)] = {
+    import scala.jdk.CollectionConverters._
+    val roundNum = "BENCH_r(\\d+)\\.json".r
+    val rounds = try {
+      val stream = java.nio.file.Files.list(root)
+      // numeric sort: lexicographic misorders across digit-width
+      // changes (r100 would sort between r10 and r11)
+      try stream.iterator.asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case roundNum(n) => Some((n.toInt, p))
+          case _ => None
+        }
+      }.toList.sortBy(-_._1).map(_._2)
+      finally stream.close()
+    } catch { case _: Throwable => Nil }
+    rounds.view.flatMap { p =>
+      try {
+        val txt =
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sha = "\"sha\":\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (selfSha != "unknown" && sha.contains(selfSha)) {
+          System.err.println(s"[bench] round baseline " +
+            s"${p.getFileName} was generated from this same commit " +
+            s"($selfSha) — refused as a self-comparison; trying " +
+            "older rounds")
+          None
+        } else parsePrevTotal(txt, sfDir)
+          .map((_, parseCalibration(txt), p.getFileName.toString))
+      } catch { case _: Throwable => None }
+    }.headOption
+  }
+
+  /** Round-over-round delta fields (VERDICT r15 item 1): emitted
+    * UNCONDITIONALLY against the newest usable `BENCH_r(N-1).json`,
+    * independent of the local-iteration delta — r15's final bench run
+    * re-based its only delta to the round's own earlier
+    * bench_queries.json, so the +11.9% round move shipped unflagged.
+    * The ≥10% gate and the attribution stamp ride THIS comparison
+    * (the one a round reader opens first); the local delta stays a
+    * separate, informational field. When both rounds carry a
+    * calibration probe, the fragment also carries the probe's own
+    * delta (pure host term) and the calibration-NORMALIZED total
+    * delta — dividing each side's total by its round's probe seconds
+    * cancels the host term, so a raw move that normalizes to quiet
+    * labels itself host drift instead of costing an interleaved
+    * binary A/B (the StreamBench r14 trick, ported per VERDICT r15
+    * item 2). Returns a fragment with a leading comma, or "" when no
+    * usable prior round exists. Unit-tested (CountsSpec). */
+  private[graft] def roundDeltaFields(root: java.nio.file.Path,
+      sfDir: String, total: Double, cal: Option[Double],
+      selfSha: String): String =
+    roundBaseline(root, sfDir, selfSha).map { case (pt, pCal, src) =>
+      val pct = (total - pt) / pt * 100.0
+      val moved = math.abs(pct) >= 10.0
+      val calFields = (for (c <- cal; p <- pCal) yield {
+        val calPct = (c - p) / p * 100.0
+        val norm = ((total / c) - (pt / p)) / (pt / p) * 100.0
+        System.err.println(
+          f"[bench] calibration probe Δ vs $src: $calPct%+.1f%% " +
+            f"(pure host term); total normalized: $norm%+.1f%% " +
+            f"(raw $pct%+.1f%%)")
+        s""","calibration_delta_pct":${r3(calPct)}""" +
+          s""","delta_vs_prev_round_norm_pct":${r3(norm)}"""
+      }).getOrElse("")
+      if (moved) System.err.println(
+        f"[bench] TOTAL MOVED $pct%+.1f%% round-over-round " +
+          f"($pt%.1f s -> $total%.1f s, baseline $src) — attribute " +
+          "before shipping (calibration_delta_pct / the host_load " +
+          "columns are the first read; a quiet probe and load earn " +
+          "tools/bisect_bench.sh)")
+      // the flag carries its own evidence pointer (VERDICT r14
+      // item 1): a qualifying diag/*/bisect_bench_*.out, or
+      // "MISSING" — stamped, not refused, so the driver's artifact
+      // capture never loses the round's numbers, but an unattributed
+      // move is condemned on the artifact's face
+      val attribution = if (!moved) "" else {
+        val a = attributionFor(root, selfSha)
+        if (a == "MISSING") System.err.println(
+          "[bench] ATTRIBUTION MISSING: the >=10% gate fired and no " +
+            "qualifying diag/*/bisect_bench_*.out exists — run " +
+            "tools/bisect_bench.sh <prev-round-commit> and commit " +
+            "its output before shipping this number")
+        // recency/sha is the qualifier but CONTENT is the receipt:
+        // state which binaries the stamped bisect actually compared,
+        // so a stale same-round bisect paired with a different move
+        // is visible to the reader instead of laundered
+        val compared = if (a == "MISSING") "" else {
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              root.resolve(a)), "UTF-8")
+            val m = "\\[bisect\\] prev (\\w+): runs".r
+              .findFirstMatchIn(txt).map(_.group(1))
+            val c = "\\[bisect\\] cur\\s+(\\w+): runs".r
+              .findFirstMatchIn(txt).map(_.group(1))
+            (for (p <- m; q <- c) yield
+              s""","attribution_compared":"prev $p vs cur $q"""")
+              .getOrElse("")
+          } catch { case _: Throwable => "" }
+        }
+        s""","total_moved_ge_10pct":true,"attribution":"$a"$compared"""
+      }
+      s""","prev_round_total_sec":${r3(pt)}""" +
+        s""","delta_vs_prev_round_pct":${r3(pct)}""" +
+        s""","prev_round_source":"$src"""" + calFields + attribution
+    }.getOrElse {
+      System.err.println(
+        "[bench] no usable prior-round artifact (BENCH_r*.json " +
+          "absent/refused/different-sf) — round delta omitted")
+      ""
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +329,30 @@ object Bench {
       .map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // ---- fixed calibration probe (VERDICT r15 item 2, the batch twin
+    // of StreamBench's null-op stream): a CPU-bound query with no I/O
+    // — xxhash64 over an in-memory range, one partition per core —
+    // timed once after warmup and once after the last timed pass. Its
+    // cost moves with the HOST only, so a round total delta can be
+    // read raw AND normalized to the probe; this arc paid for two
+    // manual interleaved bisects (r13→r14, the q87 30× wall) that the
+    // probe would have labeled for free. Skipped on subset
+    // iterations: a subset artifact never serves as a baseline.
+    def calProbe(): Double = try {
+      // tiny untimed run first: the probe's Janino compile must not
+      // pollute the host measurement (same generated classes — only
+      // the range bound differs)
+      spark.range(0L, 1000000L, 1, HostLoad.cpus)
+        .selectExpr("sum(xxhash64(id)) AS s").count()
+      val t = System.nanoTime()
+      spark.range(0L, CalibrationRows, 1, HostLoad.cpus)
+        .selectExpr("sum(xxhash64(id)) AS s").count()
+      (System.nanoTime() - t) / 1e9
+    } catch { case _: Throwable => -1.0 }
+    val isSubset = only.isDefined
+    val calBefore = if (isSubset) -1.0 else calProbe()
+    if (!isSubset) System.err.println(
+      f"[bench] calibration probe (before): $calBefore%.2f s")
     val samples = scala.collection.mutable.Map[String, List[Double]]()
     def inBudget: Boolean = (System.nanoTime() - t0) / 1e9 < budgetSec
     // Spread = second-smallest / smallest sample: "is the min
@@ -214,6 +406,16 @@ object Bench {
         round += 1
       }
     }
+    val calAfter = if (isSubset) -1.0 else calProbe()
+    if (!isSubset) System.err.println(
+      f"[bench] calibration probe (after): $calAfter%.2f s")
+    // min-of-2, the same stance as the query timings; a failed probe
+    // (negative wall can't happen, but a throw path yields none) must
+    // not produce a denominator
+    val calOpt = Seq(calBefore, calAfter).filter(_ > 0) match {
+      case Nil => None
+      case s => Some(s.min)
+    }
     val hostLoadAfter = HostLoad.loadavg()
     val results = names.map { case (name, _) =>
       val runs = samples(name).reverse
@@ -221,13 +423,6 @@ object Bench {
         runs.map(s => f"$s%.1f").mkString(", ") + ")")
       name -> runs.min
     }.toMap
-    // ms precision — sub-ms digits are noise and the per-query map must
-    // fit the caller's 2000-char output-tail window (round 5's 9-dp
-    // line overflowed it and the driver recorded parsed: null).
-    // Locale.ROOT: the f-interpolator honors the JVM default locale and
-    // a comma-decimal locale would emit invalid JSON (ADVICE r6).
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -264,136 +459,53 @@ object Bench {
           s"\"cold_total\":${r3(warm + b)}}"
       }
     }.mkString("{", ",", "}")
-    // Round-over-round total gate (VERDICT r11 item 5): r11's headline
-    // total moved +15.7% and nothing tripped — the repo gated
-    // correctness, plans, state and slopes but never the number the
-    // judge reads first. The PREVIOUS run's total comes from this
-    // program's own artifact (bench_queries.json, still on disk from
-    // the last round when the driver runs in the repo root), read
-    // BEFORE it is overwritten below; the delta only reports when the
-    // previous run covered the same SF (a local sf0.01 iteration file
-    // must not masquerade as a baseline).
-    // A BENCH_ONLY subset run can't participate on either side of the
-    // gate: its total covers a handful of queries (comparing it to a
-    // full run is meaningless) and its artifact must not become the
-    // next full run's baseline — same masquerade risk as the
-    // different-SF case, and easier to hit (subset iterations run at
-    // the round SF).
-    val isSubset = only.isDefined
-    // Baseline resolution: the tree's own last full-run artifact
-    // first; when it is absent (a fresh working tree carries no local
-    // artifact — seen live this round: the gate silently skipped) fall
-    // back to the NEWEST driver-written round artifact BENCH_rNN.json,
-    // whose `parsed` object holds the same compact line. Either way a
-    // missing/refused baseline says so on stderr — the gate must never
-    // skip silently (ADVICE r12).
+    // Local-iteration delta (VERDICT r11 item 5, rescoped by r15 item
+    // 1): the tree's own last full-run artifact (bench_queries.json,
+    // still on disk at this point, read BEFORE it is overwritten
+    // below). Same-sha is fine here — same-commit iteration deltas
+    // are the point of this baseline. The ROUND-over-round comparison
+    // no longer rides this field: r15's final bench run re-based its
+    // only delta to the round's own earlier run, shipping a +11.9%
+    // round move unflagged — the round delta now has its own
+    // unconditional fields (roundDeltaFields) and the ≥10% gate fires
+    // there. A BENCH_ONLY subset run still can't participate on
+    // either side of any baseline: its total covers a handful of
+    // queries, and its artifact must not become the next full run's
+    // baseline.
     val prevTotal: Option[(Double, String)] = if (isSubset) None else {
-      def tryFile(p: java.nio.file.Path,
-          refuseSelfSha: Boolean = false): Option[(Double, String)] =
-        try {
-          if (!java.nio.file.Files.exists(p)) None
-          else {
-            val txt =
-              new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            // A FALLBACK baseline generated from the SAME commit as
-            // this run turns the round-over-round gate into a
-            // self-comparison that trivially passes (ADVICE r13): in
-            // a fresh tree the newest BENCH_rNN.json can wrap this
-            // very HEAD's numbers. Artifacts carry their generating
-            // sha from r14 on — refuse a same-sha fallback and keep
-            // walking to older rounds. (The tree's OWN
-            // bench_queries.json is exempt: same-sha local iteration
-            // deltas are the point of that baseline.)
-            val sha = "\"sha\":\\s*\"([^\"]+)\"".r
-              .findFirstMatchIn(txt).map(_.group(1))
-            if (refuseSelfSha && GitStamp.sha != "unknown" &&
-                sha.contains(GitStamp.sha)) {
-              System.err.println(s"[bench] fallback baseline " +
-                s"${p.getFileName} was generated from this same " +
-                s"commit (${GitStamp.sha}) — refused as a " +
-                "self-comparison; trying older rounds")
-              None
-            } else parsePrevTotal(txt, sfDir)
-              .map((_, p.getFileName.toString))
-          }
-        } catch { case _: Throwable => None }
-      val ownPath = java.nio.file.Paths.get("bench_queries.json")
-      val own = tryFile(ownPath)
-      if (own.isEmpty && java.nio.file.Files.exists(ownPath))
-        System.err.println(
-          "[bench] previous artifact not usable as baseline " +
-            "(bench_only subset / different sf / malformed) — " +
-            "trying round artifacts")
-      val resolved = own.orElse {
-        import scala.jdk.CollectionConverters._
-        val roundNum = "BENCH_r(\\d+)\\.json".r
-        val rounds = try {
-          val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-          // numeric sort: lexicographic misorders across digit-width
-          // changes (r100 would sort between r10 and r11)
-          try stream.iterator.asScala.flatMap { p =>
-            p.getFileName.toString match {
-              case roundNum(n) => Some((n.toInt, p))
-              case _ => None
-            }
-          }.toList.sortBy(-_._1).map(_._2)
-          finally stream.close()
-        } catch { case _: Throwable => Nil }
-        rounds.view.flatMap(tryFile(_, refuseSelfSha = true)).headOption
-      }
-      if (resolved.isEmpty) System.err.println(
-        "[bench] no usable baseline (bench_queries.json and " +
-          "BENCH_r*.json all absent/refused) — delta omitted")
-      resolved
-    }
-    val totalDelta = prevTotal.map { case (pt, src) =>
-      val pct = (total - pt) / pt * 100.0
-      val moved = math.abs(pct) >= 10.0
-      if (moved) System.err.println(
-        f"[bench] TOTAL MOVED $pct%+.1f%% vs previous run " +
-          f"($pt%.1f s -> $total%.1f s, baseline $src) — attribute " +
-          "before shipping (this run's host_load_1m " +
-          f"before/after: $hostLoadBefore%.1f/$hostLoadAfter%.1f " +
-          s"on ${HostLoad.cpus} cpus, in the artifact; an elevated " +
-          "load column is host drift on its face, a quiet one earns " +
-          "tools/bisect_bench.sh)")
-      // the flag now carries its own evidence pointer (VERDICT r14
-      // item 1): a fresh diag/*/bisect_bench_*.out, or "MISSING" —
-      // stamped, not refused, so the driver's artifact capture never
-      // loses the round's numbers, but an unattributed move is
-      // condemned on the artifact's face
-      val attribution = if (!moved) "" else {
-        val a = attributionFor(java.nio.file.Paths.get("."))
-        if (a == "MISSING") System.err.println(
-          "[bench] ATTRIBUTION MISSING: the >=10% gate fired and no " +
-            "diag/*/bisect_bench_*.out newer than the last round " +
-            "artifact exists — run tools/bisect_bench.sh " +
-            "<prev-round-commit> and commit its output before " +
-            "shipping this number")
-        // recency is the qualifier but CONTENT is the receipt: state
-        // which binaries the stamped bisect actually compared, so a
-        // stale same-round bisect paired with a different move is
-        // visible to the reader instead of laundered by its mtime
-        val compared = if (a == "MISSING") "" else {
-          try {
-            val txt = new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(a)), "UTF-8")
-            val m = "\\[bisect\\] prev (\\w+): runs".r
-              .findFirstMatchIn(txt).map(_.group(1))
-            val c = "\\[bisect\\] cur  (\\w+): runs".r
-              .findFirstMatchIn(txt).map(_.group(1))
-            (for (p <- m; q <- c) yield
-              s""","attribution_compared":"prev $p vs cur $q"""")
-              .getOrElse("")
-          } catch { case _: Throwable => "" }
+      try {
+        val p = java.nio.file.Paths.get("bench_queries.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val r = parsePrevTotal(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+            sfDir).map((_, "bench_queries.json"))
+          if (r.isEmpty) System.err.println(
+            "[bench] bench_queries.json not usable as local baseline " +
+              "(bench_only subset / different sf / malformed) — " +
+              "local delta omitted")
+          r
         }
-        s""","attribution":"$a"$compared"""
-      }
+      } catch { case _: Throwable => None }
+    }
+    val localDelta = prevTotal.map { case (pt, src) =>
+      val pct = (total - pt) / pt * 100.0
+      System.err.println(
+        f"[bench] local delta vs $src: $pct%+.1f%% " +
+          f"($pt%.1f s -> $total%.1f s)")
       s""","prev_total_sec":${r3(pt)},"delta_vs_prev_total_pct":${r3(pct)}""" +
-        s""","prev_total_source":"$src"""" +
-        (if (moved) s""","total_moved_ge_10pct":true$attribution"""
-         else "")
+        s""","prev_total_source":"$src""""
     }.getOrElse("")
+    val roundDelta =
+      if (isSubset) ""
+      else roundDeltaFields(java.nio.file.Paths.get("."), sfDir, total,
+        calOpt, GitStamp.sha)
+    val calibFields = calOpt.map { c =>
+      s""","calibration_sec":${r3(c)}""" +
+        s""","calibration_sec_before":${r3(calBefore)}""" +
+        s""","calibration_sec_after":${r3(calAfter)}"""
+    }.getOrElse("")
+    val totalDelta = calibFields + localDelta + roundDelta
     val subsetField = if (isSubset) s""","bench_only":true""" else ""
     val hostFields = HostLoad.jsonFields(hostLoadBefore, hostLoadAfter)
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warmup_sf0001_sec":${r3(warmupSec)},"timed_runs":$fullPasses,"samples_min":${if (sampleCounts.isEmpty) 0 else sampleCounts.min},"samples_max":${if (sampleCounts.isEmpty) 0 else sampleCounts.max},"noisy_spread_gt_${SpreadThresh}":$residualNoisy,"memo_build_sec":$memoSec,"memo_build_by_query":$memoByQuery$totalDelta$subsetField,"sha":"${GitStamp.sha}",$hostFields,"agg":"min","interleaved":true,"adaptive_passes":true,"sf":"$sfDir"}"""

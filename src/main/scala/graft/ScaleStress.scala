@@ -446,14 +446,36 @@ object ScaleStress {
       "q80_leakage_split" -> ((d: String) =>
         graft.ops.Pipeline.leakageSplitOn(documents(spark, d))),
       "q90_delta_screen" -> ((d: String) => {
-        val docs = documents(spark, d)
-          .select(col("doc_id"), col("text"), col("source"))
-        SetSimilarity.screenAgainstIndex(
-          docs.filter(col("source") === SetSimilarity.DeltaSource)
-            .select(col("doc_id"), col("text")),
-          docs.filter(col("source") =!= SetSimilarity.DeltaSource)
-            .select(col("doc_id"), col("text")))
+        // production shape (VERDICT r15 item 4): the delta is an
+        // ingest slice — held at the BASE-corpus size — while the
+        // index scales N×. Scaling both sides (the pre-r16 form)
+        // measures a different product (an N× ingest batch) and lets
+        // delta growth mask index-side super-linearity.
+        val delta = documents(spark, base)
+          .filter(col("source") === SetSimilarity.DeltaSource)
+          .select(col("doc_id"), col("text"))
+        val corpus = documents(spark, d)
+          .filter(col("source") =!= SetSimilarity.DeltaSource)
+          .select(col("doc_id"), col("text"))
+        SetSimilarity.screenAgainstIndex(delta, corpus)
       }),
+      // the last registered heavy bench rows without far-decade
+      // evidence (VERDICT r15 items 3/4): the exact gram-overlap
+      // matrix — its gram-keyed exchange carries the corpus-sized
+      // distinct (source,gram) set and a boilerplate gram's posting
+      // is corpus-frequency-skewed — and the IVF quantizer+probe path
+      "q85_source_gram_overlap" -> ((d: String) =>
+        graft.ops.Pipeline.sourceGramOverlapOn(documents(spark, d))),
+      // IVF at N×: nlist ∝ √N (the standard FAISS balance — quantizer
+      // training work n·√n, probe candidates ∝ √n per query), nprobe
+      // fixed; the query batch stays the fixed vec_id<10 slice
+      // (replicas are id-offset past it), which is the production
+      // search shape: a bounded query batch against a growing corpus.
+      "q146_ann_ivf" -> ((d: String) => VectorSimilarity.ivfSearch(
+        spark, d,
+        nlist = VectorSimilarity.IvfNlist * math.max(1, math.round(
+          math.sqrt(factorOf.getOrElse(d, 1).toDouble)).toInt),
+        nprobe = VectorSimilarity.IvfNprobe)),
       // the iterative graph family on the N× co-purchase subgraph
       // (edge-sized joins per round — the linearity claim under test)
       "q33_degree_hist" -> ((d: String) =>
@@ -724,6 +746,32 @@ object ScaleStress {
           .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
     }
 
+    // ---- q85 per-stage attribution (VERDICT r15 item 3): the exact
+    // gram-overlap's suspect is the gram-keyed exchange — the distinct
+    // (source, gram) set is corpus-sized, and a boilerplate gram
+    // shared by all sources is a frequency-hot key (the sources²
+    // bound caps OUTPUT per gram, not the posting a task receives).
+    // Forced checkpoint boundaries give the gram-set build and the
+    // self-join + pair aggregate each a named wall, bytes, and spill
+    // column; per-node evidence is `graft.StageProbe <dir> q85`.
+    // Stages compose the SAME pieces production uses
+    // (sourceGramSet / sourceGramPairsFrom).
+    val q85StageNames = Seq("g1_gram_set", "g2_pair_join")
+    val runQ85Stages =
+      only.forall(s => s.isEmpty || s.contains("q85_source_gram_overlap"))
+    if (runQ85Stages) for (pass <- 1 to 2; d <- points) {
+      hygiene()
+      def timedG[T](name: String)(f: => T): T = stageTimed(d, name)(f)
+      val sg = timedG("g1_gram_set")(
+        graft.ops.Pipeline.sourceGramSet(documents(spark, d))
+          .localCheckpoint())
+      timedG("g2_pair_join")(
+        graft.ops.Pipeline.sourceGramPairsFrom(sg).count())
+      System.err.println(s"[scale] q85 stages p$pass @$d: " +
+        q85StageNames
+          .map(n => f"$n=${stageTimes((n, d))}%.1f").mkString(", "))
+    }
+
     // the vocabulary-bounded claim, measured at every scale
     val classCounts = points.map { d =>
       d -> Recommend.itemClasses(
@@ -977,6 +1025,31 @@ object ScaleStress {
     }
     }
 
+    // q85 stage-attribution table (VERDICT r15 item 3)
+    if (runQ85Stages) {
+    md ++= "\n## q85 exact gram-overlap stage attribution " +
+      "(min-of-2 per scale, forced stage boundary)\n\n"
+    md ++= "gram_set = tokenize + 5-gram explode + distinct " +
+      "(source, gram) — the corpus-sized build; pair_join = the " +
+      "gram-keyed self-join + (src_a, src_b) pair aggregate — the " +
+      "exchange whose skew question this table answers (per-gram " +
+      "join input ≤ #sources because the set is distinct; per-node " +
+      "spill evidence: `graft.StageProbe <dir> q85`).\n\n"
+    md ++= s"| stage | $baseLabel sec | " +
+      factors.map(n => s"${n}× sec").mkString(" | ") + " | slope |\n"
+    md ++= "|---" * (3 + factors.size) + "|\n"
+    q85StageNames.foreach { n =>
+      val cols = points.map(d => f"${stageTimes((n, d))}%.1f")
+        .mkString(" | ")
+      val slope =
+        if (factors.size < 2) "n/a"
+        else f"${(stageTimes((n, s"target/scale${factors.last}")) /
+          math.max(stageTimes((n, s"target/scale${factors.head}")), 1e-3)) /
+          (factors.last.toDouble / factors.head)}%.2f"
+      md ++= s"| $n | $cols | $slope |\n"
+    }
+    }
+
     // the same stages in BYTES and CPU (from the min-wall pass): if
     // shuffle bytes and CPU grow ∝ data while wall grows faster, the
     // algorithm is linear and the excess is this host's one disk and
@@ -985,7 +1058,8 @@ object ScaleStress {
     val ioStages = (if (runQ87Stages) stageNames else Nil) ++
       (if (runQ92Stages) q92StageNames else Nil) ++
       (if (runQ93Stages) q93StageNames else Nil) ++
-      (if (runChainStages) chainStageNames else Nil)
+      (if (runChainStages) chainStageNames else Nil) ++
+      (if (runQ85Stages) q85StageNames else Nil)
     if (ioStages.nonEmpty) {
     md ++= "\n### stage I/O + CPU (min-wall pass; GiB = 2^30 bytes; " +
       "load1m = host loadavg before→after the pass, self ≈ " +

@@ -101,6 +101,19 @@ object StageProbe {
           None, Some(256000000L)))
       spark.stop(); return
     }
+    if (args.contains("q85")) {
+      // VERDICT r15 item 3: per-node spill/sort metrics of the
+      // gram-keyed exchange in the exact source-overlap matrix — the
+      // corpus-sized distinct (source,gram) set self-joined on a
+      // corpus-frequency-skewed key. Probed as production composes it
+      // (checkpointed gram set, then the pair join) so the join's own
+      // exchange/sort nodes carry the metrics.
+      val sg = graft.ops.Pipeline.sourceGramSet(
+        graft.Tables.documents(spark, d)).localCheckpoint()
+      probe("q85_source_gram_overlap (gram-keyed self-join + pair agg)",
+        graft.ops.Pipeline.sourceGramPairsFrom(sg))
+      spark.stop(); return
+    }
     if (args.contains("cn")) {
       // VERDICT r14 item 5: h3_cn_arm spends 23.5 s in GC of a 51.2 s
       // wall at 30× (SCALE.md stage I/O table) — the worst GC share

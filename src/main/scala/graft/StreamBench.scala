@@ -482,11 +482,13 @@ object StreamBench {
               .findFirstMatchIn(new String(
                 java.nio.file.Files.readAllBytes(own), "UTF-8"))
               .map(_.group(1))
-            // refuse on a matching sha AND when this run's own sha is
-            // unresolvable — "unknown" cannot prove the fallback is
-            // not this very commit's output, so it must not silently
-            // become a 0%-delta self-comparison
-            if (GitStamp.sha == "unknown" ||
+            // refuse on a matching sha, when this run's own sha is
+            // unresolvable, AND when the fallback carries no sha at
+            // all (ADVICE r15: an unstamped/corrupt file equally
+            // cannot be proven to predate this commit — accepting it
+            // as "…@unstamped" was the one hole in the refusal) —
+            // none of these can rule out a 0%-delta self-comparison
+            if (GitStamp.sha == "unknown" || sha.isEmpty ||
                 sha.contains(GitStamp.sha)) {
               System.err.println("[streambench] no stamped baseline " +
                 "and STREAMBENCH.json cannot be proven to predate " +

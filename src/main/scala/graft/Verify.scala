@@ -72,5 +72,10 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/query_modes.json"), modes)
     spark.stop()
+    // non-zero exit AFTER all artifacts are written (ADVICE r15: a
+    // stderr line alone can be lost in a log tail, and a clean rc=0
+    // plus a complete out_dir left enforcement entirely to the
+    // downstream check_oracle.py/CountsSpec runs actually happening)
+    if (undeclared.nonEmpty) sys.exit(1)
   }
 }

@@ -333,6 +333,16 @@ object Graphs {
   def componentsLargeStar(edges: DataFrame,
       localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     val s = edges.sparkSession
+    // planOnly (the ExplainDump contract): the contraction iterates
+    // to a data-dependent fixpoint — there is no single "the plan"
+    // to build without running it (PlanOnly scaladoc's SCOPE note).
+    // Compositions that EMBED it behind a checkpoint boundary (q86's
+    // train pipeline) dump the same Scan-ExistingRDD stand-in a
+    // production run's materialized rounds leave, and construct
+    // joblessly (PlanOnlySpec pins q86 to zero non-schema jobs).
+    if (graft.PlanOnly(edges))
+      return graft.PlanOnly.cp(edges
+        .select(col("src").as("node"), col("dst").as("component")))
     def undir(e: DataFrame): DataFrame =
       e.select(col("src"), col("dst"))
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -217,6 +217,17 @@ object Pipeline {
   def tokenShardsFrom(tok: DataFrame, budget: Long): DataFrame = {
     val s = tok.sparkSession
     import s.implicits._
+    // planOnly: the offset pass is imperative RDD work (cache +
+    // per-partition-total collect + broadcast) — everything past the
+    // RDD boundary is opaque to explain anyway (the result is a
+    // LogicalRDD), so construction returns the same Scan-ExistingRDD
+    // stand-in the real path's final checkpoint leaves, and runs
+    // nothing. The executed shape is pinned by PipelineSpec.
+    if (graft.PlanOnly(tok))
+      return graft.PlanOnly.cp(tok
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .withColumn("shard", lit(0L)))
     val toks = tok
       .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
       .repartitionByRange(col("doc_id"))
@@ -415,13 +426,19 @@ object Pipeline {
     val sig = sigIn
       .select(col("doc_id"), col("source"),
         col("n_tokens").cast("long").as("n_tokens"), col("quality"))
-      .localCheckpoint() // feeds level stats + both admission branches
-    // phase 1: bounded level summary → driver cumsum per source
-    val levels = sig.groupBy(col("source"), col("quality"))
-      .agg(sum(col("n_tokens")).as("lt"))
-      .collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-      .groupBy(_._1)
+      .cpLocal() // feeds level stats + both admission branches
+    // phase 1: bounded level summary → driver cumsum per source.
+    // planOnly skips the collect (the one construction-time job
+    // here): the empty cut tables produce the same downstream plan
+    // shape — broadcast semi/inner joins against tiny key frames
+    val levels =
+      if (graft.PlanOnly(sigIn))
+        Map.empty[String, Array[(String, Double, Long)]]
+      else sig.groupBy(col("source"), col("quality"))
+        .agg(sum(col("n_tokens")).as("lt"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1)
     // (source, quality) → cum tokens BEFORE the level, in admission
     // order (quality desc; doc_id order only matters inside a level)
     val cuts = levels.toSeq.flatMap { case (src, ls) =>
@@ -592,7 +609,7 @@ object Pipeline {
         size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
       .join(Text.docQualityOn(docs).select(col("doc_id"), col("quality")),
         "doc_id")
-      .localCheckpoint() // feeds the boundary agg + the staging pass
+      .cpLocal() // feeds the boundary agg + the staging pass
     val b = t.agg(
       expr("percentile(n_tokens, 0.25D)").as("b1"),
       expr("percentile(n_tokens, 0.5D)").as("b2"),
@@ -652,7 +669,7 @@ object Pipeline {
       .select(col("source"),
         size(expr(Text.toksExpr)).cast("long").as("n_tokens"))
       .groupBy(col("source")).agg(sum(col("n_tokens")).as("n_tokens"))
-      .localCheckpoint() // #sources rows; feeds totals + the weight row
+      .cpLocal() // #sources rows; feeds totals + the weight row
     val tot = per.agg(sum(col("n_tokens")).as("tot"),
       sum(sqrt(col("n_tokens").cast("double"))).as("denom"))
     per.crossJoin(broadcast(tot)) // 1-row scalar frame
@@ -742,20 +759,34 @@ object Pipeline {
     sourceGramOverlapOn(documents(s, d))
       .orderBy(col("src_a"), col("src_b"))
 
-  /** q85 over a caller-supplied (doc_id, source, text) corpus. */
-  def sourceGramOverlapOn(docs: DataFrame): DataFrame = {
-    val sg = docs
+  /** q85 phase 1: the distinct (source, gram) set — corpus-sized, the
+    * input both sides of the self-join read. Split out (with
+    * [[sourceGramPairsFrom]]) so ScaleStress can give each phase its
+    * own wall/bytes/spill column (VERDICT r15 item 3). */
+  private[graft] def sourceGramSet(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), expr(Text.toksExpr).as("toks"))
       .select(col("source"),
         explode(expr(Text.ngramExpr("toks", DecontamN))).as("g"))
       .distinct()
-      .localCheckpoint() // both sides of the self-join
+
+  /** q85 phase 2: the gram-keyed self-join + pair aggregate over an
+    * already-materialized (source, gram) set. Per-gram join INPUT is
+    * bounded by #sources (the set is distinct on (source, gram)), and
+    * per-gram OUTPUT by #sources² — the skew question at scale is the
+    * corpus-sized gram-keyed exchange itself, measured by the
+    * ScaleStress g2 stage row. */
+  private[graft] def sourceGramPairsFrom(sg: DataFrame): DataFrame =
     sg.select(col("source").as("src_a"), col("g"))
       .join(sg.select(col("source").as("src_b"), col("g")), Seq("g"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
-  }
+
+  /** q85 over a caller-supplied (doc_id, source, text) corpus. */
+  def sourceGramOverlapOn(docs: DataFrame): DataFrame =
+    // checkpoint: both sides of the self-join read the gram set
+    sourceGramPairsFrom(sourceGramSet(docs).cpLocal())
 
   val sourceGramOverlapSql: String =
     s"""WITH t AS (SELECT source, ${Text.toksSqlExpr} AS toks
@@ -800,12 +831,12 @@ object Pipeline {
     val sig = Text.signalChainOn(docs)
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("repetitive"))
-      .localCheckpoint()
+      .cpLocal()
     val kept = Text.curationFrom(sig, docs)
       .filter(col("keep")).select(col("doc_id"))
     // curated corpus: feeds pair detection + source lookup + manifest hash
     val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .cpLocal()
     // checkpointed before the contraction (the q65 lesson, r15): the
     // CC's symmetrization reads its input twice, and a raw LSH
     // subtree would be computed once per branch

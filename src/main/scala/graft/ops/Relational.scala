@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
+import graft.PlanOnly.CpOps
 
 /** Relational operator surface (SURVEY.md §2.1–§2.7).
   *
@@ -1331,7 +1332,7 @@ object Relational {
     val ud = events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .localCheckpoint() // feeds the expansion + the max-day scalar
+      .cpLocal() // feeds the expansion + the max-day scalar
     val mx = ud.agg(max(col("day")).as("mx"))
     ud.select(col("user_id"),
         explode(sequence(col("day"),
@@ -1683,7 +1684,7 @@ object Relational {
   def stateAtPurchase(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("user_id"),
       unix_micros(col("ts")).as("tsl"), col("event_id"),
-      col("event_type")).localCheckpoint()
+      col("event_type")).cpLocal()
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tsl"), col("event_id"))
     val runs = ev.filter(col("event_type") =!= "purchase")

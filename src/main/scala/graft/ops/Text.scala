@@ -390,7 +390,7 @@ object Text {
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cpLocal()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // rank on the raw double (identical arithmetic in the oracle), so
@@ -644,7 +644,7 @@ object Text {
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(${ngramExpr("toks", 3)})")).as("gram"))
-      .localCheckpoint()
+      .cpLocal()
     val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     grams.join(df, "gram")
       .groupBy(col("doc_id"))

@@ -139,6 +139,130 @@ class CountsSpec extends AnyFunSuite {
     Files.delete(stray)
   }
 
+  test("Bench.attributionFor qualifies by CONTENT first: a bisect " +
+      "naming cur=<our sha> attributes whatever its mtime says") {
+    // ADVICE r15: git checkout does not preserve mtimes, so the
+    // timestamp qualifier alone is not reproducible across machines
+    val root = Files.createTempDirectory("graft_attr_sha")
+    def put(rel: String, body: String, mtimeMs: Long) = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      p
+    }
+    val t0 = 1700000000000L
+    put("BENCH_r15.json", """{"parsed":{}}""", t0 + 60000)
+    // sha-bearing bisect OLDER than the round artifact: mtime alone
+    // would reject it (fresh-checkout scenario) — content qualifies
+    put("diag/r16/bisect_bench_old_vs_cur.out",
+      "[bisect] prev aaaabbbbcccc: runs [100.0] -> min 100.0 s\n" +
+        "[bisect] cur  deadbeef0000: runs [101.0] -> min 101.0 s\n", t0)
+    assert(Bench.attributionFor(root, "deadbeef0000")
+      == "diag/r16/bisect_bench_old_vs_cur.out")
+    // a bisect naming a DIFFERENT cur sha is another binary's
+    // evidence: a fresh mtime cannot rehabilitate it
+    val other = put("diag/r16/bisect_bench_x_vs_y.out",
+      "[bisect] cur  999988887777: runs [50.0] -> min 50.0 s\n",
+      t0 + 120000)
+    assert(Bench.attributionFor(root, "deadbeef0000")
+      == "diag/r16/bisect_bench_old_vs_cur.out")
+    Files.delete(other)
+    assert(Bench.attributionFor(root, "999988887777") == "MISSING")
+    // sha-matched (old mtime) beats a merely mtime-qualified no-sha
+    // file — content is the stronger receipt
+    put("diag/r16/bisect_bench_nosha.out", "no summary line here",
+      t0 + 180000)
+    assert(Bench.attributionFor(root, "deadbeef0000")
+      == "diag/r16/bisect_bench_old_vs_cur.out")
+    // unknown self sha: everything falls back to the mtime rule
+    assert(Bench.attributionFor(root, "unknown")
+      == "diag/r16/bisect_bench_nosha.out")
+  }
+
+  test("Bench.roundDeltaFields: the round delta and the >=10% gate " +
+      "ride BENCH_r(N-1).json even when a same-round " +
+      "bench_queries.json exists (VERDICT r15 item 1)") {
+    val root = Files.createTempDirectory("graft_round_delta")
+    val sf = "/root/testdata/sf0.1"
+    // the driver's round-artifact wrap (": " spacing), calibration
+    // stamped, generated from a DIFFERENT commit than ours
+    Files.write(root.resolve("BENCH_r15.json"),
+      ("""{"n": 148, "rc": 0, "parsed": {"metric": "total", """ +
+        """"value": 100.0, "unit": "sec", "n_queries": 148, """ +
+        """"calibration_sec": 2.0, "sha": "aaaabbbbcccc", """ +
+        s""""sf": "$sf"}}""").getBytes("UTF-8"))
+    // a same-round local artifact with a total 1.8% away — the r15
+    // failure shape: this file must NOT re-base the round comparison
+    Files.write(root.resolve("bench_queries.json"),
+      ("""{"metric":"total","value":113.0,"unit":"sec",""" +
+        s""""queries":{},"sha":"selfsha00000","sf":"$sf"}""")
+        .getBytes("UTF-8"))
+    val frag = Bench.roundDeltaFields(root, sf, total = 115.0,
+      cal = Some(2.2), selfSha = "selfsha00000")
+    assert(frag.contains("\"prev_round_total_sec\":100.000"))
+    assert(frag.contains("\"delta_vs_prev_round_pct\":15.000"))
+    assert(frag.contains("\"prev_round_source\":\"BENCH_r15.json\""))
+    // the gate fires on the ROUND move (+15%), not the local 1.8%
+    assert(frag.contains("\"total_moved_ge_10pct\":true"))
+    // no bisect artifact in this root: the flag condemns itself
+    assert(frag.contains("\"attribution\":\"MISSING\""))
+    // calibration: probe moved 2.0 -> 2.2 s (+10% pure host); the
+    // normalized total delta is (115/2.2)/(100/2.0) - 1 = +4.545%
+    assert(frag.contains("\"calibration_delta_pct\":10.000"))
+    assert(frag.contains("\"delta_vs_prev_round_norm_pct\":4.545"))
+    // quiet round move: fields present, no gate, no attribution
+    val quiet = Bench.roundDeltaFields(root, sf, total = 104.0,
+      cal = None, selfSha = "selfsha00000")
+    assert(quiet.contains("\"delta_vs_prev_round_pct\":4.000"))
+    assert(!quiet.contains("total_moved_ge_10pct"))
+    assert(!quiet.contains("calibration_delta_pct"))
+    // a newer round artifact generated from THIS commit is a
+    // self-comparison: refused, walks back to r15
+    Files.write(root.resolve("BENCH_r16.json"),
+      ("""{"parsed": {"metric": "total", "value": 200.0, """ +
+        s""""sha": "selfsha00000", "sf": "$sf"}}""").getBytes("UTF-8"))
+    val walked = Bench.roundDeltaFields(root, sf, total = 104.0,
+      cal = None, selfSha = "selfsha00000")
+    assert(walked.contains("\"prev_round_source\":\"BENCH_r15.json\""))
+    // with a different self sha the newest round artifact wins, and
+    // numeric ordering (not lexicographic) picks it
+    val fresh = Bench.roundDeltaFields(root, sf, total = 104.0,
+      cal = None, selfSha = "othersha0000")
+    assert(fresh.contains("\"prev_round_source\":\"BENCH_r16.json\""))
+    // no usable baseline at all -> empty fragment, never a throw
+    assert(Bench.roundDeltaFields(root, "/some/other/sf", 104.0,
+      None, "othersha0000").isEmpty)
+  }
+
+  test("Bench.parseCalibration reads only the headline probe field") {
+    assert(Bench.parseCalibration(
+      """{"calibration_sec":2.135,"calibration_sec_before":2.135,""" +
+        """"calibration_sec_after":2.410}""").contains(2.135))
+    // driver re-serialized spacing
+    assert(Bench.parseCalibration(
+      """{"parsed": {"calibration_sec": 1.9}}""").contains(1.9))
+    // absent (pre-r16 artifact) or non-positive -> None: a failed
+    // probe must never become a normalizing denominator
+    assert(Bench.parseCalibration("""{"metric":"total"}""").isEmpty)
+    assert(Bench.parseCalibration(
+      """{"calibration_sec":0}""").isEmpty)
+  }
+
+  test("committed QUERY_MODES.json mirrors SparkEntry.selfGating " +
+      "(VERDICT r15 item 5: a repo reader must resolve no_oracle rows " +
+      "without the driver's out_dir)") {
+    val txt = new String(
+      Files.readAllBytes(Paths.get("QUERY_MODES.json")), "UTF-8")
+    val declared = "\"(q[^\"]+)\"\\s*:\\s*\"self_gating\"".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    assert(declared == SparkEntry.selfGating,
+      s"QUERY_MODES.json ($declared) drifted from " +
+        s"SparkEntry.selfGating (${SparkEntry.selfGating}) — " +
+        "regenerate the committed copy")
+  }
+
   test("StreamBench delta guard: accounting marker + prev-rate parse") {
     // shape of the artifact StreamBench itself writes
     val art = """{"duration_sec_per_run":12,"runs":2,"warm_runs":1,""" +

@@ -79,4 +79,42 @@ class PlanOnlySpec extends AnyFunSuite {
       Memo.clear(spark)
     }
   }
+
+  test("every ExplainDump-dumpable id constructs joblessly under " +
+      "planOnly (VERDICT r15 item 7: the guarantee held on the " +
+      "recommender family by pin and on the rest by convention)") {
+    val seen = new ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        seen.add(j.stageInfos.map(_.name).mkString(" ~ "))
+    }
+    Memo.clear(spark)
+    spark.conf.set("spark.graft.planOnly", "true")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // per-id accounting: one listener, the bus drained after each
+      // construction, so an offending job names the query that ran it
+      // instead of a 33-way "someone did"
+      val offenders = ExplainDump.picks.map(_._1).flatMap { id =>
+        seen.clear()
+        ExplainDump.frameFor(id, spark, sfDir).queryExecution
+          .executedPlan // force full planning, same depth as a dump
+        org.apache.spark.GraftSparkInternals
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        val jobs = seen.toArray.map(_.toString)
+          .filterNot(_.contains("parquet at Tables.scala"))
+        if (jobs.isEmpty) None
+        else Some(s"$id -> ${jobs.mkString("; ")}")
+      }
+      assert(offenders.isEmpty,
+        "plan-only construction ran non-schema Spark job(s):\n" +
+          offenders.mkString("\n"))
+      assert(Memo.buildSeconds(spark).isEmpty,
+        "planOnly builds must bypass the memo cache")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.planOnly")
+      Memo.clear(spark)
+    }
+  }
 }

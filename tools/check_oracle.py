@@ -132,8 +132,20 @@ def main(out_dir, sf_dir):
                       f"({got.num_rows} rows)")
                 skip += 1
             elif name in modes:
-                print(f"SKIP {name}: {modes[name]} ({got.num_rows} rows)")
-                skip += 1
+                # ADVICE r15: the declared contract is that rows>0 IS
+                # the verification (q16 emits rows only when its
+                # histogram cross-check passes; q41's require() gates
+                # its output) — so zero rows means the internal gate
+                # FAILED, not that there is nothing to check
+                if got.num_rows == 0:
+                    print(f"FAIL {name}: declared {modes[name]} but "
+                          "emitted 0 rows - the in-query correctness "
+                          "gate did not pass")
+                    fail += 1
+                else:
+                    print(f"SKIP {name}: {modes[name]} "
+                          f"({got.num_rows} rows)")
+                    skip += 1
             else:
                 print(f"FAIL {name}: no oracle and not declared "
                       "self-gating - register an oracle or (with an "
