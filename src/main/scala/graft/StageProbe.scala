@@ -71,6 +71,38 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.mining.Recommend
 
+    // generic registered-query probe: `StageProbe <dir> q <n1,n2,..>`
+    // — runs each named query at <dir> with a job-level timing
+    // listener (composition queries checkpoint mid-chain, so per-node
+    // metrics of the final plan miss the heavy upstream jobs; the
+    // listener attributes wall time to every job the query runs) and
+    // then dumps the final plan's per-node metrics.
+    locally {
+      val qi = args.indexOf("q")
+      if (qi >= 0 && qi + 1 < args.length) {
+        val jobs = new java.util.concurrent.ConcurrentHashMap[
+          Int, (String, Long)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart)
+            : Unit = jobs.put(j.jobId,
+              (Option(j.properties.getProperty(
+                "spark.job.description")).getOrElse(""), j.time))
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd)
+            : Unit = Option(jobs.get(j.jobId)).foreach { case (d, t0) =>
+              System.err.println(
+                f"[probe-job] #${j.jobId}%3d ${(j.time - t0) / 1e3}%7.2f s  $d")
+            }
+          })
+        args(qi + 1).split(",").foreach { n =>
+          System.err.println(s"\n########## $n ##########")
+          probe(n, SparkEntry.queries(n)(spark, d))
+        }
+        spark.stop(); return
+      }
+    }
     if (args.contains("q24")) {
       probe("q24_neardup_lsh (full neardupLshOn)",
         graft.mining.SetSimilarity.neardupLshOn(
