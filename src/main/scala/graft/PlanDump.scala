@@ -15,6 +15,13 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // subset-key co-partitioning (q93/q87 scoring tail): the CF
+      // chain's explicit u-exchange serves the (u,j) aggregate, the
+      // ownership anti-join AND the top-k window only when the planner
+      // may co-partition a join on a PREFIX of its keys; per-u group
+      // fan-out is cap-bounded there, so the relaxation is safe at any
+      // scale (see Recommend.scoreFromNbr)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

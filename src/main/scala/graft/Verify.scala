@@ -17,6 +17,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // subset-key co-partitioning (q93/q87 scoring tail): the CF
+      // chain's explicit u-exchange serves the (u,j) aggregate, the
+      // ownership anti-join AND the top-k window only when the planner
+      // may co-partition a join on a PREFIX of its keys; per-u group
+      // fan-out is cap-bounded there, so the relaxation is safe at any
+      // scale (see Recommend.scoreFromNbr)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // the correctness gate runs WITH the native-kernel rewrite on:
       // every oracle hash is therefore also a proof that the rule
       // preserves results (it fuses q147's composition to graft_cos

@@ -357,6 +357,38 @@ object Recommend {
     * at 100 TB. */
   private[graft] def scoreFromNbr(ui: DataFrame, nbr: DataFrame,
       nbrRowBound: Long, k: Int, candEst: Long): DataFrame = {
+    // Below the spill guard, hand the WHOLE scoring tail one explicit
+    // exchange on u and let every later operator inherit it (guide
+    // §2.4 "two operations keyed the same way share one exchange"):
+    // the checkpointed matrix arrives partitioning-less (localCheckpoint
+    // drops outputPartitioning), so the stock plan re-exchanged the
+    // ×M-amplified candidate stream for its aggregate, exchanged ui
+    // AGAIN for the ownership anti-join, and ran the top-k window as a
+    // two-phase WindowGroupLimit with a third exchange. Partitioning
+    // ui by u FIRST — one exchange of matrix-sized rows, planned once
+    // and stage-reused by both the scoring join input and the
+    // anti-join probe — satisfies the (u,j) aggregate (complete mode,
+    // one pass instead of partial+final over rows the partial pass
+    // measurably never dedups: 0.9% at sf0.1), the co-partitioned
+    // anti-join, and the single-phase per-user window (the join
+    // elision needs requireAllClusterKeysForCoPartition=false — set in
+    // every session builder of this repo — since the join keys (u,j)
+    // are a superset of the exchange key). Measured at sf0.1: the
+    // scoring tail's 3 ENSURE_REQUIREMENTS exchanges (10M-row/309MB
+    // candidates, ui re-exchange, window re-exchange) collapse to the
+    // one 12MB u-exchange, and q93 (which also folds the cfEvalOn
+    // single-groupBy change) went 20.5 → 10.4 s min-of-4 in a
+    // same-window A/B (diag/r16).
+    // ABOVE the guard the explicit u-exchange would be a wasted full
+    // shuffle right under the cardinality-scaled (u,j) repartition, so
+    // the stock gated shape is kept verbatim (same condition as
+    // [[sizedByCardinality]]).
+    val guardFloor = math.max(1,
+      ui.sparkSession.sessionState.conf.numShufflePartitions)
+    val uiS =
+      if (candEst / guardFloor <= SpillGuardRowsPerTask)
+        ui.repartition(col("u"))
+      else ui
     // candidate volume is EXACTLY bounded by |ui| × M — the caller
     // passes that product and the scoring shuffle is volume-gated on
     // it (StageProbe @30×: at fixed 32 partitions the candidate
@@ -366,7 +398,7 @@ object Recommend {
     // memory — while at ≤10× the stock partial-aggregate plan never
     // spilled and wins, so below the guard nothing changes)
     val sc = sizedByCardinality(
-      ui.join(dimHint(nbr, nbrRowBound,
+      uiS.join(dimHint(nbr, nbrRowBound,
         fixedDimBytes(nbrRowBound, 3)), "i") // items×M, gated
         .select(col("u"), col("j"), col("sim")),
       candEst, col("u"), col("j"))
@@ -377,8 +409,10 @@ object Recommend {
       // biggest relation in the query) and the corpus ui — purely to
       // merge on (u, j). Hashing the ui side instead drops both sorts;
       // per-partition build state is ui/nPartitions, the same bound
-      // any shuffle join carries.
-      .join(ui.select(col("u"), col("i").as("j")).hint("shuffle_hash"),
+      // any shuffle join carries. Below the guard the probe side is
+      // the SAME u-partitioned exchange as the scoring input, so the
+      // join is co-partitioned and exchange-free.
+      .join(uiS.select(col("u"), col("i").as("j")).hint("shuffle_hash"),
         Seq("u", "j"), "left_anti") // drop already-owned
     // Volume-gated layout for the per-user top-k: at dimension-scale
     // volumes the planner's two-phase WindowGroupLimit (partial cut on
@@ -976,16 +1010,29 @@ object Recommend {
       topM: Int, k: Int): DataFrame = {
     val all = interactions.select(col("u"), col("i")).distinct()
       .cpLocal() // read by the holdout agg AND the train slice
-    val hold = all.groupBy(col("u"))
+    // ONE corpus-sized groupBy(u) serves the holdout AND the
+    // power-user cap (guide §2.4): the train slice removes exactly one
+    // row per holdout user, so the q87-equivalent kept-user set —
+    // users with ≤ cap TRAIN items — is a filter over this
+    // dimension-sized table (n − 1 when a row was held out, n
+    // otherwise) instead of uiMatrix's re-aggregation of the
+    // corpus-sized train slice; and train is distinct by construction
+    // (a subset of the distinct matrix), so uiMatrix's dedup pass is
+    // skipped too. Same matrix, two corpus passes fewer.
+    val hs = all.groupBy(col("u"))
       .agg(max(col("i")).as("held"), count(lit(1)).as("n"))
-      .filter(col("n") >= EvalMinOwned)
+      .cpLocal() // read by hold (train/hits/n_eval) and the kept set
+    val hold = hs.filter(col("n") >= EvalMinOwned)
       .select(col("u"), col("held"))
-      .cpLocal() // read by train, the hit join, and n_eval
     val train = all.join(
       hold.select(col("u"), col("held").as("i")), Seq("u", "i"),
       "left_anti")
+    val kept = hs.filter(
+      when(col("n") >= EvalMinOwned, col("n") - 1).otherwise(col("n"))
+        <= cap).select(col("u"))
+    val ui = train.join(kept, Seq("u"), "left_semi").cpLocal()
     // unordered top: recs only feeds the hit join — no presentation sort
-    val recs = itemCfTop(uiMatrix(train, cap), coMin, topM, k)
+    val recs = itemCfTop(ui, coMin, topM, k)
     val hits = recs.join(hold,
         recs("custkey") === hold("u") && recs("item") === hold("held"))
       .agg(count(lit(1)).as("n_hit"))
