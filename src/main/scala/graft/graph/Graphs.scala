@@ -58,7 +58,17 @@ object Graphs {
       base.join(
         broadcast(customer(s, d).filter(col("c_nationkey") < n)
           .select(col("c_custkey").as("ck"))), Seq("ck")))
-    bounded.distinct()
+    // one pk-exchange for the whole cp build (guide §2.4): the dedup
+    // and the df-cap window that follows ([[capBySourceDf]]) both
+    // accept a pk clustering, so exchanging ONCE on pk here lets the
+    // distinct run post-shuffle and the window inherit the layout —
+    // the stock plan exchanged twice ((ck,pk) for the distinct, pk
+    // again for the window). The trade is the dedup moving above the
+    // exchange (no map-side partial dedup): raw (ck,pk) carries ~1.1×
+    // the deduped rows on this data — measured far under one
+    // exchange's worth. Skew unchanged: a hot pk already landed whole
+    // in one window partition.
+    bounded.repartition(col("pk")).distinct()
   }
 
   /** Drop join keys whose fan-out exceeds `maxDf` — the pre-join skew
@@ -274,17 +284,24 @@ object Graphs {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
+      // the change indicator rides INSIDE the round's one materialized
+      // frame (the old label is already on hand from the `least` join),
+      // so the convergence check is a filter-count over the fresh
+      // checkpoint — the previous shape re-joined next with labels
+      // per round (two more exchanges + an aggregate, ~2 extra jobs
+      // every iteration of an O(diameter) loop) purely to recompute a
+      // difference this projection already knows
       val next = ue
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nlbl")).as("minNbr"))
         .join(labels, Seq("node"))
-        .select(col("node"), least(col("lbl"), col("minNbr")).as("lbl"))
+        .select(col("node"), least(col("lbl"), col("minNbr")).as("lbl"),
+          (col("minNbr") < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.groupBy(col("lbl").as("component"))
