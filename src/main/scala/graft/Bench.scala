@@ -280,6 +280,14 @@ object Bench {
     // and after the last timed pass, written into the artifact so a
     // moved total carries its own host-contention evidence
     val hostLoadBefore = HostLoad.loadavg()
+    // Global budget: a full pass is mandatory (every query gets a
+    // number); extra passes only run while inside the budget, so a
+    // noise-stretched bench degrades to fewer samples instead of
+    // overrunning the caller's timeout (round 2 recorded rc=124 — a
+    // killed bench reports nothing at all). Declared ahead of warmup:
+    // the warmup cap is budget-derived.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     val t0 = System.nanoTime()
     // Warmup runs concurrently: per-plan first-run cost is dominated by
     // driver-side compile/JIT, so overlapping them collapses wall time
@@ -302,8 +310,16 @@ object Bench {
         }
       }
       // a warmup overrun must not kill the bench — timed runs still
-      // produce the JSON line (first runs just pay the residual JIT)
-      try Await.result(Future.sequence(fs), 10.minutes)
+      // produce the JSON line (first runs just pay the residual JIT).
+      // The cap is a THIRD of the run budget, not a courtesy 10 min:
+      // warmup shares the budget clock with the timed passes, and on a
+      // slow host window the r16 baseline spent 179 of 420 s warming
+      // up, leaving ONE timed pass — 142/148 queries unreproducible
+      // (samples_max 2, min-of-1 noise shipped as the round number).
+      // Capped, the worst case trades residual JIT in pass 1 — which
+      // min-of-2+ then discards — for the second full pass that makes
+      // every min reproducible.
+      try Await.result(Future.sequence(fs), (budgetSec / 3).seconds)
       catch { case _: java.util.concurrent.TimeoutException =>
         // kill the stragglers too — otherwise they keep computing and
         // contend with the timed runs on the same cores
@@ -323,13 +339,6 @@ object Bench {
     // back-to-back runs of one query both land inside a bad window;
     // interleaving separates a query's samples by a whole pass, so the
     // min dodges any window shorter than ~1/3 of the bench.
-    // Global budget: a full pass is mandatory (every query gets a
-    // number); extra passes only run while inside the budget, so a
-    // noise-stretched bench degrades to fewer samples instead of
-    // overrunning the caller's timeout (round 2 recorded rc=124 — a
-    // killed bench reports nothing at all).
-    val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     // Optional local-iteration filter (comma-separated query names);
     // the driver never sets it, so driver runs bench everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -348,12 +357,17 @@ object Bench {
     def calProbe(): Double = try {
       // tiny untimed run first: the probe's Janino compile must not
       // pollute the host measurement (same generated classes — only
-      // the range bound differs)
+      // the range bound differs).
+      // first(), NOT count(): count() lets the optimizer prune the
+      // aggregate's value column and the "probe" degrades to an empty
+      // range loop (guide §1.4's exact warning — the r16 baseline
+      // measured 0.31 s for nominally 4G hashes); reading the sum
+      // forces the hash work the probe exists to time.
       spark.range(0L, 1000000L, 1, HostLoad.cpus)
-        .selectExpr("sum(xxhash64(id)) AS s").count()
+        .selectExpr("sum(xxhash64(id)) AS s").first()
       val t = System.nanoTime()
       spark.range(0L, CalibrationRows, 1, HostLoad.cpus)
-        .selectExpr("sum(xxhash64(id)) AS s").count()
+        .selectExpr("sum(xxhash64(id)) AS s").first()
       (System.nanoTime() - t) / 1e9
     } catch { case _: Throwable => -1.0 }
     val isSubset = only.isDefined

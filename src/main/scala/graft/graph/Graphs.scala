@@ -238,9 +238,19 @@ object Graphs {
       // deterministic argmax via max_by over a (cnt, −lbl) struct key —
       // same (highest count, then smallest label) winner the oracle's
       // row_number window replays, minus the per-iteration sort the
-      // window form needed after the count aggregate
+      // window form needed after the count aggregate.
+      // One src-exchange per round (guide §2.4): both aggregates —
+      // (node,lbl) counts and the per-node argmax — accept a src
+      // clustering, so the explicit repartition replaces the stock
+      // plan's two chained aggregate exchanges. The exchange carries
+      // the raw neighbor-label stream instead of partially-counted
+      // (node,lbl) pairs; per-partition multiplicity of a (node,lbl)
+      // key is ~0 on any partition-count ≫ degree layout, so that
+      // partial pass was shipping its input unreduced anyway (the
+      // CF-chain measurement: 0.9% reduction).
       labels = ue
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .repartition(col("src"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
