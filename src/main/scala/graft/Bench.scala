@@ -2,10 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Rows for the calibration probe (one partition per core) — sized
-    * so the probe runs ~2 s at local[32]: long enough to average over
-    * scheduler jitter, short enough that two probes cost <1% of the
-    * bench budget. */
-  private val CalibrationRows = 4000000000L
+    * so the probe runs ~2 s at local[32] (measured 0.9 s/4G hashes on
+    * a quiet window once the probe actually computed — see calProbe):
+    * long enough to average over scheduler jitter, short enough that
+    * two probes cost <1% of the bench budget. */
+  private val CalibrationRows = 8000000000L
 
   /** Drop leaked localCheckpoint blocks: the iterative queries
     * (LPA/CC/K-Means/BFR/IVF) localCheckpoint per round and nothing
@@ -358,16 +359,20 @@ object Bench {
       // tiny untimed run first: the probe's Janino compile must not
       // pollute the host measurement (same generated classes — only
       // the range bound differs).
-      // first(), NOT count(): count() lets the optimizer prune the
-      // aggregate's value column and the "probe" degrades to an empty
-      // range loop (guide §1.4's exact warning — the r16 baseline
-      // measured 0.31 s for nominally 4G hashes); reading the sum
-      // forces the hash work the probe exists to time.
+      // first() over bit_xor, NOT count() over sum: count() lets the
+      // optimizer prune the aggregate's value column and the "probe"
+      // degrades to an empty range loop (guide §1.4's exact warning —
+      // the r16 baseline measured 0.31 s for nominally 4G hashes),
+      // and a Long SUM of full-range hashes throws under Spark 4's
+      // ANSI default (the silently-caught error that shipped the mid
+      // bench with no calibration fields). XOR folds every hash
+      // overflow-free, and reading the value forces the work the
+      // probe exists to time.
       spark.range(0L, 1000000L, 1, HostLoad.cpus)
-        .selectExpr("sum(xxhash64(id)) AS s").first()
+        .selectExpr("bit_xor(xxhash64(id)) AS s").first()
       val t = System.nanoTime()
       spark.range(0L, CalibrationRows, 1, HostLoad.cpus)
-        .selectExpr("sum(xxhash64(id)) AS s").first()
+        .selectExpr("bit_xor(xxhash64(id)) AS s").first()
       (System.nanoTime() - t) / 1e9
     } catch { case _: Throwable => -1.0 }
     val isSubset = only.isDefined

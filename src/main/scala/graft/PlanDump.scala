@@ -26,19 +26,43 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.col
+    // bounded-subgraph round inputs for the `_lpa_round`/`_cc_round`
+    // dumps — checkpointed like the production loops' inputs, so the
+    // dumped round plan starts from the same ExistingRDD scans
+    lazy val ue = {
+      val ed = graft.graph.Graphs.edges(spark, sfDir,
+        Some(graft.graph.Graphs.SubNations),
+        graft.graph.Graphs.SubThreshold)
+      ed.select(col("src"), col("dst"))
+        .unionByName(ed.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .localCheckpoint()
+    }
+    lazy val labels0 = ue.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
     names.foreach { n =>
       println(s"===== $n =====")
-      // "_edge_build": the un-checkpointed co-purchase edge subtree
-      // (inside registered queries it sits behind a localCheckpoint
-      // scan, so its plan is otherwise invisible in PLANS.md)
-      val df =
-        if (n == "_edge_build")
+      // "_edge_build": the un-checkpointed co-purchase edge subtree;
+      // "_lpa_round"/"_cc_round": one un-checkpointed iteration of
+      // q35/q36 over a prebuilt edge list (inside the registered
+      // queries these sit behind localCheckpoint scans, so their
+      // plans are otherwise invisible in PLANS.md)
+      val df = n match {
+        case "_edge_build" =>
           graft.graph.Graphs.capBySourceDf(
             graft.graph.Graphs.custParts(spark, sfDir, None),
             graft.graph.Graphs.MaxSourceDf)
-        else SparkEntry.queries(n)(spark, sfDir)
+        case "_lpa_round" => graft.graph.Graphs.lpaRound(ue, labels0)
+        case "_cc_round" => graft.graph.Graphs.ccRound(ue, labels0)
+        case _ => SparkEntry.queries(n)(spark, sfDir)
+      }
+      // formatted by default (the plans/rNN before/after artifacts);
+      // SPARK_GRAFT_PLAN_MODE=simple for the compact tree
       println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+        if (sys.env.get("SPARK_GRAFT_PLAN_MODE").contains("simple"))
+          org.apache.spark.sql.execution.SimpleMode
+        else org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

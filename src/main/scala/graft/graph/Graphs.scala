@@ -235,31 +235,36 @@ object Graphs {
     var labels = ue.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to LpaIters) {
-      // deterministic argmax via max_by over a (cnt, −lbl) struct key —
-      // same (highest count, then smallest label) winner the oracle's
-      // row_number window replays, minus the per-iteration sort the
-      // window form needed after the count aggregate.
-      // One src-exchange per round (guide §2.4): both aggregates —
-      // (node,lbl) counts and the per-node argmax — accept a src
-      // clustering, so the explicit repartition replaces the stock
-      // plan's two chained aggregate exchanges. The exchange carries
-      // the raw neighbor-label stream instead of partially-counted
-      // (node,lbl) pairs; per-partition multiplicity of a (node,lbl)
-      // key is ~0 on any partition-count ≫ degree layout, so that
-      // partial pass was shipping its input unreduced anyway (the
-      // CF-chain measurement: 0.9% reduction).
-      labels = ue
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .repartition(col("src"))
-        .groupBy(col("src").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("node"))
-        .agg(max_by(col("lbl"),
-          struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
-        .localCheckpoint()
+      labels = lpaRound(ue, labels).localCheckpoint()
     }
     labels.orderBy(col("node"))
   }
+
+  /** One LPA round over a both-direction edge list — the un-checkpointed
+    * plan, shared by [[lpa]] and PlanDump's `_lpa_round` evidence dump
+    * (an inline rebuild there could silently drift, ADVICE r14).
+    * Deterministic argmax via max_by over a (cnt, −lbl) struct key —
+    * same (highest count, then smallest label) winner the oracle's
+    * row_number window replays, minus the per-iteration sort the
+    * window form needed after the count aggregate.
+    * One src-exchange per round (guide §2.4): both aggregates —
+    * (node,lbl) counts and the per-node argmax — accept a src
+    * clustering, so the explicit repartition replaces the stock
+    * plan's two chained aggregate exchanges. The exchange carries
+    * the raw neighbor-label stream instead of partially-counted
+    * (node,lbl) pairs; per-partition multiplicity of a (node,lbl)
+    * key is ~0 on any partition-count ≫ degree layout, so that
+    * partial pass was shipping its input unreduced anyway (the
+    * CF-chain measurement: 0.9% reduction). */
+  private[graft] def lpaRound(ue: DataFrame, labels: DataFrame)
+  : DataFrame =
+    ue.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .repartition(col("src"))
+      .groupBy(col("src").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("node"))
+      .agg(max_by(col("lbl"),
+        struct(col("cnt"), (-col("lbl")).as("nl"))).as("lbl"))
 
   val lpaSql: String = {
     val iters = (1 to LpaIters).map { k =>
@@ -294,22 +299,7 @@ object Graphs {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
-      // the change indicator rides INSIDE the round's one materialized
-      // frame (the old label is already on hand from the `least` join),
-      // so the convergence check is a filter-count over the fresh
-      // checkpoint — the previous shape re-joined next with labels
-      // per round (two more exchanges + an aggregate, ~2 extra jobs
-      // every iteration of an O(diameter) loop) purely to recompute a
-      // difference this projection already knows
-      val next = ue
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("nlbl")).as("minNbr"))
-        .join(labels, Seq("node"))
-        .select(col("node"), least(col("lbl"), col("minNbr")).as("lbl"),
-          (col("minNbr") < col("lbl")).as("chg"))
-        .localCheckpoint()
+      val next = ccRound(ue, labels).localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select(col("node"), col("lbl"))
       iter += 1
@@ -318,6 +308,25 @@ object Graphs {
       .agg(count(lit(1)).as("csize"))
       .orderBy(col("component"))
   }
+
+  /** One min-label-propagation round — the un-checkpointed plan,
+    * shared by [[components]] and PlanDump's `_cc_round` evidence
+    * dump. The change indicator rides INSIDE the round's one
+    * materialized frame (the old label is already on hand from the
+    * `least` join), so the caller's convergence check is a
+    * filter-count over the fresh checkpoint — the previous shape
+    * re-joined next with labels per round (two more exchanges + an
+    * aggregate, ~2 extra jobs every iteration of an O(diameter) loop)
+    * purely to recompute a difference this projection already knows. */
+  private[graft] def ccRound(ue: DataFrame, labels: DataFrame)
+  : DataFrame =
+    ue.join(labels.withColumnRenamed("node", "dst")
+        .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(min(col("nlbl")).as("minNbr"))
+      .join(labels, Seq("node"))
+      .select(col("node"), least(col("lbl"), col("minNbr")).as("lbl"),
+        (col("minNbr") < col("lbl")).as("chg"))
 
   val componentsSql: String =
     s"""WITH RECURSIVE ${edgesSql(Some(SubNations), SubThreshold)},
