@@ -379,10 +379,18 @@ object Graphs {
     if (graft.PlanOnly(edges))
       return graft.PlanOnly.cp(edges
         .select(col("src").as("node"), col("dst").as("component")))
+    // one src-exchange per symmetrization (guide §2.4): the dedup, the
+    // min-neighbor aggregate AND the star join that follow all accept
+    // a src clustering, so the explicit repartition replaces three
+    // chained ENSURE_REQUIREMENTS exchanges per star step ((src,dst)
+    // dedup, src aggregate, join re-exchange). Per-src fan-out is the
+    // node degree — the same key distribution every one of those
+    // stages already grouped on.
     def undir(e: DataFrame): DataFrame =
       e.select(col("src"), col("dst"))
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("src")).distinct()
     def minNbr(ue: DataFrame): DataFrame =
       ue.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
