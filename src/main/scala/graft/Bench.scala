@@ -63,19 +63,33 @@ object Bench {
     * not preserve mtimes, so a timestamp qualifier is not
     * reproducible across machines): a bisect whose summary names the
     * binary it ran as `cur <selfSha>` attributes THIS code whatever
-    * its file time says, and one naming a different cur sha never
-    * does. Files without a parseable cur sha (and every file when our
-    * own sha is unresolvable) fall back to the mtime rule: STRICTLY
-    * NEWER than the newest driver round artifact `BENCH_rNN.json` —
-    * an old round's bisect cannot attribute a new round's move.
-    * Returns the best qualifying path (repo-relative; sha-matched
-    * beats mtime-matched, newest within each tier), or "MISSING":
-    * the stamp rides in the artifact next to `total_moved_ge_10pct`,
-    * so an unattributed double-digit move is visible on the artifact's
-    * face instead of depending on a reader to notice the absence.
+    * its file time says. A bisect naming a DIFFERENT cur sha can
+    * still qualify one way — when its `prev` side names the ROUND
+    * BASELINE's sha (`baselineSha`, parsed from the BENCH_r(N-1)
+    * artifact the delta is computed against): committing the bisect
+    * output necessarily moves HEAD past the cur sha it recorded
+    * (r16 hit exactly this — the receipt existed and the artifact
+    * still stamped MISSING), and no OTHER round's bisect can name
+    * this round's baseline as its prev binary, so the prev match is
+    * content evidence about the very comparison the gate is flagging
+    * (ADVICE r15's "or an ancestor check", done without walking git
+    * history). A parseable-cur bisect matching NEITHER sha is another
+    * comparison's evidence — mtime cannot rehabilitate it. Files
+    * without a parseable cur sha (and every file when our own sha is
+    * unresolvable) fall back to the mtime rule: STRICTLY NEWER than
+    * the newest driver round artifact `BENCH_rNN.json` — an old
+    * round's bisect cannot attribute a new round's move.
+    * Returns the best qualifying path (repo-relative; cur-sha-matched
+    * beats prev-sha-matched beats mtime-matched, newest within each
+    * tier), or "MISSING": the stamp rides in the artifact next to
+    * `total_moved_ge_10pct`, so an unattributed double-digit move is
+    * visible on the artifact's face instead of depending on a reader
+    * to notice the absence; `attribution_compared` always states
+    * which binaries the stamped bisect actually ran.
     * Unit-tested (CountsSpec) like [[parsePrevTotal]]. */
   private[graft] def attributionFor(root: java.nio.file.Path,
-      selfSha: String = GitStamp.sha): String = {
+      selfSha: String = GitStamp.sha,
+      baselineSha: Option[String] = None): String = {
     import scala.jdk.CollectionConverters._
     def mtime(p: java.nio.file.Path): Long =
       try java.nio.file.Files.getLastModifiedTime(p).toMillis
@@ -85,8 +99,8 @@ object Bench {
         val s = java.nio.file.Files.newDirectoryStream(dir, glob)
         try s.iterator.asScala.toList finally s.close()
       } catch { case _: Throwable => Nil }
-    def curShaOf(p: java.nio.file.Path): Option[String] =
-      try "\\[bisect\\] cur\\s+(\\w+): runs".r
+    def shaOf(p: java.nio.file.Path, side: String): Option[String] =
+      try s"\\[bisect\\] $side\\s+(\\w+): runs".r
         .findFirstMatchIn(new String(
           java.nio.file.Files.readAllBytes(p), "UTF-8")).map(_.group(1))
       catch { case _: Throwable => None }
@@ -96,12 +110,17 @@ object Bench {
       .filter(java.nio.file.Files.isDirectory(_))
       .flatMap(d => list(d, "bisect_bench_*.out"))
       .flatMap { p =>
-        curShaOf(p) match {
+        shaOf(p, "cur") match {
           case Some(s) if selfSha != "unknown" =>
-            // content decides: a matching cur sha attributes, a
-            // mismatching one is another binary's evidence — mtime
-            // cannot rehabilitate it
-            if (s == selfSha) Some((p, 1)) else None
+            // content decides: a matching cur sha attributes; a
+            // mismatching one attributes only when its prev side IS
+            // this round's baseline binary (the committed-receipt
+            // case); matching neither is another comparison's
+            // evidence — mtime cannot rehabilitate it
+            if (s == selfSha) Some((p, 2))
+            else if (baselineSha.isDefined &&
+              shaOf(p, "prev") == baselineSha) Some((p, 1))
+            else None
           case _ => if (mtime(p) > cutoff) Some((p, 0)) else None
         }
       }
@@ -134,10 +153,12 @@ object Bench {
     * this same commit — in a fresh tree the newest round artifact can
     * wrap this very HEAD's numbers, and comparing to it is a
     * self-comparison that trivially passes. Returns
-    * (total, calibration if stamped, filename). */
+    * (total, calibration if stamped, filename, generating sha if
+    * stamped — the prev-side key for [[attributionFor]]'s
+    * committed-receipt tier). */
   private[graft] def roundBaseline(root: java.nio.file.Path,
       sfDir: String, selfSha: String)
-  : Option[(Double, Option[Double], String)] = {
+  : Option[(Double, Option[Double], String, Option[String])] = {
     import scala.jdk.CollectionConverters._
     val roundNum = "BENCH_r(\\d+)\\.json".r
     val rounds = try {
@@ -165,7 +186,7 @@ object Bench {
             "older rounds")
           None
         } else parsePrevTotal(txt, sfDir)
-          .map((_, parseCalibration(txt), p.getFileName.toString))
+          .map((_, parseCalibration(txt), p.getFileName.toString, sha))
       } catch { case _: Throwable => None }
     }.headOption
   }
@@ -189,7 +210,8 @@ object Bench {
   private[graft] def roundDeltaFields(root: java.nio.file.Path,
       sfDir: String, total: Double, cal: Option[Double],
       selfSha: String): String =
-    roundBaseline(root, sfDir, selfSha).map { case (pt, pCal, src) =>
+    roundBaseline(root, sfDir, selfSha)
+      .map { case (pt, pCal, src, baseSha) =>
       val pct = (total - pt) / pt * 100.0
       val moved = math.abs(pct) >= 10.0
       val calFields = (for (c <- cal; p <- pCal) yield {
@@ -214,7 +236,7 @@ object Bench {
       // capture never loses the round's numbers, but an unattributed
       // move is condemned on the artifact's face
       val attribution = if (!moved) "" else {
-        val a = attributionFor(root, selfSha)
+        val a = attributionFor(root, selfSha, baseSha)
         if (a == "MISSING") System.err.println(
           "[bench] ATTRIBUTION MISSING: the >=10% gate fired and no " +
             "qualifying diag/*/bisect_bench_*.out exists — run " +

@@ -181,6 +181,48 @@ class CountsSpec extends AnyFunSuite {
       == "diag/r16/bisect_bench_nosha.out")
   }
 
+  test("Bench.attributionFor committed-receipt tier: a bisect whose " +
+      "cur predates HEAD still attributes when its prev IS the round " +
+      "baseline's sha") {
+    // committing the bisect output necessarily moves HEAD past the
+    // cur sha it recorded (r16: the receipt existed, the artifact
+    // stamped MISSING) — the prev side naming THIS round's baseline
+    // binary is content evidence no other round's bisect can carry
+    val root = Files.createTempDirectory("graft_attr_prev")
+    def put(rel: String, body: String, mtimeMs: Long) = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      p
+    }
+    val t0 = 1700000000000L
+    put("BENCH_r15.json", """{"parsed":{"sha": "aaaabbbbcccc"}}""",
+      t0 + 60000)
+    // bisect ran at an ancestor commit (cur != HEAD) against the
+    // round baseline (prev == baseline sha); mtime OLDER than the
+    // round artifact (fresh-checkout shape) — prev-content qualifies
+    put("diag/r16/bisect_bench_receipt.out",
+      "[bisect] prev aaaabbbbcccc: runs [101.6] -> min 101.6 s\n" +
+        "[bisect] cur  5cfd46559f54: runs [91.0] -> min 91.0 s\n", t0)
+    assert(Bench.attributionFor(root, "719a1387ffe6",
+      Some("aaaabbbbcccc")) == "diag/r16/bisect_bench_receipt.out")
+    // without the baseline sha (or with a different one) the
+    // mismatched-cur rejection stands
+    assert(Bench.attributionFor(root, "719a1387ffe6", None)
+      == "MISSING")
+    assert(Bench.attributionFor(root, "719a1387ffe6",
+      Some("ffffeeeedddd")) == "MISSING")
+    // a cur match still outranks the prev-match tier
+    put("diag/r16/bisect_bench_self.out",
+      "[bisect] prev aaaabbbbcccc: runs [100.0] -> min 100.0 s\n" +
+        "[bisect] cur  719a1387ffe6: runs [90.0] -> min 90.0 s\n",
+      t0 - 60000)
+    assert(Bench.attributionFor(root, "719a1387ffe6",
+      Some("aaaabbbbcccc")) == "diag/r16/bisect_bench_self.out")
+  }
+
   test("Bench.roundDeltaFields: the round delta and the >=10% gate " +
       "ride BENCH_r(N-1).json even when a same-round " +
       "bench_queries.json exists (VERDICT r15 item 1)") {
